@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver's synthetic star schema (TESTDATA.md).
+  *
+  * All loads are plain parquet scans so Catalyst pushes filters and prunes
+  * columns into the scan (verify with `.explain`: `PushedFilters`,
+  * `ReadSchema`). Nothing is cached here — callers own persistence policy.
+  */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** `events` with its TIMESTAMP(NANOS) column normalised.
+    *
+    * The raw file stores `ts` as INT64 nanos; with
+    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a long. We keep the
+    * exact nanos as `ts_ns` and add a microsecond-truncated proper timestamp
+    * `ts` (integer `div` — a double division would lose precision above
+    * 2^53 ns). DuckDB's `epoch_us(ts)` truncates the same way, so µs-level
+    * comparisons against the oracle are exact.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
+  }
+}
