@@ -1,0 +1,476 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+
+/** SURVEY §2 chain-analytics / window / set-op operators instantiated over
+  * the driver's `events`/`documents` tables so each has a DuckDB oracle.
+  * The `events` chain mapping: step = event_id, par = event_type,
+  * value = value — same shapes as the reference's posterior chains.
+  *
+  * Exactness rules (see graft.core.Oracle): sums go through DECIMAL(12,2)
+  * casts; weighted means use integer weights L/sig² with L = 420² so both
+  * engines sum exact integers/decimals and divide once in double at the end.
+  */
+object AnalyticsQueries extends graft.core.QueryModule {
+
+  private val L = 176400L // 420²; divisible by sig² for sig in 1..7
+
+  private def vdec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  // A4: model-index counts — groupBy(round(value/100)).count.
+  def a4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(round($"value" / 100).cast("long").as("nmodel"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"nmodel")
+  }
+  val a4Sql: String =
+    """SELECT CAST(round(value / 100) AS BIGINT) AS nmodel, COUNT(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY nmodel""".stripMargin
+
+  // A5: pairwise log Bayes factors over the A4 counts (self-join i<j).
+  def a5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .groupBy(round($"value" / 100).cast("long").as("nmodel"))
+      .agg(count(lit(1)).as("cnt"))
+    Chain.logBayesFactors(counts)
+      .withColumn("log_bf", round($"log_bf", 6))
+      .orderBy($"model_i", $"model_j")
+  }
+  val a5Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(round(value / 100) AS BIGINT) AS nmodel, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1)
+      |SELECT a.nmodel AS model_i, b.nmodel AS model_j,
+      |  round(ln(CAST(b.cnt AS DOUBLE) / CAST(a.cnt AS DOUBLE)), 6) AS log_bf
+      |FROM c a JOIN c b ON a.nmodel < b.nmodel
+      |ORDER BY model_i, model_j""".stripMargin
+
+  // A6+A7+A8: per-par histogram mode, percentiles, and arbitration
+  // (mode if within [p16, p84] else median) — results.py:154-213.
+  def a8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val mode = Chain.histogramMode(ev, $"event_type", $"value", 50)
+    val pct = ev.groupBy($"event_type".as("g2")).agg(
+      percentile($"value", lit(0.16)).as("p16"),
+      percentile($"value", lit(0.50)).as("p50"),
+      percentile($"value", lit(0.84)).as("p84"))
+    mode.join(pct, $"g" === $"g2")
+      .select($"g".as("event_type"), round($"mode", 9).as("mode"),
+        round($"p16", 9).as("p16"), round($"p50", 9).as("p50"),
+        round($"p84", 9).as("p84"),
+        round(when($"mode".between($"p16", $"p84"), $"mode").otherwise($"p50"), 9)
+          .as("estimate"))
+      .orderBy($"event_type")
+  }
+  val a8Sql: String =
+    """WITH st AS (
+      |  SELECT event_type AS g, min(value) AS mn, max(value) AS mx
+      |  FROM events GROUP BY 1),
+      |bins AS (
+      |  SELECT e.event_type AS g,
+      |    LEAST(CAST(FLOOR((e.value - st.mn) * 50 / (st.mx - st.mn)) AS BIGINT), 49) AS bin,
+      |    st.mn, st.mx
+      |  FROM events e JOIN st ON e.event_type = st.g),
+      |hist AS (
+      |  SELECT g, bin, mn, mx, COUNT(*) AS bin_cnt FROM bins GROUP BY 1,2,3,4),
+      |md AS (
+      |  SELECT g, mn + (CAST(bin AS DOUBLE) * (mx - mn)) / 50 AS mode
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY bin_cnt DESC, bin) AS rk
+      |        FROM hist) q WHERE rk = 1),
+      |pct AS (
+      |  SELECT event_type AS g, quantile_cont(value, 0.16) AS p16,
+      |    quantile_cont(value, 0.50) AS p50, quantile_cont(value, 0.84) AS p84
+      |  FROM events GROUP BY 1)
+      |SELECT md.g AS event_type, round(mode, 9) AS mode, round(p16, 9) AS p16,
+      |  round(p50, 9) AS p50, round(p84, 9) AS p84,
+      |  round(CASE WHEN mode BETWEEN p16 AND p84 THEN mode ELSE p50 END, 9) AS estimate
+      |FROM md JOIN pct ON md.g = pct.g ORDER BY event_type""".stripMargin
+
+  // W4+F9: burn-in (drop first 25% by step order) + thinning (every 10th of
+  // the remainder) — numpy chain[burn::10].
+  def w4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Chain.burnThin(Tables.events(s, dir).select($"event_id", $"value"),
+        0.25, 10, $"event_id")
+      .orderBy($"event_id")
+  }
+  val w4Sql: String =
+    """WITH r AS (
+      |  SELECT event_id, value, ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM events)
+      |SELECT event_id, value FROM r
+      |WHERE rn > CAST(FLOOR(0.25 * n) AS BIGINT)
+      |  AND (rn - CAST(FLOOR(0.25 * n) AS BIGINT)) % 10 = 1
+      |ORDER BY event_id""".stripMargin
+
+  // W3/K4: earliest-fraction split — first 10% of rows vs rest, per type.
+  def w3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Chain.withRank(Tables.events(s, dir), $"event_id")
+      .withColumn("early",
+        when($"rn" <= floor(lit(0.1) * $"n").cast("long"), 1L).otherwise(0L))
+      .groupBy($"event_type")
+      .agg(sum($"early").as("early_cnt"), count(lit(1)).as("total_cnt"))
+      .orderBy($"event_type")
+  }
+  val w3Sql: String =
+    """WITH r AS (
+      |  SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(SUM(CASE WHEN rn <= CAST(FLOOR(0.1 * n) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS early_cnt,
+      |  COUNT(*) AS total_cnt
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // A10: per-group rms/mean error stats (libstempo_warp.py:92-98) — exact
+  // decimal squares so the sums match bit-for-bit.
+  def a10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v2 = (vdec($"value") * vdec($"value")).cast(DecimalType(24, 4))
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        sqrt(sum(v2).cast("double") / count(lit(1))).as("rms"),
+        (sum(vdec($"value")).cast("double") / count(lit(1))).as("mean_err"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+  val a10Sql: String =
+    """SELECT event_type,
+      |  sqrt(CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE) / COUNT(*)) AS rms,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_err,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // A11: inverse-variance weighted mean (results.py:276-284), exact form:
+  // sig = event_id%7+1, weight = L/sig² (integer), mean = Σ(ρw)/Σw,
+  // err = sqrt(L/Σw).
+  def a11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("w", expr(s"$L div ((event_id % 7 + 1) * (event_id % 7 + 1))"))
+      .groupBy($"event_type")
+      .agg(
+        (sum(vdec($"value") * $"w").cast("double") / sum($"w").cast("double")).as("rho_wavg"),
+        sqrt(lit(L.toDouble) / sum($"w").cast("double")).as("sig_wavg"))
+      .orderBy($"event_type")
+  }
+  val a11Sql: String =
+    s"""SELECT event_type,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2)) * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS rho_wavg,
+       |  sqrt(CAST($L AS DOUBLE) / CAST(SUM(w) AS DOUBLE)) AS sig_wavg
+       |FROM (SELECT event_type, value,
+       |        $L // ((event_id % 7 + 1) * (event_id % 7 + 1)) AS w
+       |      FROM events)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // A12/W6: equal-count bins — ntile(8) ordered by value, per-tile stats.
+  def a12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("tile",
+        ntile(8).over(Window.orderBy($"value", $"event_id")).cast("long"))
+      .groupBy($"tile")
+      .agg(
+        (sum(vdec($"value")).cast("double") / count(lit(1))).as("mean_xi"),
+        min($"value").as("min_xi"), max($"value").as("max_xi"),
+        count(lit(1)).as("npairs"))
+      .orderBy($"tile")
+  }
+  val a12Sql: String =
+    """SELECT tile,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_xi,
+      |  min(value) AS min_xi, max(value) AS max_xi, COUNT(*) AS npairs
+      |FROM (SELECT value, NTILE(8) OVER (ORDER BY value, event_id) AS tile FROM events)
+      |GROUP BY tile ORDER BY tile""".stripMargin
+
+  // A13: fixed-width bins (intended bin_crosscorr semantics) with the exact
+  // weighted mean of A11 per bucket.
+  def a13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("w", expr(s"$L div ((event_id % 7 + 1) * (event_id % 7 + 1))"))
+      .withColumn("bin", floor($"value" / 50).cast("long"))
+      .groupBy($"bin")
+      .agg(
+        (sum(vdec($"value") * $"w").cast("double") / sum($"w").cast("double")).as("rho_wavg"),
+        sqrt(lit(L.toDouble) / sum($"w").cast("double")).as("sig_wavg"),
+        count(lit(1)).as("npairs"))
+      .orderBy($"bin")
+  }
+  val a13Sql: String =
+    s"""SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bin,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2)) * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS rho_wavg,
+       |  sqrt(CAST($L AS DOUBLE) / CAST(SUM(w) AS DOUBLE)) AS sig_wavg,
+       |  COUNT(*) AS npairs
+       |FROM (SELECT event_id, value,
+       |        $L // ((event_id % 7 + 1) * (event_id % 7 + 1)) AS w
+       |      FROM events)
+       |GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // A15: noise-marginalised statistic — 100 deterministic posterior draws
+  // (event_id % 100), per-draw weighted mean, averaged over draws
+  // (results.py:819-844 with seeded draw indices).
+  def a15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perDraw = Tables.events(s, dir)
+      .withColumn("w", expr(s"$L div ((event_id % 7 + 1) * (event_id % 7 + 1))"))
+      .withColumn("draw", $"event_id" % 100)
+      .groupBy($"draw")
+      .agg((sum(vdec($"value") * $"w").cast("double") / sum($"w").cast("double"))
+        .as("os_draw"))
+    perDraw.agg(
+      (sum($"os_draw".cast(DecimalType(18, 8))).cast("double") / count(lit(1)))
+        .as("os_marg"),
+      count(lit(1)).as("n_draws"))
+  }
+  val a15Sql: String =
+    s"""WITH d AS (
+       |  SELECT event_id % 100 AS draw,
+       |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS os_draw
+       |  FROM (SELECT event_id, value,
+       |          $L // ((event_id % 7 + 1) * (event_id % 7 + 1)) AS w
+       |        FROM events)
+       |  GROUP BY 1)
+       |SELECT CAST(SUM(CAST(os_draw AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS os_marg,
+       |  COUNT(*) AS n_draws
+       |FROM d""".stripMargin
+
+  // J8+X5: pulsar-pair self-join with Hellings–Downs ORF. "Pulsars" = the 25
+  // nations at angles θ_k = k·π/25; ζ_ab = θ_a − θ_b, x = (1−cos ζ)/2,
+  // hd = 1.5x·ln x − 0.25x + 0.5 (results.py:138-144).
+  def j8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = Tables.nation(s, dir)
+    val a = n.select($"n_nationkey".as("pa"))
+    val b = n.select($"n_nationkey".as("pb"))
+    val pi = lit(math.Pi)
+    a.join(b, $"pa" < $"pb")
+      .withColumn("cosz", cos(($"pa" - $"pb").cast("double") * pi / 25))
+      .withColumn("x", (lit(1.0) - $"cosz") / 2)
+      .select($"pa", $"pb",
+        round(lit(1.5) * $"x" * log($"x") - lit(0.25) * $"x" + lit(0.5), 9).as("hd"))
+      .orderBy($"pa", $"pb")
+  }
+  val j8Sql: String =
+    """SELECT pa, pb, round(1.5 * x * ln(x) - 0.25 * x + 0.5, 9) AS hd
+      |FROM (SELECT a.n_nationkey AS pa, b.n_nationkey AS pb,
+      |        (1.0 - cos(CAST(a.n_nationkey - b.n_nationkey AS DOUBLE) * pi() / 25)) / 2 AS x
+      |      FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey) t
+      |ORDER BY pa, pb""".stripMargin
+
+  // J5/A9: wide→long unpivot of chain columns + per-par aggregation — the
+  // posexplode pivot that replaces the reference's per-column Python loop.
+  def j5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .selectExpr("stack(3, 'l_quantity', l_quantity, 'l_discount', l_discount, 'l_tax', l_tax) as (par, value)")
+      .groupBy($"par")
+      .agg((sum(vdec($"value")).cast("double") / count(lit(1))).as("mean_value"),
+        count(lit(1)).as("n"))
+      .orderBy($"par")
+  }
+  val j5Sql: String =
+    """SELECT par,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_value,
+      |  COUNT(*) AS n
+      |FROM (
+      |  SELECT 'l_quantity' AS par, l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      |GROUP BY par ORDER BY par""".stripMargin
+
+  // A14/E3: distinct backends per group (collect-set cardinality).
+  def a14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+  val a14Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // E1: set intersection — users active in week 1 AND week 4.
+  def e1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val w1 = ev.filter($"ts" < expr("TIMESTAMP '2024-01-08 00:00:00'"))
+      .select($"user_id").distinct()
+    val w4 = ev.filter($"ts" >= expr("TIMESTAMP '2024-01-22 00:00:00'"))
+      .select($"user_id").distinct()
+    w1.intersect(w4).orderBy($"user_id")
+  }
+  val e1Sql: String =
+    """SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+      |INTERSECT
+      |SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+      |ORDER BY user_id""".stripMargin
+
+  // E5: set difference — (type, user) pairs active on day 1 but not day 2.
+  def e5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val d1 = ev.filter($"ts" < expr("TIMESTAMP '2024-01-02 00:00:00'"))
+      .select($"event_type", $"user_id").distinct()
+    val rest = ev.filter($"ts" >= expr("TIMESTAMP '2024-01-02 00:00:00'") &&
+        $"ts" < expr("TIMESTAMP '2024-01-03 00:00:00'"))
+      .select($"event_type", $"user_id").distinct()
+    d1.except(rest).orderBy($"event_type", $"user_id")
+  }
+  val e5Sql: String =
+    """SELECT DISTINCT event_type, user_id FROM events
+      |WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+      |EXCEPT
+      |SELECT DISTINCT event_type, user_id FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-03 00:00:00'
+      |ORDER BY event_type, user_id""".stripMargin
+
+  // F4: flag-map selection — the reference's `flags[f]==v` predicate over a
+  // dynamic key space; props JSON plays the flag map (MapType access in the
+  // TOA schema; JSON here because that's how the events table encodes it).
+  def f4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy(($"k" % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"k_bucket")
+  }
+  val f4Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      |  COUNT(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
+  // F10/F11: regex predicates over text.
+  def f10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"text".rlike("scan [a-z]+ join"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang")
+  }
+  val f10Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs FROM documents
+      |WHERE regexp_matches(text, 'scan [a-z]+ join')
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // W7: argmax row per group (max_by with deterministic tiebreak).
+  def w7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id")
+    Tables.events(s, dir)
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"event_type", $"event_id", $"value")
+      .orderBy($"event_type")
+  }
+  val w7Sql: String =
+    """SELECT event_type, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+      |  FROM events) q WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  // Sessionization: 30-min-gap sessions per user via lag — the batch
+  // equivalent of session_window (streaming layer mirrors this).
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev", lag($"us", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev".isNull || $"us" - $"prev" > 1800000000L, 1L).otherwise(0L))
+      .groupBy($"user_id")
+      .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+  val sessionizeSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // Tumbling 6-hour windows (batch form of the streaming aggregation).
+  def tumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = expr("unix_micros(ts) div 21600000000")
+    Tables.events(s, dir)
+      .withColumn("bucket", bucket)
+      .groupBy($"bucket", $"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(vdec($"value")).cast("double").as("sum_value"))
+      .withColumn("window_start",
+        date_format(timestamp_micros($"bucket" * 21600000000L), "yyyy-MM-dd HH:mm:ss"))
+      .select($"window_start", $"event_type", $"cnt", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+  val tumblingSql: String =
+    """SELECT strftime(make_timestamp(bucket * 21600000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM (SELECT epoch_us(ts) // 21600000000 AS bucket, event_type, value FROM events)
+      |GROUP BY bucket, event_type ORDER BY window_start, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a4_model_counts" -> a4,
+    "a5_log_bayes_factors" -> a5,
+    "a8_posterior_summary" -> a8,
+    "w4_burnin_thinning" -> w4,
+    "w3_earliest_split" -> w3,
+    "a10_rms_stats" -> a10,
+    "a11_weighted_mean" -> a11,
+    "a12_equal_count_bins" -> a12,
+    "a13_fixed_width_bins" -> a13,
+    "a15_marginalised_stat" -> a15,
+    "j8_hd_pair_correlation" -> j8,
+    "j5_unpivot_long" -> j5,
+    "a14_distinct_backends" -> a14,
+    "e1_intersect_users" -> e1,
+    "e5_except_pairs" -> e5,
+    "f4_flag_selection" -> f4,
+    "f10_regex_filter" -> f10,
+    "w7_argmax_per_group" -> w7,
+    "w_sessionize" -> sessionize,
+    "st_tumbling_window" -> tumbling,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a4_model_counts" -> a4Sql,
+    "a5_log_bayes_factors" -> a5Sql,
+    "a8_posterior_summary" -> a8Sql,
+    "w4_burnin_thinning" -> w4Sql,
+    "w3_earliest_split" -> w3Sql,
+    "a10_rms_stats" -> a10Sql,
+    "a11_weighted_mean" -> a11Sql,
+    "a12_equal_count_bins" -> a12Sql,
+    "a13_fixed_width_bins" -> a13Sql,
+    "a15_marginalised_stat" -> a15Sql,
+    "j8_hd_pair_correlation" -> j8Sql,
+    "j5_unpivot_long" -> j5Sql,
+    "a14_distinct_backends" -> a14Sql,
+    "e1_intersect_users" -> e1Sql,
+    "e5_except_pairs" -> e5Sql,
+    "f4_flag_selection" -> f4Sql,
+    "f10_regex_filter" -> f10Sql,
+    "w7_argmax_per_group" -> w7Sql,
+    "w_sessionize" -> sessionizeSql,
+    "st_tumbling_window" -> tumblingSql,
+  )
+}
