@@ -12,6 +12,7 @@ object SparkEntry {
   private val modules: Seq[graft.core.QueryModule] = Seq(
     graft.relational.Tpch,
     graft.analytics.AnalyticsQueries,
+    graft.llm.LlmQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,358 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.text.TextOps
+import graft.similarity.VectorOps
+
+/** Training-data-pipeline operators: deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding cosine), similarity search (brute
+  * force + sign-LSH bucketed), and text analysis (language-ID heuristic,
+  * quality scoring, token stats, fingerprinting) — each oracle-checked.
+  *
+  * Scale design: every pipeline is candidate-generation → bucket-join, never
+  * an O(n²) cross join. MinHash pairs come from band-key equijoins; cosine
+  * near-dup pairs are restricted to a coarse partition (label = the IVF
+  * cell); the global token dictionary is the oracle-exact small-vocab route,
+  * with `TextOps.hashTokenId` as the shuffle-free 100 TB route.
+  */
+object LlmQueries extends graft.core.QueryModule {
+
+  private val P = TextOps.MinhashPrime
+  private val Stops =
+    Seq("the", "data", "query", "table", "scan", "join", "group", "order", "filter", "row")
+  private def stopsSqlList = Stops.map(s => s"'$s'").mkString(", ")
+
+  /** Shared DuckDB CTE prefix: positioned tokens + dictionary. */
+  private val duckTokCtes =
+    """WITH dt AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |pt AS (
+      |  SELECT doc_id, lang, s.pos AS pos, s.tok AS tok
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(list_transform(toks, (x, i) -> struct_pack(pos := i, tok := x))) AS s
+      |        FROM dt) t),
+      |dict AS (
+      |  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS BIGINT) AS tid
+      |  FROM (SELECT DISTINCT tok FROM pt) u),
+      |ids AS (
+      |  SELECT p.doc_id, p.pos, d.tid FROM pt p JOIN dict d ON p.tok = d.tok)""".stripMargin
+
+  private def docTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextOps.docTokens(docs, col("doc_id"), col("text"))
+  }
+
+  private def docTids(s: SparkSession, dir: String): DataFrame = {
+    val pt = docTokens(s, dir)
+    pt.join(TextOps.tokenDict(pt), "tok").select(col("doc_id"), col("pos"), col("tid"))
+  }
+
+  // D1: exact dedup — canonical-keeper per duplicate group (md5 of text as
+  // the group key; hash-groupBy is the 100 TB route) + corpus-level stats.
+  def d1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(md5($"text")).as("n_unique"),
+        min($"doc_id").as("keep_id"))
+      .orderBy($"lang", $"source")
+  }
+  val d1Sql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
+      |  min(doc_id) AS keep_id
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // D2: MinHash + LSH near-dup candidates — 8 minhashes, 4 bands × 2 rows,
+  // candidates from band-key equijoin (not O(n²)), similarity = matched
+  // signature fraction.
+  def d2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = TextOps.minhashSignatures(docTids(s, dir))
+    val bands = TextOps.lshBands(sig)
+    val cand = bands.select($"doc_id".as("da"), $"band")
+      .join(bands.select($"doc_id".as("db"), $"band"), Seq("band"))
+      .filter($"da" < $"db").select($"da", $"db").distinct()
+    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "da" else c + "a"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "db" else c + "b"): _*)
+    val matches = (0 until 8).map(i =>
+      when(col(s"mh${i}a") === col(s"mh${i}b"), 1L).otherwise(0L)).reduce(_ + _)
+    cand.join(sa, "da").join(sb, "db")
+      .withColumn("mh_matches", matches)
+      .select($"da", $"db", $"mh_matches",
+        ($"mh_matches".cast("double") / 8.0).as("mh_sim"))
+      .orderBy($"da", $"db")
+  }
+  val d2Sql: String = {
+    val sigCols = TextOps.MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a*tid+$b) % $P) AS mh$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { i =>
+      s"SELECT doc_id, '$i:' || mh${2 * i} || '_' || mh${2 * i + 1} AS band FROM sig"
+    }.mkString(" UNION ALL ")
+    val matches = (0 until 8).map(i =>
+      s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$duckTokCtes,
+       |sig AS (SELECT doc_id, $sigCols FROM ids GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT da, db, CAST($matches AS BIGINT) AS mh_matches,
+       |  CAST($matches AS DOUBLE) / 8.0 AS mh_sim
+       |FROM cand JOIN sig sa ON cand.da = sa.doc_id JOIN sig sb ON cand.db = sb.doc_id
+       |ORDER BY da, db""".stripMargin
+  }
+
+  // D3: 16-bit SimHash per document over the distinct-token set.
+  def d3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.simhash(docTids(s, dir)).orderBy($"doc_id")
+  }
+  val d3Sql: String = {
+    val sums = (0 until 16).map(j =>
+      s"CAST(SUM((((tid*2654435761) >> $j) & 1)*2-1) AS BIGINT) AS s$j").mkString(", ")
+    val hash = (0 until 16).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""$duckTokCtes,
+       |dids AS (SELECT DISTINCT doc_id, tid FROM ids),
+       |sums AS (SELECT doc_id, $sums FROM dids GROUP BY doc_id)
+       |SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  // D4: token-3-gram Jaccard near-dup pairs within the same language
+  // (shingle equijoin generates candidates; |A∩B|/|A∪B| over distinct sets).
+  def d4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+    val sh = docs.select($"doc_id", $"lang",
+      explode(TextOps.shingles3($"toks")).as("sh")).distinct()
+    val n = sh.groupBy($"doc_id".as("nid")).agg(count(lit(1)).as("ns"))
+    val c = sh.select($"doc_id".as("da"), $"lang", $"sh")
+      .join(sh.select($"doc_id".as("db"), $"lang", $"sh"), Seq("lang", "sh"))
+      .filter($"da" < $"db")
+      .groupBy($"da", $"db").agg(count(lit(1)).as("c"))
+    c.join(n.withColumnRenamed("nid", "da").withColumnRenamed("ns", "na"), "da")
+      .join(n.withColumnRenamed("nid", "db").withColumnRenamed("ns", "nb"), "db")
+      .withColumn("jacc", $"c".cast("double") / ($"na" + $"nb" - $"c").cast("double"))
+      .filter($"c" >= 3 && $"jacc" >= 0.2)
+      .select($"da", $"db", $"jacc")
+      .orderBy($"da", $"db")
+  }
+  val d4Sql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |pt AS (
+      |  SELECT doc_id, lang, s.pos AS pos, s.tok AS tok
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(list_transform(toks, (x, i) -> struct_pack(pos := i, tok := x))) AS s
+      |        FROM dt) t),
+      |sh AS (SELECT DISTINCT doc_id, lang, sh FROM (
+      |         SELECT doc_id, lang,
+      |           tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w AS sh,
+      |           lead(tok, 2) OVER w AS t2
+      |         FROM pt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) q
+      |       WHERE t2 IS NOT NULL),
+      |n AS (SELECT doc_id AS nid, COUNT(*) AS ns FROM sh GROUP BY 1),
+      |c AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT da, db, CAST(c AS DOUBLE) / CAST(na.ns + nb.ns - c AS DOUBLE) AS jacc
+      |FROM c JOIN n na ON c.da = na.nid JOIN n nb ON c.db = nb.nid
+      |WHERE c >= 3 AND CAST(c AS DOUBLE) / CAST(na.ns + nb.ns - c AS DOUBLE) >= 0.2
+      |ORDER BY da, db""".stripMargin
+
+  // D5: embedding-cosine near-dup pairs within a coarse partition (label =
+  // IVF cell) — unrolled dot products for cross-engine bit-exactness.
+  def d5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val a = e.select($"vec_id".as("va"), $"label".as("la"), $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("vb"), $"label".as("lb"), $"embedding".as("eb"))
+    a.join(b, $"la" === $"lb" && $"va" < $"vb")
+      .withColumn("cos", expr(VectorOps.cosineSqlSpark("ea", "eb", 64)))
+      .filter($"cos" > 0.4)
+      .select($"va", $"vb", $"cos")
+      .orderBy($"va", $"vb")
+  }
+  val d5Sql: String =
+    s"""SELECT va, vb, cos FROM (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    ${VectorOps.cosineSqlDuck("a.embedding", "b.embedding", 64)} AS cos
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id) t
+       |WHERE cos > 0.4 ORDER BY va, vb""".stripMargin
+
+  // S1: brute-force cosine top-k against the vec_id=0 query vector.
+  def s1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    e.crossJoin(broadcast(q))
+      .withColumn("cos", expr(VectorOps.cosineSqlSpark("embedding", "qe", 64)))
+      .select($"vec_id", $"cos")
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+  val s1Sql: String =
+    s"""SELECT vec_id, cos FROM (
+       |  SELECT a.vec_id, ${VectorOps.cosineSqlDuck("a.embedding", "q.qe", 64)} AS cos
+       |  FROM embeddings a, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q) t
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  // S2: sign-LSH bucketed ANN — 8-bit hyperplane bucket, search only the
+  // query's bucket (the scale path: bucket equijoin instead of full scan).
+  def s2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bk", expr(VectorOps.bucketSqlSpark("embedding", 8)))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), $"bk".as("qbk"))
+    e.join(broadcast(q), $"bk" === $"qbk")
+      .withColumn("cos", expr(VectorOps.cosineSqlSpark("embedding", "qe", 64)))
+      .select($"vec_id", $"cos")
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(5)
+  }
+  val s2Sql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${VectorOps.bucketSqlDuck("embedding", 8)} AS bk
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qe, bk AS qbk FROM b WHERE vec_id = 0)
+       |SELECT vec_id, cos FROM (
+       |  SELECT a.vec_id, ${VectorOps.cosineSqlDuck("a.embedding", "q.qe", 64)} AS cos
+       |  FROM b a, q WHERE a.bk = q.qbk) t
+       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+
+  // T1: language-ID n-gram/stopword heuristic.
+  def t1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docTokens(s, dir)
+      .groupBy($"doc_id")
+      .agg(sum(when($"tok".isin(Stops: _*), 1L).otherwise(0L)).as("ne"),
+        count(lit(1)).as("nt"))
+      .withColumn("en_score", $"ne".cast("double") / $"nt".cast("double"))
+      .withColumn("pred_lang", when($"en_score" >= 0.2, "en").otherwise("other"))
+      .filter($"doc_id" < 200)
+      .select($"doc_id", $"en_score", $"pred_lang")
+      .orderBy($"doc_id")
+  }
+  val t1Sql: String =
+    s"""$duckTokCtes
+       |SELECT doc_id, CAST(ne AS DOUBLE) / CAST(nt AS DOUBLE) AS en_score,
+       |  CASE WHEN CAST(ne AS DOUBLE) / CAST(nt AS DOUBLE) >= 0.2 THEN 'en' ELSE 'other' END AS pred_lang
+       |FROM (SELECT doc_id,
+       |        CAST(SUM(CASE WHEN tok IN ($stopsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+       |        COUNT(*) AS nt
+       |      FROM pt GROUP BY 1) q
+       |WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
+  // T2: quality scoring — type-token ratio, mean token length, stopword
+  // ratio, composite score.
+  def t2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docTokens(s, dir)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"tok").as("n_distinct"),
+        sum(length($"tok").cast("long")).as("chars"),
+        sum(when($"tok".isin(Stops: _*), 1L).otherwise(0L)).as("ns"))
+      .withColumn("ttr", $"n_distinct".cast("double") / $"n_tokens".cast("double"))
+      .withColumn("mean_tok_len", $"chars".cast("double") / $"n_tokens".cast("double"))
+      .withColumn("quality",
+        lit(0.5) * ($"n_distinct".cast("double") / $"n_tokens".cast("double")) +
+          lit(0.5) * ($"ns".cast("double") / $"n_tokens".cast("double")))
+      .filter($"doc_id" < 200)
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"ttr", $"mean_tok_len", $"quality")
+      .orderBy($"doc_id")
+  }
+  val t2Sql: String =
+    s"""$duckTokCtes
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       |  CAST(chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+       |  0.5 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+       |    0.5 * (CAST(ns AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality
+       |FROM (SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct,
+       |        CAST(SUM(length(tok)) AS BIGINT) AS chars,
+       |        CAST(SUM(CASE WHEN tok IN ($stopsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS ns
+       |      FROM pt GROUP BY 1) q
+       |WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
+  // T3: corpus token statistics.
+  def t3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docTokens(s, dir).agg(
+      count(lit(1)).as("total_tokens"),
+      countDistinct($"tok").as("vocab"),
+      (count(lit(1)).cast("double") / countDistinct($"doc_id").cast("double"))
+        .as("avg_tokens_per_doc"))
+  }
+  val t3Sql: String =
+    s"""$duckTokCtes
+       |SELECT COUNT(*) AS total_tokens, COUNT(DISTINCT tok) AS vocab,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avg_tokens_per_doc
+       |FROM pt""".stripMargin
+
+  // T4: positional polynomial fingerprint per document.
+  def t4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.fingerprint(docTids(s, dir)).orderBy($"doc_id")
+  }
+  val t4Sql: String =
+    s"""$duckTokCtes
+       |SELECT doc_id, CAST(SUM((tid+7)*pos*pos) AS BIGINT) % $P AS fp
+       |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // M1: multimodal binary-column metadata — opaque bytes + typed metadata;
+  // the decode stage itself is stubbed (see graft.multimodal), the Spark
+  // plumbing (binary cast, sizes, chunking) is real.
+  def m1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("blob", $"text".cast("binary"))
+      .withColumn("n_bytes", expr("octet_length(blob)").cast("long"))
+      .withColumn("n_chunks", ceil($"n_bytes".cast("double") / 1000.0).cast("long"))
+      .filter($"doc_id" < 300)
+      .select($"doc_id", $"n_bytes", $"n_chunks")
+      .orderBy($"doc_id")
+  }
+  val m1Sql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(ceil(CAST(octet_length(encode(text)) AS BIGINT) / 1000.0) AS BIGINT) AS n_chunks
+      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> d1,
+    "d2_minhash_lsh" -> d2,
+    "d3_simhash" -> d3,
+    "d4_ngram_jaccard" -> d4,
+    "d5_embedding_neardup" -> d5,
+    "s1_ann_brute_topk" -> s1,
+    "s2_ann_lsh_topk" -> s2,
+    "t1_langid" -> t1,
+    "t2_quality_score" -> t2,
+    "t3_token_stats" -> t3,
+    "t4_fingerprint" -> t4,
+    "m1_binary_meta" -> m1,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Sql,
+    "d2_minhash_lsh" -> d2Sql,
+    "d3_simhash" -> d3Sql,
+    "d4_ngram_jaccard" -> d4Sql,
+    "d5_embedding_neardup" -> d5Sql,
+    "s1_ann_brute_topk" -> s1Sql,
+    "s2_ann_lsh_topk" -> s2Sql,
+    "t1_langid" -> t1Sql,
+    "t2_quality_score" -> t2Sql,
+    "t3_token_stats" -> t3Sql,
+    "t4_fingerprint" -> t4Sql,
+    "m1_binary_meta" -> m1Sql,
+  )
+}

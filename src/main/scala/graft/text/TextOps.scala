@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for large-scale training-data curation:
+  * tokenization, token dictionaries, MinHash signatures, SimHash, shingles,
+  * quality metrics, fingerprints.
+  *
+  * Two token-id routes:
+  *  - [[tokenDict]]: dense ids by global sorted `row_number` — exactly
+  *    reproducible cross-engine (used by the oracle-checked queries). The
+  *    global window is a deliberate small-vocab choice.
+  *  - [[hashTokenId]]: `xxhash64` — the 100 TB route, no global state, no
+  *    shuffle for the dictionary; identical pipeline shape downstream.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (mirrors `string_split` + filter). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** (doc_id, pos, tok) exploded token stream; pos is 1-based. */
+  def docTokens(docs: DataFrame, docId: Column, text: Column): DataFrame =
+    docs.select(docId.as("doc_id"), posexplode(tokens(text)).as(Seq("pos0", "tok")))
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+
+  /** Global token dictionary (tok, tid), tid = 1-based rank in sorted order. */
+  def tokenDict(toks: DataFrame): DataFrame =
+    toks.select(col("tok")).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy(col("tok"))).cast("long"))
+
+  /** Scale-path token id: stable 64-bit hash, no global ordering needed. */
+  def hashTokenId(tok: Column): Column = xxhash64(tok)
+
+  val MinhashPrime = 1000003L
+  /** (a, b) parameters of the 8 universal hash functions h_i(t) = (a·t+b) mod P. */
+  val MinhashParams: Seq[(Long, Long)] =
+    Seq((7L, 3L), (11L, 5L), (13L, 7L), (17L, 11L), (19L, 13L), (23L, 17L), (29L, 19L), (31L, 23L))
+
+  /** MinHash signature columns mh0..mh7 for a (doc_id, tid) stream. */
+  def minhashSignatures(docTids: DataFrame): DataFrame = {
+    val aggs = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("tid") + lit(b)) % MinhashPrime).as(s"mh$i")
+    }
+    docTids.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys: 4 bands × 2 rows over the 8-minhash signature.
+    * Returns (doc_id, band) with band = "i:mh_{2i}_mh_{2i+1}". */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map { i =>
+      concat_ws(":", lit(i), concat_ws("_", col(s"mh${2 * i}"), col(s"mh${2 * i + 1}")))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+  }
+
+  /** 16-bit SimHash from token ids: bit j set iff
+    * Σ_tokens (((tid·2654435761) >> j) & 1)·2−1 > 0. Works on the distinct
+    * token set (set semantics, like minhash). */
+  def simhash(docTids: DataFrame, bits: Int = 16): DataFrame = {
+    val x = col("tid") * lit(2654435761L)
+    val sums = (0 until bits).map { j =>
+      sum(shiftright(x, j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j")
+    }
+    val agg = docTids.select(col("doc_id"), col("tid")).distinct()
+      .groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val hash = (0 until bits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), hash.as("simhash"))
+  }
+
+  /** Token 3-gram shingles as an array column (docs with <3 tokens excluded
+    * by the caller). 1-based `element_at`. */
+  def shingles3(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 2), i =>
+      concat_ws("_", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+
+  /** Positional polynomial fingerprint: Σ (tid+7)·pos² mod P — an
+    * order-sensitive document fingerprint (rolling-hash family). */
+  def fingerprint(docTids: DataFrame): DataFrame =
+    docTids.groupBy(col("doc_id"))
+      .agg((sum((col("tid") + 7) * col("pos") * col("pos")) % MinhashPrime).as("fp"))
+}
