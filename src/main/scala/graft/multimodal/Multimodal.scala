@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
+  * with typed metadata; decode/feature-extraction runs per partition in
+  * batches (the Scala analogue of `mapInPandas` batch processing).
+  *
+  * The codec itself is STUBBED (no media libraries in this environment):
+  * [[StubDecoder]] produces deterministic features from raw bytes. The
+  * Spark-side contract — schema, batch iteration, partition-local decoder
+  * reuse, feature array shape — is real and tested.
+  */
+object Multimodal {
+
+  /** (media_id, kind, content BINARY, meta MAP) — the storage schema.
+    * Binary stays opaque through shuffles; metadata is columnar. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType), // image | audio | video
+    StructField("content", BinaryType),
+    StructField("meta", MapType(StringType, StringType))))
+
+  /** Decoder contract: bytes → fixed-dim feature vector. Implementations
+    * are constructed once per partition (expensive codec init amortized
+    * over the partition, never serialized per row). */
+  trait Decoder extends Serializable {
+    def dim: Int
+    def decode(kind: String, bytes: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic fake decode: byte-windowed means — stands in for the
+    * real image/audio codec (marked stub; swap for a JNI/codec-backed
+    * implementation on a real cluster). */
+  class StubDecoder(val dim: Int = 16) extends Decoder {
+    def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (bytes.nonEmpty) {
+        val stride = math.max(1, bytes.length / dim)
+        var i = 0
+        while (i < dim) {
+          var s = 0
+          var j = i * stride
+          val end = math.min(bytes.length, j + stride)
+          while (j < end) { s += bytes(j) & 0xff; j += 1 }
+          out(i) = s.toFloat / math.max(1, end - i * stride)
+          i += 1
+        }
+      }
+      out
+    }
+  }
+
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte],
+      meta: Map[String, String])
+  case class FeatureRow(media_id: Long, kind: String, features: Array[Float])
+
+  /** Feature extraction: batched per-partition decode. One decoder per
+    * partition; rows stream through without materializing the partition. */
+  def extractFeatures(media: DataFrame, mkDecoder: () => Decoder): Dataset[FeatureRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      val dec = mkDecoder()
+      it.map(r => FeatureRow(r.media_id, r.kind, dec.decode(r.kind, r.content)))
+    }
+  }
+
+  /** Frame/chunk sampling: split the binary payload into fixed-size chunks
+    * and keep every k-th — pure column expressions (substr on binary). */
+  def sampleChunks(media: DataFrame, chunkBytes: Int, everyK: Int): DataFrame =
+    media
+      .withColumn("n_chunks",
+        ceil(octet_length(col("content")).cast("double") / chunkBytes).cast("int"))
+      .withColumn("chunk_idx",
+        explode(filter(sequence(lit(0), greatest(col("n_chunks") - 1, lit(0))),
+          i => i % everyK === 0)))
+      .withColumn("chunk",
+        expr(s"substring(content, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
+      .select(col("media_id"), col("kind"), col("chunk_idx"), col("chunk"))
+
+  /** Wrap text rows into the media schema (test/fixture helper). */
+  def textAsMedia(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).cast("long").as("media_id"), lit("text").as("kind"),
+      col(text).cast("binary").as("content"),
+      map(lit("n_chars"), length(col(text)).cast("string")).as("meta"))
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming layer over the `events` table shape (SURVEY §2.10:
+  * the reference is batch-only — separated-chain append is its one
+  * incremental pattern; this extension layer adds watermarked windows,
+  * session windows, and bounded-state dedup for the streaming north star).
+  *
+  * Batch/stream parity: each transform takes a DataFrame, so the SAME
+  * function runs in a batch job (Tables.events) or on `readStream` — that
+  * parity is what the streaming specs assert.
+  */
+object EventsStream {
+
+  /** Raw parquet schema of the events table (ts = INT64 nanos; see
+    * Tables.events for the nanosAsLong contract). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def fromDirectory(spark: SparkSession, dir: String): DataFrame =
+    normalize(spark.readStream.schema(rawSchema).parquet(dir))
+
+  /** ns-long → proper µs timestamp (same conversion as Tables.events). */
+  def normalize(raw: DataFrame): DataFrame =
+    raw.withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window counts/sums with a watermark: state is bounded by
+    * (watermark / slide) windows per key. */
+  def tumblingCounts(events: DataFrame, window_ : String = "6 hours",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Sliding windows (1h window / 15m slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** Session windows per user with a 30-minute gap — the built-in
+    * session_window stateful op (flatMapGroupsWithState only if semantics
+    * outgrow it; SURVEY §7.4.6). */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Watermark-bounded exact dedup on event_id — state expires with the
+    * watermark instead of growing forever. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.udaf
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Test => SCTest}
+
+class AggregatorsSpec extends SparkTestBase {
+
+  test("WeightedMean matches the analytic inverse-variance formula") {
+    import spark.implicits._
+    val data = Seq((1.0, 0.5), (2.0, 1.0), (3.0, 2.0))
+    val ds = data.toDF("rho", "sig")
+    val res = ds.select(udaf(Aggregators.WeightedMean)
+      .apply($"rho", $"sig")).head().getStruct(0)
+    val (mean, err) = (res.getDouble(0), res.getDouble(1))
+    val ws = data.map { case (_, s) => 1.0 / (s * s) }
+    val expMean = data.zip(ws).map { case ((r, _), w) => r * w }.sum / ws.sum
+    val expErr = math.sqrt(1.0 / ws.sum)
+    assert(math.abs(mean - expMean) < 1e-12)
+    assert(math.abs(err - expErr) < 1e-12)
+  }
+
+  test("WeightedMean merge is associative and commutative (partial agg safe)") {
+    val gen = Gen.listOfN(3, Gen.zip(Gen.choose(-100.0, 100.0), Gen.choose(0.1, 10.0)))
+    val prop = forAll(gen, gen, gen) { (xs, ys, zs) =>
+      def buf(l: List[(Double, Double)]) =
+        l.foldLeft(Aggregators.WeightedMean.zero)(Aggregators.WeightedMean.reduce)
+      val m = Aggregators.WeightedMean.merge _
+      val (a, b, c) = (buf(xs), buf(ys), buf(zs))
+      val left = m(m(a, b), c)
+      val right = m(a, m(b, c))
+      val swap = m(b, a)
+      def close(x: (Double, Double), y: (Double, Double)) =
+        math.abs(x._1 - y._1) < 1e-9 && math.abs(x._2 - y._2) < 1e-9
+      close(left, right) && close(m(a, b), swap)
+    }
+    val r = SCTest.check(prop)(_.withMinSuccessfulTests(50))
+    assert(r.passed, r.status.toString)
+  }
+
+  test("HistMode finds the argmax bin left edge, lowest-bin ties") {
+    import spark.implicits._
+    // 10 bins over [0, 10): values cluster in bin 3
+    val vals = Seq(0.5, 3.1, 3.2, 3.9, 7.5, 7.6, 3.5).toDS()
+    val agg = udaf(new Aggregators.HistMode(10, 0.0, 10.0))
+    val mode = vals.select(agg(vals("value"))).head().getDouble(0)
+    assert(mode === 3.0)
+  }
+
+  test("HistMode clamps the top edge into the last bin") {
+    import spark.implicits._
+    val vals = Seq(10.0, 10.0, 1.0).toDS()
+    val agg = udaf(new Aggregators.HistMode(10, 0.0, 10.0))
+    assert(vals.select(agg(vals("value"))).head().getDouble(0) === 9.0)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+class EventsStreamSpec extends SparkTestBase {
+
+  private lazy val srcDir: String = {
+    val d = tmpDir("events-stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d.toString
+  }
+
+  test("streaming tumbling counts equal the batch computation (parity)") {
+    val stream = EventsStream.fromDirectory(spark, srcDir)
+    val q = EventsStream.tumblingCounts(stream).writeStream
+      .format("memory").queryName("tumbling_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out")
+      val batch = EventsStream.tumblingCounts(Tables.events(spark, "/root/testdata/sf0.001"))
+      val g = got.agg(sum("cnt")).head().getLong(0)
+      val b = batch.agg(sum("cnt")).head().getLong(0)
+      assert(g === b)
+      assert(got.count() === batch.count())
+    } finally q.stop()
+  }
+
+  test("session windows produce bounded per-user sessions") {
+    val stream = EventsStream.fromDirectory(spark, srcDir)
+    val q = EventsStream.userSessions(stream).writeStream
+      .format("memory").queryName("sessions_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+      assert(got.count() > 0)
+      // every session respects start <= end and has events
+      assert(got.filter(col("session_start") > col("session_end")).count() === 0)
+      assert(got.agg(min("n_events")).head().getLong(0) >= 1)
+      // batch parity: total events across sessions = table rows
+      val total = got.agg(sum("n_events")).head().getLong(0)
+      assert(total === Tables.events(spark, "/root/testdata/sf0.001").count())
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-window duplicate event_ids") {
+    // duplicate the file → every event_id appears twice
+    val d = tmpDir("events-dup")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventsStream.fromDirectory(spark, d.toString)
+    val q = EventsStream.dedupWithinWatermark(stream)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("dedup_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").head().getLong(0)
+      val distinct = Tables.events(spark, "/root/testdata/sf0.001").count()
+      assert(n === distinct)
+    } finally q.stop()
+  }
+}
