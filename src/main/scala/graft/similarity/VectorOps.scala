@@ -49,6 +49,13 @@ object VectorOps {
   def cosineSqlDuck(a: String, b: String, dim: Int): String =
     s"(${dotSqlDuck(a, b, dim)}) / (sqrt(${dotSqlDuck(a, a, dim)}) * sqrt(${dotSqlDuck(b, b, dim)}))"
 
+  /** Cosine with PRE-COMPUTED squared norms (columns na2/nb2): same
+    * arithmetic tree as cosineSql*, but the per-row norm is computed once
+    * per vector in the projection instead of once per PAIR — the O(n²)
+    * stage only evaluates the cross dot product. */
+  def cosineWithNormsSqlSpark(a: String, b: String, na2: String, nb2: String, dim: Int): String =
+    s"(${dotSqlSpark(a, b, dim)}) / (sqrt($na2) * sqrt($nb2))"
+
   /** Sign-bucket SQL, mirrored for both dialects. */
   def bucketSqlSpark(a: String, bits: Int): String =
     (0 until bits).map(j =>
