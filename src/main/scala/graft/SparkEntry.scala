@@ -13,6 +13,7 @@ object SparkEntry {
     graft.relational.Tpch,
     graft.analytics.AnalyticsQueries,
     graft.llm.LlmQueries,
+    graft.relational.Extras,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
