@@ -81,14 +81,78 @@ object Extras extends graft.core.QueryModule {
       |SELECT -1 AS user_id, max(tmax) - min(tmin) AS span_us FROM per
       |ORDER BY user_id""".stripMargin
 
+  // Q8 (adapted): a nation's market share of ASIA-customer revenue by year.
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = graft.core.Oracle.revenueTerm($"l_extendedprice", $"l_discount")
+    val zero = lit(0).cast(DecimalType(18, 4))
+    val asiaCust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey")
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(asiaCust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg((sum(when($"supp_nation" === "NATION_3", rev).otherwise(zero)).cast("double") /
+        sum(rev).cast("double")).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+  val q8Sql: String = {
+    val rev = graft.core.Oracle.sqlRevenueTerm("l_extendedprice", "l_discount")
+    s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN $rev
+       |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+       |  CAST(SUM($rev) AS DOUBLE) AS mkt_share
+       |FROM lineitem
+       | JOIN orders ON l_orderkey = o_orderkey
+       | JOIN customer ON o_custkey = c_custkey
+       | JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       | JOIN region ON n1.n_regionkey = r_regionkey
+       | JOIN supplier ON l_suppkey = s_suppkey
+       | JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY 1 ORDER BY o_year""".stripMargin
+  }
+
+  // Q13: customer order-count distribution — left outer join keeps
+  // zero-order customers; COUNT(col) skips the nulls.
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir).filter($"o_orderpriority" =!= "1-URGENT")
+    val perCust = Tables.customer(s, dir)
+      .join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+  val q13Sql: String =
+    """WITH c_orders AS (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist FROM c_orders
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w5_rolling_avg" -> w5,
     "g1_rollup" -> g1,
     "a2_global_tspan" -> a2,
+    "q8_market_share" -> q8,
+    "q13_cust_distribution" -> q13,
   )
   val oracles: Map[String, String] = Map(
     "w5_rolling_avg" -> w5Sql,
     "g1_rollup" -> g1Sql,
     "a2_global_tspan" -> a2Sql,
+    "q8_market_share" -> q8Sql,
+    "q13_cust_distribution" -> q13Sql,
   )
 }
