@@ -204,13 +204,13 @@ object LlmQueries extends graft.core.QueryModule {
   def d5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-      .withColumn("n2", VectorOps.dot($"embedding", $"embedding"))
+      .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
     val a = e.select($"vec_id".as("va"), $"label".as("la"),
       $"embedding".as("ea"), $"n2".as("na2"))
     val b = e.select($"vec_id".as("vb"), $"label".as("lb"),
       $"embedding".as("eb"), $"n2".as("nb2"))
     a.join(b, $"la" === $"lb" && $"va" < $"vb")
-      .withColumn("cos", VectorOps.dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+      .withColumn("cos", VectorOps.dotNative($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
       .filter($"cos" > 0.4)
       .select($"va", $"vb", $"cos")
       .orderBy($"va", $"vb")
@@ -227,10 +227,10 @@ object LlmQueries extends graft.core.QueryModule {
   def s1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-      .withColumn("n2", VectorOps.dot($"embedding", $"embedding"))
+      .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"), $"n2".as("qn2"))
     e.crossJoin(broadcast(q))
-      .withColumn("cos", VectorOps.dot($"embedding", $"qe") / (sqrt($"n2") * sqrt($"qn2")))
+      .withColumn("cos", VectorOps.dotNative($"embedding", $"qe") / (sqrt($"n2") * sqrt($"qn2")))
       .select($"vec_id", $"cos")
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
@@ -247,11 +247,11 @@ object LlmQueries extends graft.core.QueryModule {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .withColumn("bk", expr(VectorOps.bucketSqlSpark("embedding", 8)))
-      .withColumn("n2", VectorOps.dot($"embedding", $"embedding"))
+      .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
     val q = e.filter($"vec_id" === 0)
       .select($"embedding".as("qe"), $"bk".as("qbk"), $"n2".as("qn2"))
     e.join(broadcast(q), $"bk" === $"qbk")
-      .withColumn("cos", VectorOps.dot($"embedding", $"qe") / (sqrt($"n2") * sqrt($"qn2")))
+      .withColumn("cos", VectorOps.dotNative($"embedding", $"qe") / (sqrt($"n2") * sqrt($"qn2")))
       .select($"vec_id", $"cos")
       .orderBy($"cos".desc, $"vec_id")
       .limit(5)

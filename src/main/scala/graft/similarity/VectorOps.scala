@@ -21,6 +21,16 @@ object VectorOps {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Native Catalyst-Expression dot product for ARRAY<FLOAT> columns —
+    * same left-fold summation tree as [[dot]] (bit-identical results), but
+    * a codegen'd primitive loop instead of per-element lambda dispatch.
+    * See graft.functions.DotFloatVectors. */
+  def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.DotFloatVectors(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
