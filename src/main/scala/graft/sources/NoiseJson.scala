@@ -106,6 +106,14 @@ object NoiseJson {
       .select(col("param"), col("value"))
   }
 
+  /** J3: pin sampled parameters to constants from the noise files —
+    * broadcast join on param name (enterprise_warp.py:544-548); params
+    * with a noise-file value become constants, the rest stay sampled. */
+  def constantsJoin(params: DataFrame, noise: DataFrame): DataFrame =
+    params.join(broadcast(noise.withColumnRenamed("value", "const_value")),
+      Seq("param"), "left")
+      .withColumn("is_const", col("const_value").isNotNull)
+
   /** F13-lite: classify noise params by name → (psr, backend, kind)
     * (libstempo_warp.py:100-196 substring cascade). */
   def classifyParams(noise: DataFrame): DataFrame =

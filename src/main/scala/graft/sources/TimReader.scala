@@ -64,6 +64,11 @@ object TimReader {
   def filterPsrs(toas: DataFrame, psrlist: Seq[String]): DataFrame =
     if (psrlist.isEmpty) toas else toas.filter(col("psr").isin(psrlist: _*))
 
+  /** F3: drop pulsar by positional index in the sorted pairing
+    * (`--drop`/`--num`, enterprise_warp.py:412-416). */
+  def dropByIndex(pairs: Seq[(String, String)], drop: Int): Seq[(String, String)] =
+    pairs.zipWithIndex.filterNot(_._2 == drop).map(_._1)
+
   /** F4: backend/flag selection as a parameterized Column — replaces the
     * reference's CPython code-object fabrication (enterprise_models.py:616-683,
     * SURVEY U4: the single biggest "don't port the HOW"). */
