@@ -428,7 +428,31 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |FROM (SELECT epoch_us(ts) // 21600000000 AS bucket, event_type, value FROM events)
       |GROUP BY bucket, event_type ORDER BY window_start, event_type""".stripMargin
 
+  // Sliding 1h/15m windows, batch-exact: an event at bucket b = us div 15m
+  // belongs to the 4 windows starting at (b-3..b)*15m.
+  def sliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("b", expr("unix_micros(ts) div 900000000"))
+      .withColumn("k", explode(sequence(lit(0), lit(3))))
+      .withColumn("w", $"b" - $"k")
+      .groupBy($"w", $"event_type")
+      .agg(count(lit(1)).as("cnt"), sum(vdec($"value")).cast("double").as("sum_value"))
+      .withColumn("window_start",
+        date_format(timestamp_micros($"w" * 900000000L), "yyyy-MM-dd HH:mm:ss"))
+      .select($"window_start", $"event_type", $"cnt", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+  val slidingSql: String =
+    """SELECT strftime(make_timestamp(w * 900000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM (SELECT epoch_us(ts) // 900000000 - k AS w, event_type, value
+      |      FROM events, range(0, 4) r(k)) t
+      |GROUP BY w, event_type ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st2_sliding_window" -> sliding,
     "a4_model_counts" -> a4,
     "a5_log_bayes_factors" -> a5,
     "a8_posterior_summary" -> a8,
@@ -452,6 +476,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "st2_sliding_window" -> slidingSql,
     "a4_model_counts" -> a4Sql,
     "a5_log_bayes_factors" -> a5Sql,
     "a8_posterior_summary" -> a8Sql,
