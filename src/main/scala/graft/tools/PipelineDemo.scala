@@ -49,6 +49,27 @@ object PipelineDemo {
     val files = NoiseFileWriter.writeNoiseFiles(summary, work)
     println(s"[demo] wrote: ${files.mkString(", ")}")
     println(java.nio.file.Files.readString(files.head))
+
+    // P4 slice: optimal statistic over a synthetic 10-pulsar array — a
+    // pure-HD injected signal must be recovered exactly, then marginalised
+    // over deterministic draws and binned (results.py §3.3 flow).
+    import graft.os.OptimalStatistic
+    val psrs = (0 until 10).map(i =>
+      (f"J$i%04d+0000", i.toLong, i * 2 * math.Pi / 10, (i % 5 - 2) * 0.3))
+      .toDF("psr", "idx", "ra", "dec")
+    val pairs = OptimalStatistic.withOrf(OptimalStatistic.pairs(psrs), "hd")
+    val injected = pairs.withColumn("rho", lit(2.5e-30) * col("orf"))
+      .withColumn("sig", lit(1e-30))
+    OptimalStatistic.osEstimate(injected).show(false)
+    val draws = (0 until 4).map(d => injected
+      .withColumn("draw", lit(d))
+      .withColumn("rho", col("rho") * (lit(1.0) + lit(0.1) * d)))
+      .reduce(_ unionByName _)
+    OptimalStatistic.marginalise(draws).show(false)
+    OptimalStatistic.binned(injected, 5).orderBy("tile").show(false)
+    graft.sinks.InfoSinks.writeOsResults(injected, s"$work/os_results.parquet")
+    println(s"[demo] OS results parquet rows: " +
+      spark.read.parquet(s"$work/os_results.parquet").count())
     spark.stop()
   }
 }
