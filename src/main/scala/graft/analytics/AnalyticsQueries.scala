@@ -451,7 +451,32 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |      FROM events, range(0, 4) r(k)) t
       |GROUP BY w, event_type ORDER BY window_start, event_type""".stripMargin
 
+  // X1: power-law PSD over a frequency grid f_k = k/(10 yr) derived from
+  // the nation keys — log10 output so rounding is magnitude-stable.
+  def x1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val yr = graft.functions.Psd.Constants.YrSec
+    Tables.nation(s, dir)
+      .select(($"n_nationkey" + 1).cast("long").as("k"))
+      .withColumn("f", $"k".cast("double") / (lit(10.0) * lit(yr)))
+      .withColumn("log10_psd", round(log10(graft.functions.Psd.powerlaw(
+        $"f", lit(-14.5), lit(13.0) / lit(3.0))), 6))
+      .select($"k", $"log10_psd")
+      .orderBy($"k")
+  }
+  val x1Sql: String = {
+    val yr = graft.functions.Psd.Constants.YrSec
+    s"""SELECT k, round(log10(
+       |    pow(10, CAST(-14.5 AS DOUBLE) * 2) / (12 * pi() * pi()) * pow($yr, 3.0)
+       |    * pow(f * $yr, -(CAST(13 AS DOUBLE) / CAST(3 AS DOUBLE)))), 6) AS log10_psd
+       |FROM (SELECT CAST(n_nationkey + 1 AS BIGINT) AS k,
+       |        CAST(n_nationkey + 1 AS DOUBLE) / (10.0 * $yr) AS f
+       |      FROM nation) t
+       |ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_powerlaw_psd" -> x1,
     "st2_sliding_window" -> sliding,
     "a4_model_counts" -> a4,
     "a5_log_bayes_factors" -> a5,
@@ -476,6 +501,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "x1_powerlaw_psd" -> x1Sql,
     "st2_sliding_window" -> slidingSql,
     "a4_model_counts" -> a4Sql,
     "a5_log_bayes_factors" -> a5Sql,
