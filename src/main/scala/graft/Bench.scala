@@ -11,9 +11,12 @@ object Bench {
     // engine, not first-call classloading.
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).collect() catch { case _: Throwable => () })
-    // best-of-2: the first run of a plan pays Janino codegen + JIT warmup
-    // (observed 5-15s stalls on otherwise sub-second queries); the second
-    // run measures the engine.
+    // best-of-2 with a FRESH DataFrame per run: each timed run pays full
+    // analysis + optimization + execution (reusing one DataFrame would let
+    // AQE serve the second run from materialized shuffle stages — cached
+    // intermediates, not a benchmark). The duplicate-plan codegen cache
+    // hit between runs absorbs Janino/JIT warmup, which otherwise
+    // dominates sub-second queries (observed 5-15s first-run stalls).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
