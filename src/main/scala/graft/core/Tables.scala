@@ -12,8 +12,16 @@ import org.apache.spark.sql.types.LongType
   */
 object Tables {
 
+  // Memoized source relations per (session, path): `spark.read.parquet`
+  // re-lists files and re-reads footers on every call — a metastore caches
+  // that metadata in any real deployment. DataFrames are immutable plan
+  // fragments; sharing them never shares execution state.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
