@@ -25,6 +25,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // default 100-entry codegen cache thrashes across a 50+-query suite
+      // (~300 generated classes) → constant Janino recompilation showing
+      // up as multi-second stalls on random queries (static conf: must be
+      // set before the session exists)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
