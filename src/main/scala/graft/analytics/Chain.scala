@@ -32,11 +32,11 @@ object Chain {
 
   /** Rows of `df` with global row rank (1-based) by `order`, plus total
     * count `n` — the building block for fraction-based splits. */
-  def withRank(df: DataFrame, order: Column*): DataFrame = {
-    val n = df.count()
+  def withRank(df: DataFrame, order: Column*): DataFrame =
+    // COUNT(*) OVER () in the same pass — a separate df.count() would scan
+    // the input twice and run an eager job at construction time
     df.withColumn("rn", row_number().over(Window.orderBy(order: _*)))
-      .withColumn("n", lit(n))
-  }
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
 
   /** numpy `chain[floor(frac*n)::k]`: drop the first `frac` of rows by
     * `order`, keep every k-th of the remainder (first survivor kept). */

@@ -6,10 +6,10 @@ package graft.core
   */
 object Labels {
 
-  /** X10: label sanitization (enterprise_warp.py:154-158) — strip quotes,
-    * brackets, braces, colons, spaces. */
+  /** X10: label sanitization (enterprise_warp.py:154-158) — strip single
+    * quotes, brackets, braces, colons; spaces become underscores. */
   def sanitize(label: String): String =
-    label.replaceAll("""["'\[\]{}: ]""", "")
+    label.replaceAll("""['\[\]{}:]""", "").replace(' ', '_')
 
   /** X11: output-path composition (enterprise_warp.py:402-405,461-465):
     * out/model-labels/num_psr/. */
@@ -26,7 +26,7 @@ object Labels {
   def isFloatCastable(s: String): Boolean = s.toDoubleOption.isDefined
 
   /** X14: LaTeX label wrapping for plot layers (results.py:641-642,671). */
-  def latexLabel(par: String): String = "$" + par.replace("_", "\\n") + "$"
+  def latexLabel(par: String): String = "$" + par.replace("_", "\n") + "$"
 
   /** X9 as a Column: pulsar name from a file path
     * (`p.split('/')[-1].split('_')[0].split('.')[0]`). */

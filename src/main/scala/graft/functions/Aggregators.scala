@@ -38,9 +38,11 @@ object Aggregators {
       extends Aggregator[Double, Array[Long], Double] {
     def zero: Array[Long] = Array.fill(nBins)(0L)
     def reduce(b: Array[Long], v: Double): Array[Long] = {
-      if (!v.isNaN && hi > lo) {
-        val bin = math.min(((v - lo) / (hi - lo) * nBins).toInt, nBins - 1)
-        if (bin >= 0) b(bin) += 1
+      // out-of-range values are NOT counted (plt.hist derives bins from the
+      // data and never sees them); v == hi lands in the top bin
+      if (!v.isNaN && hi > lo && v >= lo && v <= hi) {
+        val bin = math.min(math.floor((v - lo) / (hi - lo) * nBins).toInt, nBins - 1)
+        b(bin) += 1
       }
       b
     }

@@ -74,6 +74,7 @@ object Multimodal {
     media
       .withColumn("n_chunks",
         ceil(octet_length(col("content")).cast("double") / chunkBytes).cast("int"))
+      .filter(col("n_chunks") > 0) // empty payload -> zero chunk rows
       .withColumn("chunk_idx",
         explode(filter(sequence(lit(0), greatest(col("n_chunks") - 1, lit(0))),
           i => i % everyK === 0)))

@@ -18,6 +18,11 @@ object Bucketing {
       buckets: Int): Unit = {
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
+      // a crash can orphan the location without the metastore entry —
+      // clear it or CTAS fails with LOCATION_ALREADY_EXISTS
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(wh, table)
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteQuietly(loc)
       df.write
         .bucketBy(buckets, key)
         .sortBy(key)
@@ -26,14 +31,20 @@ object Bucketing {
     }
   }
 
+  /** Table names are scoped to the source dir — idempotency must not serve
+    * one scale factor's buckets for another's request. */
+  def tableSuffix(dir: String): String =
+    java.lang.Integer.toHexString(dir.hashCode).takeRight(8)
+
   /** Co-located orders⋈lineitem: both sides bucketed on the order key →
     * the join plans without a shuffle exchange. */
   def colocatedOrdersLineitem(spark: SparkSession, dir: String,
       buckets: Int = 8): DataFrame = {
-    writeBucketed(graft.core.Tables.orders(spark, dir), "orders_b", "o_orderkey", buckets)
-    writeBucketed(graft.core.Tables.lineitem(spark, dir), "lineitem_b", "l_orderkey", buckets)
-    spark.table("lineitem_b")
-      .join(spark.table("orders_b"),
-        spark.table("lineitem_b")("l_orderkey") === spark.table("orders_b")("o_orderkey"))
+    val sfx = tableSuffix(dir)
+    val (ot, lt) = (s"orders_b_$sfx", s"lineitem_b_$sfx")
+    writeBucketed(graft.core.Tables.orders(spark, dir), ot, "o_orderkey", buckets)
+    writeBucketed(graft.core.Tables.lineitem(spark, dir), lt, "l_orderkey", buckets)
+    spark.table(lt).join(spark.table(ot),
+      spark.table(lt)("l_orderkey") === spark.table(ot)("o_orderkey"))
   }
 }

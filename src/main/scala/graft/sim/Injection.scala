@@ -17,9 +17,10 @@ object Injection {
   def psdToVector(params: Map[String, Double], kind: String,
       backends: Seq[String]): Seq[Double] =
     backends.flatMap { b =>
-      params.collectFirst {
-        case (name, v) if name.contains(b) && name.toLowerCase.contains(kind) => v
-      }
+      // deterministic pick: lexicographically smallest matching param name
+      params.filter { case (name, _) =>
+        name.contains(b) && name.toLowerCase.contains(kind)
+      }.toSeq.sortBy(_._1).headOption.map(_._2)
     }
 
   /** A14/E3: distinct backends across flag conventions — union of the

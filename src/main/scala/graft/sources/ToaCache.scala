@@ -25,7 +25,13 @@ object ToaCache {
       ephemeris: String)(loader: => DataFrame): DataFrame = {
     val p = path(cacheDir, cacheKey(psrs, ephemeris))
     if (!new java.io.File(p).exists()) {
-      loader.write.mode("errorifexists").parquet(p)
+      // write to a temp sibling then rename: a crashed partial write must
+      // never be served as a complete cache on the next run
+      val tmp = p + ".inprogress"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      loader.write.mode("overwrite").parquet(tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(p)))
+        throw new java.io.IOException(s"cache rename failed: $tmp -> $p")
     }
     spark.read.parquet(p)
   }

@@ -5,13 +5,13 @@ import org.apache.spark.sql.functions._
 
 class LabelsSpec extends SparkTestBase {
 
-  test("label sanitization strips quote/bracket/brace/colon/space (X10)") {
-    assert(Labels.sanitize("""['spin_noise': "on"] {x}""") === "spin_noiseonx")
+  test("label sanitization: strip quotes/brackets/braces/colons, space to underscore (X10)") {
+    assert(Labels.sanitize("""['spin_noise': powerlaw] {x}""") === "spin_noise_powerlaw_x")
   }
 
   test("output path composition (X11)") {
     assert(Labels.outputPath("/out/", Seq("model a", "gwb:hd"), Some(3), "J0437-4715")
-      === "/out/modela_gwbhd/3_J0437-4715/")
+      === "/out/model_a_gwbhd/3_J0437-4715/")
     assert(Labels.outputPath("/out", Seq("m"), None, "J1") === "/out/m/J1/")
   }
 
@@ -22,7 +22,7 @@ class LabelsSpec extends SparkTestBase {
   }
 
   test("latex wrapping (X14) and psr-from-path column (X9)") {
-    assert(Labels.latexLabel("red_gamma") === "$red\\ngamma$")
+    assert(Labels.latexLabel("red_gamma") === "$red\ngamma$") // real newline
     import spark.implicits._
     val got = Seq("/data/toas/J0437-4715_pdfb.tim").toDF("p")
       .select(Labels.psrFromPath($"p")).head().getString(0)

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkTestBase {
 
   test("bucketed orders/lineitem join plans without a shuffle exchange") {
-    spark.sql("DROP TABLE IF EXISTS orders_b")
-    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    val sfx = Bucketing.tableSuffix("/root/testdata/sf0.001")
+    spark.sql(s"DROP TABLE IF EXISTS orders_b_$sfx")
+    spark.sql(s"DROP TABLE IF EXISTS lineitem_b_$sfx")
     // disable broadcast so the join would otherwise shuffle both sides
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -31,8 +32,8 @@ class BucketingSpec extends SparkTestBase {
         expect.orderBy("o_orderpriority").collect().toSeq)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.sql("DROP TABLE IF EXISTS orders_b")
-      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.sql(s"DROP TABLE IF EXISTS orders_b_$sfx")
+      spark.sql(s"DROP TABLE IF EXISTS lineitem_b_$sfx")
     }
   }
 }
