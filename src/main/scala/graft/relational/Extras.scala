@@ -141,7 +141,26 @@ object Extras extends graft.core.QueryModule {
       |SELECT c_count, COUNT(*) AS custdist FROM c_orders
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  // G2: pivot — revenue matrix returnflag x linestatus (dynamic columns
+  // via groupBy().pivot(); oracle mirrors with conditional aggregation).
+  def g2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .pivot($"l_linestatus", Seq("F", "O", "P"))
+      .agg(sum(vdec($"l_quantity")).cast("double"))
+      .toDF("returnflag", "qty_f", "qty_o", "qty_p")
+      .orderBy($"returnflag")
+  }
+  val g2Sql: String =
+    """SELECT l_returnflag AS returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'P' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_p
+      |FROM lineitem GROUP BY l_returnflag ORDER BY returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g2_pivot" -> g2,
     "w5_rolling_avg" -> w5,
     "g1_rollup" -> g1,
     "a2_global_tspan" -> a2,
@@ -149,6 +168,7 @@ object Extras extends graft.core.QueryModule {
     "q13_cust_distribution" -> q13,
   )
   val oracles: Map[String, String] = Map(
+    "g2_pivot" -> g2Sql,
     "w5_rolling_avg" -> w5Sql,
     "g1_rollup" -> g1Sql,
     "a2_global_tspan" -> a2Sql,
