@@ -475,7 +475,30 @@ object AnalyticsQueries extends graft.core.QueryModule {
        |ORDER BY k""".stripMargin
   }
 
+  // As-of join: enrich every non-signup event with the user's most recent
+  // prior (or simultaneous) signup event — oracle is DuckDB's native ASOF
+  // LEFT JOIN; Spark side is the scalable union+window implementation.
+  def asof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("us", unix_micros($"ts"))
+    val left = ev.filter($"event_type" =!= "signup")
+      .select($"user_id", $"us", $"event_id")
+    val right = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"us", $"event_id".as("signup_id"))
+    graft.operators.AsOfJoin.backward(left, right, "user_id", "us", Seq("signup_id"))
+      .select($"event_id", $"signup_id")
+      .orderBy($"event_id")
+  }
+  val asofSql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+      |l AS (SELECT event_id, user_id, us FROM ev WHERE event_type <> 'signup'),
+      |r AS (SELECT event_id AS signup_id, user_id, us FROM ev WHERE event_type = 'signup')
+      |SELECT l.event_id, r.signup_id
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+      |ORDER BY l.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ao_asof_join" -> asof,
     "x1_powerlaw_psd" -> x1,
     "st2_sliding_window" -> sliding,
     "a4_model_counts" -> a4,
@@ -501,6 +524,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "ao_asof_join" -> asofSql,
     "x1_powerlaw_psd" -> x1Sql,
     "st2_sliding_window" -> slidingSql,
     "a4_model_counts" -> a4Sql,

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkTestBase {
+
+  test("backward as-of: latest right row at or before each left ts, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "e1"), (1L, 25L, "e2"), (1L, 30L, "e3"), (2L, 15L, "e4"))
+      .toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, 5L, "q1"), (1L, 20L, "q2"), (1L, 30L, "q3"), (2L, 99L, "q4"))
+      .toDF("k", "ts", "quote")
+    val got = AsOfJoin.backward(left, right, "k", "ts", Seq("quote"))
+      .orderBy($"k", $"ts").select($"name", $"quote").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).orNull))
+    assert(got.toSeq === Seq(
+      ("e1", "q1"),  // 10 >= 5
+      ("e2", "q2"),  // 25 >= 20
+      ("e3", "q3"),  // inclusive: 30 >= 30
+      ("e4", null))) // no quote at/before 15 for k=2
+  }
+
+  test("no quadratic plan: as-of is a single-shuffle window, not a nested loop") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "x")).toDF("k", "ts", "name")
+    val right = Seq((1L, 5L, "q")).toDF("k", "ts", "quote")
+    val df = AsOfJoin.backward(left, right, "k", "ts", Seq("quote"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"expected window-based plan, got:\n$plan")
+  }
+
+  test("payload name collision is rejected") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, "a")).toDF("k", "ts", "quote")
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.backward(df, df, "k", "ts", Seq("quote"))
+    }
+  }
+}
