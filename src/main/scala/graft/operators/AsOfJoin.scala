@@ -22,7 +22,8 @@ object AsOfJoin {
   /** Join `left` to `right` as-of backward on `tsCol` (a commensurable
     * numeric/timestamp column present in both), keyed by `key`.
     * `rightPayload` columns are appended to every left row (null when no
-    * right row precedes it).
+    * right row precedes it), plus `__matched_ts` = the matched right ts
+    * (consumed by [[backwardWithin]]; drop it if unwanted).
     */
   def backward(left: DataFrame, right: DataFrame, key: String, tsCol: String,
       rightPayload: Seq[String]): DataFrame = {
@@ -44,8 +45,24 @@ object AsOfJoin {
 
     val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.filter(col("__tag") === 1).drop("__tag")
+    val filled = rightPayload.foldLeft(
+      unioned.withColumn("__rts", when(col("__tag") === 0, col(tsCol))))(
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      .withColumn("__rts", last(col("__rts"), ignoreNulls = true).over(w))
+    filled.filter(col("__tag") === 1)
+      .withColumn("__matched_ts", col("__rts"))
+      .drop("__tag", "__rts")
+  }
+
+  /** [[backward]] with a tolerance: matches older than `tolerance` (in the
+    * ts column's units) are nulled out — stale quotes don't enrich. */
+  def backwardWithin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, rightPayload: Seq[String], tolerance: Long): DataFrame = {
+    val joined = backward(left, right, key, tsCol, rightPayload)
+    val stale = col("__matched_ts").isNull ||
+      (col(tsCol) - col("__matched_ts")) > tolerance
+    rightPayload.foldLeft(joined)((df, c) =>
+      df.withColumn(c, when(stale, lit(null)).otherwise(col(c))))
+      .drop("__matched_ts")
   }
 }

@@ -32,6 +32,16 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"expected window-based plan, got:\n$plan")
   }
 
+  test("tolerance nulls out stale matches (backwardWithin)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "e1"), (1L, 106L, "e2")).toDF("k", "ts", "name")
+    val right = Seq((1L, 99L, "q1")).toDF("k", "ts", "quote")
+    val got = AsOfJoin.backwardWithin(left, right, "k", "ts", Seq("quote"), tolerance = 5L)
+      .orderBy($"ts").select($"name", $"quote").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).orNull))
+    assert(got.toSeq === Seq(("e1", "q1"), ("e2", null))) // 106-99=7 > 5 → stale
+  }
+
   test("payload name collision is rejected") {
     import spark.implicits._
     val df = Seq((1L, 1L, "a")).toDF("k", "ts", "quote")
