@@ -497,7 +497,22 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
       |ORDER BY l.event_id""".stripMargin
 
+  // Sketches: approximate quantiles (GK) + HLL distinct counts — declared
+  // WITHOUT oracle SQL (sketch internals differ across engines; the driver
+  // records a rows-only check). The exact counterparts are a8/a14.
+  def sketches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", 0.01).as("approx_users"),
+        percentile_approx($"value", lit(0.5), lit(1000)).as("approx_median"),
+        percentile_approx($"value", lit(0.95), lit(1000)).as("approx_p95"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk1_sketches" -> sketches,
     "ao_asof_join" -> asof,
     "x1_powerlaw_psd" -> x1,
     "st2_sliding_window" -> sliding,
