@@ -177,9 +177,10 @@ object AnalyticsQueries extends graft.core.QueryModule {
   // A12/W6: equal-count bins — ntile(8) ordered by value, per-tile stats.
   def a12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, dir)
+    graft.operators.GlobalRank.withRowNumber(
+        Tables.events(s, dir), Seq($"value", $"event_id"))
       .withColumn("tile",
-        ntile(8).over(Window.orderBy($"value", $"event_id")).cast("long"))
+        graft.operators.GlobalRank.ntileFromRank($"rn", $"n", 8))
       .groupBy($"tile")
       .agg(
         (sum(vdec($"value")).cast("double") / count(lit(1))).as("mean_xi"),

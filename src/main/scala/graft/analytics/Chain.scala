@@ -21,22 +21,20 @@ import org.apache.spark.sql.types.DecimalType
   * LONG form `(step, par, value)` so every per-parameter loop is one
   * `groupBy("par")` — a single shuffle, map-side combined, scale-free.
   *
-  * Scale note: the rank-based ops (burn-in, thinning, splits) use a global
-  * `row_number` window only when no dense step column exists. Chains carry
-  * an explicit `step`, so the default path is `step >= quantile`-style
-  * filtering on the already-present column — no single-partition sort at
-  * 100 TB. The window variants here mirror the reference's row-order
-  * semantics exactly for files whose step column is implicit.
+  * Scale note: the rank-based ops (burn-in, thinning, splits) prefer the
+  * dense `step` column when one exists (`step >= quantile`-style filters,
+  * no ranking at all). For files whose step column is implicit, ranking goes
+  * through [[graft.operators.GlobalRank]] — distributed range-partitioned
+  * row numbering, never a single-partition window.
   */
 object Chain {
 
   /** Rows of `df` with global row rank (1-based) by `order`, plus total
-    * count `n` — the building block for fraction-based splits. */
+    * count `n` — the building block for fraction-based splits. Delegates to
+    * [[graft.operators.GlobalRank]]: distributed range-partitioned ranking,
+    * not a single-partition window. */
   def withRank(df: DataFrame, order: Column*): DataFrame =
-    // COUNT(*) OVER () in the same pass — a separate df.count() would scan
-    // the input twice and run an eager job at construction time
-    df.withColumn("rn", row_number().over(Window.orderBy(order: _*)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    graft.operators.GlobalRank.withRowNumber(df, order)
 
   /** numpy `chain[floor(frac*n)::k]`: drop the first `frac` of rows by
     * `order`, keep every k-th of the remainder (first survivor kept). */
@@ -102,8 +100,11 @@ object Chain {
   def equalCountBins(df: DataFrame, xi: Column, rho: Column, sig: Column,
       nBins: Int): DataFrame = {
     val (wm, we) = weightedAvg(col("rho"), col("sig"))
-    df.select(xi.as("xi"), rho.as("rho"), sig.as("sig"))
-      .withColumn("tile", ntile(nBins).over(Window.orderBy(col("xi"))).cast("long"))
+    val ranked = graft.operators.GlobalRank.withRowNumber(
+      df.select(xi.as("xi"), rho.as("rho"), sig.as("sig")), Seq(col("xi")))
+    ranked
+      .withColumn("tile",
+        graft.operators.GlobalRank.ntileFromRank(col("rn"), col("n"), nBins))
       .groupBy(col("tile"))
       .agg(avg(col("xi")).as("mean_xi"), stddev(col("xi")).as("std_xi"),
         wm.as("rho_wavg"), we.as("sig_wavg"), count(lit(1)).as("npairs"))

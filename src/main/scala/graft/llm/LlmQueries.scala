@@ -80,9 +80,8 @@ object LlmQueries extends graft.core.QueryModule {
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 3)
     val sh = docs.select($"doc_id", explode(TextOps.shingles3($"toks")).as("sh")).distinct()
-    val dict = sh.select($"sh").distinct()
-      .withColumn("tid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy($"sh")).cast("long"))
+    val dict = graft.operators.GlobalRank.withRowNumber(
+      sh.select($"sh").distinct(), Seq($"sh"), rn = "tid", nTotal = None)
     val tids = sh.join(dict, "sh").select($"doc_id", $"tid")
     val sig = TextOps.minhashSignatures(tids)
     val bands = TextOps.lshBands(sig)

@@ -46,14 +46,13 @@ object ChainReader {
   def readChainFile(spark: SparkSession, path: String, stepOffset: Long = 0L): DataFrame = {
     val lines = spark.read.textFile(path).toDF("value")
       .withColumn("rid", monotonically_increasing_id())
-    lines
+    val parsed = lines
       .filter(length(trim(col("value"))) > 0)
       .withColumn("vals",
         expr("transform(split(trim(value), '\\\\s+'), x -> try_cast(x AS double))"))
       .filter(!exists(col("vals"), _.isNull))
-      .withColumn("step",
-        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("rid")))
-          - 1 + stepOffset).cast("long"))
+    graft.operators.GlobalRank.withRowNumber(parsed, Seq(col("rid")), nTotal = None)
+      .withColumn("step", (col("rn") - 1 + stepOffset).cast("long"))
       .select(col("step"), col("vals"))
   }
 

@@ -26,10 +26,12 @@ object TextOps {
     docs.select(docId.as("doc_id"), posexplode(tokens(text)).as(Seq("pos0", "tok")))
       .withColumn("pos", col("pos0") + 1).drop("pos0")
 
-  /** Global token dictionary (tok, tid), tid = 1-based rank in sorted order. */
+  /** Global token dictionary (tok, tid), tid = 1-based rank in sorted order
+    * (distributed ranking via [[graft.operators.GlobalRank]] — no
+    * single-partition window even for billion-token vocabularies). */
   def tokenDict(toks: DataFrame): DataFrame =
-    toks.select(col("tok")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy(col("tok"))).cast("long"))
+    graft.operators.GlobalRank.withRowNumber(
+      toks.select(col("tok")).distinct(), Seq(col("tok")), rn = "tid", nTotal = None)
 
   /** Scale-path token id: stable 64-bit hash, no global ordering needed. */
   def hashTokenId(tok: Column): Column = xxhash64(tok)
