@@ -47,7 +47,9 @@ object LlmQueries extends graft.core.QueryModule {
 
   private def docTids(s: SparkSession, dir: String): DataFrame = {
     val pt = docTokens(s, dir)
-    pt.join(TextOps.tokenDict(pt), "tok").select(col("doc_id"), col("pos"), col("tid"))
+    // dictionary is vocabulary-sized → broadcast; the token stream never shuffles
+    pt.join(broadcast(TextOps.tokenDict(pt)), "tok")
+      .select(col("doc_id"), col("pos"), col("tid"))
   }
 
   // D1: exact dedup — canonical-keeper per duplicate group (md5 of text as
@@ -82,12 +84,14 @@ object LlmQueries extends graft.core.QueryModule {
     val sh = docs.select($"doc_id", explode(TextOps.shingles3($"toks")).as("sh")).distinct()
     val dict = graft.operators.GlobalRank.withRowNumber(
       sh.select($"sh").distinct(), Seq($"sh"), rn = "tid", nTotal = None)
-    val tids = sh.join(dict, "sh").select($"doc_id", $"tid")
+    val tids = sh.join(broadcast(dict), "sh").select($"doc_id", $"tid")
     val sig = TextOps.minhashSignatures(tids)
     val bands = TextOps.lshBands(sig)
     val cand = bands.select($"doc_id".as("da"), $"band")
       .join(bands.select($"doc_id".as("db"), $"band"), Seq("band"))
       .filter($"da" < $"db").select($"da", $"db").distinct()
+    // signature lookup joins stay shuffle-hash on doc_id: sig is per-doc
+    // (fact-sized at 100 TB) — deliberately NOT broadcast
     val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "da" else c + "a"): _*)
     val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "db" else c + "b"): _*)
     val matches = (0 until 8).map(i =>

@@ -281,17 +281,19 @@ object Tpch extends graft.core.QueryModule {
        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
        |ORDER BY s_suppkey""".stripMargin
 
-  // Q17: small-quantity-order revenue — self-agg of lineitem per part, then
-  // correlated filter via join (avg is exact-double so the `<` is stable).
+  // Q17: small-quantity-order revenue. The brand filter keeps whole parts
+  // (predicate is on part attrs only), so the per-part average over the
+  // broadcast-semi-joined subset equals the average over all of lineitem —
+  // compute it with a partitioned window on the 1/25-sized subset (ONE
+  // shuffle of the small side) instead of aggregating the full fact table.
   def q17(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val partAvg = Tables.lineitem(s, dir)
-      .groupBy($"l_partkey".as("pk"))
-      .agg(avgExact(sum(qty($"l_quantity")), count(lit(1))).as("avg_qty"))
+    val w = Window.partitionBy($"l_partkey")
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).filter($"p_brand" === "Brand#1")),
-        $"l_partkey" === $"p_partkey")
-      .join(partAvg, $"l_partkey" === $"pk")
+      .join(broadcast(Tables.part(s, dir).filter($"p_brand" === "Brand#1")
+        .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+      .withColumn("avg_qty",
+        avgExact(sum(qty($"l_quantity")).over(w), count(lit(1)).over(w)))
       .filter($"l_quantity" < lit(0.5) * $"avg_qty")
       .agg((d(sum(money($"l_extendedprice"))) / lit(7.0)).as("avg_yearly"))
   }
@@ -308,12 +310,15 @@ object Tpch extends graft.core.QueryModule {
   // Q18: large-volume orders.
   def q18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The >150 filter keeps a handful of orders — broadcast the aggregate so
+    // neither `orders` nor the agg output is shuffled (without the hint AQE
+    // may pick BuildLeft and broadcast the whole orders table).
     val big = Tables.lineitem(s, dir)
       .groupBy($"l_orderkey".as("big_ok"))
       .agg(d(sum(qty($"l_quantity"))).as("sum_qty"))
       .filter($"sum_qty" > 150)
     Tables.orders(s, dir)
-      .join(big, $"o_orderkey" === $"big_ok")
+      .join(broadcast(big), $"o_orderkey" === $"big_ok")
       .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
       .select($"c_name", $"c_custkey", $"o_orderkey",
         date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"), $"o_totalprice", $"sum_qty")
