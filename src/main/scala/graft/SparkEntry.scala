@@ -11,6 +11,7 @@ object SparkEntry {
 
   private val modules: Seq[graft.core.QueryModule] = Seq(
     graft.relational.Tpch,
+    graft.relational.Tpch2,
     graft.analytics.AnalyticsQueries,
     graft.llm.LlmQueries,
     graft.relational.Extras,

@@ -269,6 +269,99 @@ object LlmQueries extends graft.core.QueryModule {
        |  FROM b a, q WHERE a.bk = q.qbk) t
        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
+  // S3: IVF-style ANN — partition vectors into cells around fixed centroids
+  // (deterministic seeds: vec_id 1..4), search ONLY the query's cell. The
+  // scale path for billion-vector ANN: the assignment pass is a broadcast
+  // cross join against k centroids + one per-vector argmax, and the probe
+  // touches 1/k of the data.
+  def s3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val cents = e.filter($"vec_id".between(1, 4))
+      .select($"vec_id".cast("long").as("cid"), $"embedding".as("ce"),
+        VectorOps.dotNative($"embedding", $"embedding").as("cn2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    val cells = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", VectorOps.dotNative($"embedding", $"ce") /
+        (sqrt(VectorOps.dotNative($"embedding", $"embedding")) * sqrt($"cn2")))
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"vec_id", $"cid".as("cell"))
+    val qcell = cells.filter($"vec_id" === 0).select($"cell".as("qcell"))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), VectorOps.dotNative($"embedding", $"embedding").as("qn2"))
+    e.join(cells, "vec_id")
+      .join(broadcast(qcell), $"cell" === $"qcell")
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", (VectorOps.dotNative($"embedding", $"qe") /
+        (sqrt(VectorOps.dotNative($"embedding", $"embedding")) * sqrt($"qn2"))).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(5)
+  }
+  val s3Sql: String = {
+    val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
+    val qCos = VectorOps.cosineSqlDuck("e.embedding", "q.qe", 64)
+    s"""WITH c AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+       |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
+       |        FROM embeddings e CROSS JOIN c),
+       |cells AS (SELECT vec_id, cid AS cell FROM (
+       |            SELECT vec_id, cid,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
+       |            FROM asg) r WHERE rk = 1),
+       |qc AS (SELECT cell AS qcell FROM cells WHERE vec_id = 0),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, $qCos AS cos
+       |FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id, qc, q
+       |WHERE cells.cell = qc.qcell AND e.vec_id <> 0
+       |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin
+  }
+
+  // T5: BPE-ish regex tokenization (letter runs / digit runs / single
+  // punctuation) — corpus stats per language.
+  private val BpeRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def t5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        explode(regexp_extract_all($"text", lit(BpeRe), lit(0))).as("tok"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"tok").as("n_distinct"),
+        countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"lang")
+  }
+  val t5Sql: String =
+    s"""SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct,
+       |  COUNT(DISTINCT doc_id) AS n_docs
+       |FROM (SELECT doc_id, lang, unnest(regexp_extract_all(text, '$BpeRe')) AS tok
+       |      FROM documents) t
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // HOF1: higher-order array functions over embeddings — L2 norm via
+  // aggregate(zip_with(...)), positive-component count via filter(...),
+  // normalized first component. (The oracle mirrors with unrolled
+  // left-associated sums / list_filter.)
+  def hof1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l2 = sqrt(VectorOps.dot($"embedding", $"embedding"))
+    Tables.embeddings(s, dir)
+      .filter($"vec_id" < 50)
+      .select($"vec_id",
+        l2.as("l2_norm"),
+        size(filter($"embedding", x => x > 0f)).cast("long").as("n_pos"),
+        (element_at($"embedding", 1).cast("double") / l2).as("c0_norm"))
+      .orderBy($"vec_id")
+  }
+  val hof1Sql: String = {
+    val dot = VectorOps.dotSqlDuck("embedding", "embedding", 64)
+    s"""SELECT vec_id, sqrt($dot) AS l2_norm,
+       |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       |  CAST(embedding[1] AS DOUBLE) / sqrt($dot) AS c0_norm
+       |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
+  }
+
   // T1: language-ID n-gram/stopword heuristic.
   def t1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -375,6 +468,9 @@ object LlmQueries extends graft.core.QueryModule {
     "d5_embedding_neardup" -> d5,
     "s1_ann_brute_topk" -> s1,
     "s2_ann_lsh_topk" -> s2,
+    "s3_ann_ivf_topk" -> s3,
+    "t5_regex_tokens" -> t5,
+    "hof1_array_stats" -> hof1,
     "t1_langid" -> t1,
     "t2_quality_score" -> t2,
     "t3_token_stats" -> t3,
@@ -390,6 +486,9 @@ object LlmQueries extends graft.core.QueryModule {
     "d5_embedding_neardup" -> d5Sql,
     "s1_ann_brute_topk" -> s1Sql,
     "s2_ann_lsh_topk" -> s2Sql,
+    "s3_ann_ivf_topk" -> s3Sql,
+    "t5_regex_tokens" -> t5Sql,
+    "hof1_array_stats" -> hof1Sql,
     "t1_langid" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_stats" -> t3Sql,

@@ -159,6 +159,70 @@ object Extras extends graft.core.QueryModule {
       |  CAST(SUM(CASE WHEN l_linestatus = 'P' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_p
       |FROM lineitem GROUP BY l_returnflag ORDER BY returnflag""".stripMargin
 
+  // RJ1: point-in-interval range join — events landing in the hour after
+  // each signup, via [[graft.operators.RangeJoin]] (bucketed equijoin; the
+  // oracle uses DuckDB's native inequality join / IEJoin).
+  def rj1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("us", unix_micros($"ts"))
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"us".as("lo"),
+        ($"us" + 3600000000L).as("hi"))
+    val points = ev.select($"event_id".as("pid"), $"us".as("pus"))
+    graft.operators.RangeJoin.pointInInterval(
+        signups, $"lo", $"hi", points, $"pus", 3600000000L)
+      .groupBy($"signup_id")
+      .agg(count($"pid").as("n_next_hour"))
+      .orderBy($"signup_id")
+  }
+  val rj1Sql: String =
+    """WITH ev AS (SELECT event_id, epoch_us(ts) AS us, event_type FROM events),
+      |s AS (SELECT event_id AS signup_id, us FROM ev WHERE event_type = 'signup')
+      |SELECT signup_id, COUNT(e.event_id) AS n_next_hour
+      |FROM s LEFT JOIN ev e ON e.us > s.us AND e.us <= s.us + 3600000000
+      |GROUP BY signup_id ORDER BY signup_id""".stripMargin
+
+  // W8: lead/lag navigation — per-user delta to the previous value and the
+  // next event's type.
+  def w8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.events(s, dir)
+      .filter($"user_id" < 5)
+      .withColumn("us", unix_micros($"ts"))
+      .select($"user_id", $"event_id",
+        ($"value" - lag($"value", 1).over(w)).as("dv"),
+        lead($"event_type", 1).over(w).as("next_type"))
+      .orderBy($"user_id", $"event_id")
+  }
+  val w8Sql: String =
+    """SELECT user_id, event_id,
+      |  value - LAG(value) OVER w AS dv, LEAD(event_type) OVER w AS next_type
+      |FROM events WHERE user_id < 5
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // G3: GROUPING SETS — independent subtotals by returnflag and by
+  // linestatus in one pass (SQL surface; rollup/cube are g1/g2).
+  def g3(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("g3_lineitem")
+    s.sql("""
+      SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+             coalesce(l_linestatus, '(all)') AS linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n
+      FROM g3_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      ORDER BY returnflag, linestatus""")
+  }
+  val g3Sql: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+      |  coalesce(l_linestatus, '(all)') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g2_pivot" -> g2,
     "w5_rolling_avg" -> w5,
@@ -166,6 +230,9 @@ object Extras extends graft.core.QueryModule {
     "a2_global_tspan" -> a2,
     "q8_market_share" -> q8,
     "q13_cust_distribution" -> q13,
+    "rj1_range_join_count" -> rj1,
+    "w8_lead_lag" -> w8,
+    "g3_grouping_sets" -> g3,
   )
   val oracles: Map[String, String] = Map(
     "g2_pivot" -> g2Sql,
@@ -174,5 +241,8 @@ object Extras extends graft.core.QueryModule {
     "a2_global_tspan" -> a2Sql,
     "q8_market_share" -> q8Sql,
     "q13_cust_distribution" -> q13Sql,
+    "rj1_range_join_count" -> rj1Sql,
+    "w8_lead_lag" -> w8Sql,
+    "g3_grouping_sets" -> g3Sql,
   )
 }

@@ -55,4 +55,38 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("q1_pricing_summary") // post-collect: AQE final plan
     assert(p.contains("*(")) // WholeStageCodegen stage markers
   }
+
+  test("q18: the having-aggregate side is broadcast, orders is not built") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("BroadcastExchange"))
+    // the broadcast input must be the aggregated lineitem (sum_qty), not a
+    // bare orders scan
+    val bcIdx = p.indexOf("BroadcastExchange")
+    assert(p.indexOf("HashAggregate", bcIdx) >= 0)
+  }
+
+  test("rj1 range join: bucketed equijoin, never a nested-loop join") {
+    val p = plan("rj1_range_join_count")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("q17: single shuffle of the brand subset — no full-fact aggregation") {
+    val p = formatted("q17_small_qty_revenue")
+    // the part filter must be pushed into the part scan feeding the broadcast
+    assert(p.contains("EqualTo(p_brand,Brand#1)"))
+  }
+
+  test("no query moves all rows to a single-partition window") {
+    // spot-check the rank-based queries: their plans must not contain a
+    // Window with an empty partition spec (the 100 TB red flag)
+    for (q <- Seq("a12_equal_count_bins", "w3_earliest_split",
+        "w4_burnin_thinning", "d2_minhash_lsh", "t4_fingerprint")) {
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition()"), q)
+      assert(!"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined, q)
+    }
+  }
 }
