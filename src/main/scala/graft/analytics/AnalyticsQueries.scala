@@ -498,6 +498,47 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
       |ORDER BY l.event_id""".stripMargin
 
+  // AO2: FORWARD as-of join — each non-signup event enriched with the next
+  // (or simultaneous) signup. Oracle trick: DuckDB ASOF is backward-only,
+  // so the oracle negates the timestamps (min us' >= us ⇔ max -us' <= -us).
+  def asofForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("us", unix_micros($"ts"))
+    val left = ev.filter($"event_type" =!= "signup")
+      .select($"user_id", $"us", $"event_id")
+    val right = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"us", $"event_id".as("next_signup_id"))
+    graft.operators.AsOfJoin.forward(left, right, "user_id", "us", Seq("next_signup_id"))
+      .select($"event_id", $"next_signup_id")
+      .orderBy($"event_id")
+  }
+  val asofForwardSql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+      |l AS (SELECT event_id, user_id, -us AS nus FROM ev WHERE event_type <> 'signup'),
+      |r AS (SELECT event_id AS next_signup_id, user_id, -us AS nus FROM ev
+      |      WHERE event_type = 'signup')
+      |SELECT l.event_id, r.next_signup_id
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.nus >= r.nus
+      |ORDER BY l.event_id""".stripMargin
+
+  // SK2: sketch-vs-exact bounds — HLL(1%) distinct counts asserted within
+  // 5% of the exact count, emitted as a CHECKABLE boolean next to the exact
+  // value (the oracle computes the exact side and expects every flag true).
+  def sk2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"),
+        approx_count_distinct($"user_id", 0.01).as("n_approx"))
+      .select($"event_type", $"n_exact",
+        (abs($"n_approx" - $"n_exact").cast("double") <=
+          lit(0.05) * $"n_exact".cast("double")).as("within_5pct"))
+      .orderBy($"event_type")
+  }
+  val sk2Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // Sketches: approximate quantiles (GK) + HLL distinct counts — declared
   // WITHOUT oracle SQL (sketch internals differ across engines; the driver
   // records a rows-only check). The exact counterparts are a8/a14.
@@ -514,7 +555,9 @@ object AnalyticsQueries extends graft.core.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk1_sketches" -> sketches,
+    "sk2_sketch_bounds" -> sk2,
     "ao_asof_join" -> asof,
+    "ao2_asof_forward" -> asofForward,
     "x1_powerlaw_psd" -> x1,
     "st2_sliding_window" -> sliding,
     "a4_model_counts" -> a4,
@@ -540,7 +583,9 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "sk2_sketch_bounds" -> sk2Sql,
     "ao_asof_join" -> asofSql,
+    "ao2_asof_forward" -> asofForwardSql,
     "x1_powerlaw_psd" -> x1Sql,
     "st2_sliding_window" -> slidingSql,
     "a4_model_counts" -> a4Sql,

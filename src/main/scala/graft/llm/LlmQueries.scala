@@ -202,6 +202,48 @@ object LlmQueries extends graft.core.QueryModule {
       |WHERE c >= 3 AND CAST(c AS DOUBLE) / CAST(na.ns + nb.ns - c AS DOUBLE) >= 0.2
       |ORDER BY da, db""".stripMargin
 
+  // D6: SimHash near-dup pairs — candidates from 8-bit band equality (a
+  // 16-bit simhash splits into two bands; near-dups agree on at least one),
+  // verified by Hamming distance via the codegen'd bit_count(xor) built-in.
+  // Candidate generation is two band equijoins, never O(n²).
+  def d6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = TextOps.simhash(docTids(s, dir))
+      .withColumn("b0", $"simhash".bitwiseAND(255))
+      .withColumn("b1", shiftright($"simhash", 8))
+    def side(p: String) = sh.select($"doc_id".as(s"d$p"), $"simhash".as(s"h$p"),
+      $"b0".as(s"b0$p"), $"b1".as(s"b1$p"))
+    val cand = side("a").join(side("b"), $"b0a" === $"b0b" && $"da" < $"db")
+      .select($"da", $"db", $"ha", $"hb")
+      .unionByName(side("a").join(side("b"), $"b1a" === $"b1b" && $"da" < $"db")
+        .select($"da", $"db", $"ha", $"hb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
+      .filter($"hamming" <= 1)
+      .select($"da", $"db", $"hamming")
+      .orderBy($"da", $"db")
+  }
+  val d6Sql: String = {
+    val sums = (0 until 16).map(j =>
+      s"CAST(SUM((((tid*2654435761) >> $j) & 1)*2-1) AS BIGINT) AS s$j").mkString(", ")
+    val hash = (0 until 16).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""$duckTokCtes,
+       |dids AS (SELECT DISTINCT doc_id, tid FROM ids),
+       |sums AS (SELECT doc_id, $sums FROM dids GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums),
+       |b AS (SELECT doc_id, simhash, simhash & 255 AS b0, simhash >> 8 AS b1 FROM sh),
+       |cand AS (
+       |  SELECT a.doc_id AS da, b2.doc_id AS db, a.simhash AS ha, b2.simhash AS hb
+       |  FROM b a JOIN b b2 ON a.b0 = b2.b0 AND a.doc_id < b2.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b2.doc_id, a.simhash, b2.simhash
+       |  FROM b a JOIN b b2 ON a.b1 = b2.b1 AND a.doc_id < b2.doc_id)
+       |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+       |ORDER BY da, db""".stripMargin
+  }
+
   // D5: embedding-cosine near-dup pairs within a coarse partition (label =
   // IVF cell) — unrolled dot products for cross-engine bit-exactness.
   def d5(s: SparkSession, dir: String): DataFrame = {
@@ -460,10 +502,35 @@ object LlmQueries extends graft.core.QueryModule {
       |  CAST(ceil(CAST(octet_length(encode(text)) AS BIGINT) / 1000.0) AS BIGINT) AS n_chunks
       |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
 
+  // M2: multimodal frame/chunk sampling — every 3rd 100-byte chunk of the
+  // binary payload (graft.multimodal.Multimodal.sampleChunks; the oracle
+  // mirrors with BLOB substring arithmetic).
+  def m2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.multimodal.Multimodal.textAsMedia(
+      Tables.documents(s, dir).filter($"doc_id" < 100), "doc_id", "text")
+    graft.multimodal.Multimodal.sampleChunks(media, chunkBytes = 100, everyK = 3)
+      .select($"media_id".as("doc_id"), $"chunk_idx".cast("long").as("chunk_idx"),
+        expr("octet_length(chunk)").cast("long").as("chunk_len"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+  val m2Sql: String =
+    """WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents WHERE doc_id < 100),
+      |n AS (SELECT doc_id, blob,
+      |        CAST(ceil(octet_length(blob) / 100.0) AS BIGINT) AS n_chunks FROM b),
+      |idx AS (SELECT doc_id, blob, unnest(range(0, n_chunks)) AS chunk_idx
+      |        FROM n WHERE n_chunks > 0)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(LEAST(100, octet_length(blob) - chunk_idx*100) AS BIGINT) AS chunk_len
+      |FROM idx WHERE chunk_idx % 3 = 0
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1,
     "d2_minhash_lsh" -> d2,
     "d3_simhash" -> d3,
+    "d6_simhash_hamming" -> d6,
+    "m2_chunk_sample" -> m2,
     "d4_ngram_jaccard" -> d4,
     "d5_embedding_neardup" -> d5,
     "s1_ann_brute_topk" -> s1,
@@ -482,6 +549,8 @@ object LlmQueries extends graft.core.QueryModule {
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,
+    "d6_simhash_hamming" -> d6Sql,
+    "m2_chunk_sample" -> m2Sql,
     "d4_ngram_jaccard" -> d4Sql,
     "d5_embedding_neardup" -> d5Sql,
     "s1_ann_brute_topk" -> s1Sql,

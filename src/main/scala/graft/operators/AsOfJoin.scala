@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join — for each left row, the latest right row with
-  * `right.ts <= left.ts` within the same key (the canonical time-series
-  * enrichment operator; Spark has no built-in).
+/** As-of join (backward and forward) — for each left row, the latest right
+  * row with `right.ts <= left.ts` (backward) or the earliest with
+  * `right.ts >= left.ts` (forward) within the same key (the canonical
+  * time-series enrichment operator; Spark has no built-in).
   *
   * Implementation is the scalable union+window technique, NOT a range
   * cross-join: tag both sides, union, and take `last(right_payload,
@@ -26,7 +27,18 @@ object AsOfJoin {
     * (consumed by [[backwardWithin]]; drop it if unwanted).
     */
   def backward(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String]): DataFrame =
+    joinImpl(left, right, key, tsCol, rightPayload, forward = false)
+
+  /** Forward as-of join — for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` in the same key (symmetric to [[backward]]:
+    * the window scans descending ts). */
+  def forward(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      rightPayload: Seq[String]): DataFrame =
+    joinImpl(left, right, key, tsCol, rightPayload, forward = true)
+
+  private def joinImpl(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      rightPayload: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightPayload.forall(right.columns.contains), "payload must exist on right")
     require(rightPayload.forall(c => !leftCols.contains(c)),
@@ -43,7 +55,8 @@ object AsOfJoin {
     val unioned = lAligned.select(("__tag" +: leftCols ++: rightPayload).map(col): _*)
       .unionByName(rAligned.select(("__tag" +: leftCols ++: rightPayload).map(col): _*))
 
-    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__tag"))
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
+    val w = Window.partitionBy(col(key)).orderBy(tsOrder, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightPayload.foldLeft(
       unioned.withColumn("__rts", when(col("__tag") === 0, col(tsCol))))(

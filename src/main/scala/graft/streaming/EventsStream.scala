@@ -70,4 +70,24 @@ object EventsStream {
   def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each signup paired with the same user's
+    * clicks in the hour after it. The time-range join condition plus
+    * watermarks on BOTH sides bound the state store (rows are dropped once
+    * no future match can arrive) — the streaming analogue of
+    * [[graft.operators.RangeJoin]]. Works unchanged on batch DataFrames
+    * (parity asserted in the spec). */
+  def signupClickJoin(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("signup_id"))
+      .withWatermark("s_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    signups.join(clicks,
+      expr("s_user = c_user AND c_ts > s_ts AND c_ts <= s_ts + INTERVAL 1 HOUR"))
+      .select(col("signup_id"), col("click_id"))
+  }
 }

@@ -64,4 +64,20 @@ class EventsStreamSpec extends SparkTestBase {
       assert(n === distinct)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch join (parity)") {
+    val stream = EventsStream.fromDirectory(spark, srcDir)
+    val q = EventsStream.signupClickJoin(stream).writeStream
+      .format("memory").queryName("ssjoin_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      val batch = EventsStream.signupClickJoin(
+          Tables.events(spark, "/root/testdata/sf0.001")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.length > 0)
+      assert(got === batch)
+    } finally q.stop()
+  }
 }
