@@ -526,9 +526,13 @@ object AnalyticsQueries extends graft.core.QueryModule {
   // value (the oracle computes the exact side and expects every flag true).
   def sk2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, dir)
-      .groupBy($"event_type")
-      .agg(countDistinct($"user_id").as("n_exact"),
+    // Dedupe (type, user) pairs FIRST, then aggregate: HLL over a set is
+    // identical, and this avoids Spark's countDistinct rewrite dragging the
+    // 1639-word HLL buffer through a per-pair groupBy (observed 10× blowup).
+    val pairs = Tables.events(s, dir)
+      .select($"event_type", $"user_id").distinct()
+    pairs.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_exact"),
         approx_count_distinct($"user_id", 0.01).as("n_approx"))
       .select($"event_type", $"n_exact",
         (abs($"n_approx" - $"n_exact").cast("double") <=
