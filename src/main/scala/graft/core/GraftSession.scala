@@ -22,6 +22,9 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // Catalyst extension point: injected SQL functions (dot_f32,
+      // cosine_f32) + the HOF-dot→native-Expression optimizer rule.
+      .withExtensions(new graft.ext.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
