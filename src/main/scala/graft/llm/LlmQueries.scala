@@ -206,7 +206,9 @@ object LlmQueries extends graft.core.QueryModule {
   // 16-bit simhash splits into two bands; near-dups agree on at least one),
   // verified by Hamming distance via the codegen'd bit_count(xor) built-in.
   // Candidate generation is two band equijoins, never O(n²).
-  def d6(s: SparkSession, dir: String): DataFrame = {
+  /** SimHash near-dup pairs with Hamming distance ≤ 1 (shared by d6 and the
+    * c1 clustering stage): band equijoin candidates + bit_count(xor) verify. */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = TextOps.simhash(docTids(s, dir))
       .withColumn("b0", $"simhash".bitwiseAND(255))
@@ -221,7 +223,27 @@ object LlmQueries extends graft.core.QueryModule {
     cand.withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
       .filter($"hamming" <= 1)
       .select($"da", $"db", $"hamming")
-      .orderBy($"da", $"db")
+  }
+
+  def d6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashPairs(s, dir).orderBy($"da", $"db")
+  }
+
+  // C1: dedup CLUSTERING — the transitive closure of the simhash near-dup
+  // pairs via distributed connected components (min-label propagation,
+  // graft.operators.ConnectedComponents), then one row per duplicate group:
+  // cluster_id = the canonical keeper (min doc_id), group size, max member.
+  // Pairs alone aren't a dedup pipeline; keep-one-per-GROUP needs this stage.
+  def c1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = simhashPairs(s, dir)
+    val comp = graft.operators.ConnectedComponents.run(
+      pairs.select($"da".as("a"), $"db".as("b")))
+    comp.groupBy($"root".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max($"v").as("max_id"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"cluster_id")
   }
   val d6Sql: String = {
     val sums = (0 until 16).map(j =>
@@ -242,6 +264,37 @@ object LlmQueries extends graft.core.QueryModule {
        |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 1
        |ORDER BY da, db""".stripMargin
+  }
+
+  // Oracle for C1: same simhash-pair CTEs, then transitive closure by
+  // recursive CTE (reach = every (node, reachable) pair; root = min reach).
+  val c1Sql: String = {
+    val sums = (0 until 16).map(j =>
+      s"CAST(SUM((((tid*2654435761) >> $j) & 1)*2-1) AS BIGINT) AS s$j").mkString(", ")
+    val hash = (0 until 16).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""${duckTokCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |dids AS (SELECT DISTINCT doc_id, tid FROM ids),
+       |sums AS (SELECT doc_id, $sums FROM dids GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums),
+       |b AS (SELECT doc_id, simhash, simhash & 255 AS b0, simhash >> 8 AS b1 FROM sh),
+       |cand AS (
+       |  SELECT a.doc_id AS da, b2.doc_id AS db, a.simhash AS ha, b2.simhash AS hb
+       |  FROM b a JOIN b b2 ON a.b0 = b2.b0 AND a.doc_id < b2.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b2.doc_id, a.simhash, b2.simhash
+       |  FROM b a JOIN b b2 ON a.b1 = b2.b1 AND a.doc_id < b2.doc_id),
+       |pairs AS (SELECT da, db FROM cand WHERE bit_count(xor(ha, hb)) <= 1),
+       |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS v FROM edges),
+       |reach(v, u) AS (
+       |  SELECT v, v FROM nodes
+       |  UNION
+       |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+       |comp AS (SELECT v, MIN(u) AS root FROM reach GROUP BY v)
+       |SELECT root AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs, MAX(v) AS max_id
+       |FROM comp GROUP BY root HAVING COUNT(*) >= 2
+       |ORDER BY cluster_id""".stripMargin
   }
 
   // D5: embedding-cosine near-dup pairs within a coarse partition (label =
@@ -530,6 +583,7 @@ object LlmQueries extends graft.core.QueryModule {
     "d2_minhash_lsh" -> d2,
     "d3_simhash" -> d3,
     "d6_simhash_hamming" -> d6,
+    "c1_dedup_clusters" -> c1,
     "m2_chunk_sample" -> m2,
     "d4_ngram_jaccard" -> d4,
     "d5_embedding_neardup" -> d5,
@@ -550,6 +604,7 @@ object LlmQueries extends graft.core.QueryModule {
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,
     "d6_simhash_hamming" -> d6Sql,
+    "c1_dedup_clusters" -> c1Sql,
     "m2_chunk_sample" -> m2Sql,
     "d4_ngram_jaccard" -> d4Sql,
     "d5_embedding_neardup" -> d5Sql,
