@@ -9,15 +9,14 @@ import org.apache.spark.sql.functions._
   * transitive closure of those pairs).
   *
   * Algorithm: every node starts labeled with its own id; each round a node
-  * adopts the minimum label among itself and its neighbors; stop when no
-  * label changes. Converges to min-id-per-component in O(component
-  * diameter) rounds. Near-dup graphs are dense small clusters (diameter
-  * 2-4 in practice), so the round count stays tiny even at 100 TB; each
-  * round is one hash-shuffle join + one aggregation on the EDGE list, never
-  * anything quadratic. For adversarial long-path graphs the
-  * large-star/small-star alternation (Kiveris et al., "Connected Components
-  * in MapReduce and Beyond") halves paths per round; this propagation loop
-  * keeps the same join shape, so swapping the step is a local change.
+  * adopts the minimum label among itself and its neighbors (self-loops fold
+  * the node's own label into ONE join + ONE aggregation), then two
+  * path-compression shortcuts (lbl ← lbl[lbl]) contract label chains, so
+  * convergence is O(log diameter) rounds rather than O(diameter) — the
+  * hash-to-min trade (Rastogi et al., "Finding Connected Components in
+  * Map-Reduce in Logarithmic Rounds"). Every step is a hash-shuffle join or
+  * aggregation keyed on node ids — never anything quadratic, no driver-side
+  * graph.
   *
   * Scale notes: labels are localCheckpoint'ed every round — iterative joins
   * otherwise stack lineage (and re-plan cost) linearly in round count; on a
@@ -35,30 +34,56 @@ object ConnectedComponents {
     // materialize the (possibly expensive) upstream edge pipeline ONCE —
     // every round joins against it. RDD-level checkpoint, deliberately not
     // persist(): a CacheManager entry leaked from here would plan-match
-    // against later unrelated queries in the session.
-    val sym0 = edges.select(col("a"), col("b"))
+    // against later unrelated queries in the session. Self-loops (v,v) make
+    // a node its own neighbor, so each round is ONE join + ONE aggregation:
+    // min over {self, neighbors} of the current label — no second join to
+    // merge a node's own label back in.
+    val bidir = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
+    val sym0 = bidir
+      .union(bidir.select(col("a")).distinct().select(col("a"), col("a").as("b")))
       .distinct()
     val sym = if (reliable) sym0.checkpoint() else sym0.localCheckpoint()
-    var labels = sym.select(col("a").as("v")).distinct()
-      .withColumn("lbl", col("v"))
-    var changed = 1L
+    var labels = sym.filter(col("a") === col("b"))
+      .select(col("a").as("v"), col("a").as("lbl"))
+    // Labels only ever decrease (new = min over self+neighbors), so the
+    // label SUM strictly decreases until the fixpoint — an O(1)-row agg on
+    // the just-checkpointed result replaces a per-round changed-rows count.
+    // decimal(38,0): n node-ids can overflow a long sum at cluster scale.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      // min neighbor label per node: edge join on the label side `a`,
-      // aggregated onto the `b` side — one shuffle each, both on node ids
-      val nbrMin = sym.join(labels, sym("a") === labels("v"))
-        .groupBy(sym("b").as("v2"))
-        .agg(min(col("lbl")).as("nmin"))
-      val next0 = labels.join(nbrMin, labels("v") === nbrMin("v2"), "left")
-        .select(col("v"), col("lbl"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl2"))
-      val next = (if (reliable) next0.checkpoint() else next0.localCheckpoint())
-      changed = next.filter(col("lbl2") < col("lbl")).count()
-      labels = next.select(col("v"), col("lbl2").as("lbl"))
-      it += 1
+    // Path compression: lbl[v] ← lbl[lbl[v]] (valid because lbl[u] ≤ u
+    // always — the referenced node exists and its label is no larger).
+    // Propagation alone needs O(diameter) rounds; near-dup graphs can
+    // contain long chains, and two shortcut applications per round cut the
+    // remaining distance-to-root ~4× → O(log diameter) rounds total, the
+    // hash-to-min trade (Rastogi et al., "Finding Connected Components in
+    // Map-Reduce in Logarithmic Rounds").
+    def shortcut(df: DataFrame): DataFrame = {
+      val m = df.select(col("v").as("sv"), col("lbl").as("slbl"))
+      df.join(m, df("lbl") === m("sv"), "left")
+        .select(df("v"), coalesce(col("slbl"), df("lbl")).as("lbl"))
     }
-    require(changed == 0, s"connected components did not converge in $maxIter rounds")
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    while (!converged && it < maxIter) {
+      val t0 = System.nanoTime()
+      val prop = sym.join(labels, sym("a") === labels("v"))
+        .groupBy(sym("b").as("v"))
+        .agg(min(col("lbl")).as("lbl"))
+      val next0 = shortcut(shortcut(prop))
+      val next = if (reliable) next0.checkpoint() else next0.localCheckpoint()
+      val t1 = System.nanoTime()
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      it += 1
+      if (dbg) println(f"[cc] round $it: ckpt ${(t1 - t0) / 1e9}%.3f s, sum ${(System.nanoTime() - t1) / 1e9}%.3f s")
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
     labels.select(col("v"), col("lbl").as("root"))
   }
 
