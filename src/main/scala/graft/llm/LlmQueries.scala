@@ -266,9 +266,23 @@ object LlmQueries extends graft.core.QueryModule {
        |ORDER BY da, db""".stripMargin
   }
 
-  // Oracle for C1: same simhash-pair CTEs, then transitive closure by
+  // C2: the dedup DROP LIST — every doc that loses to its cluster's
+  // canonical keeper (min doc_id), via ConnectedComponents.clusters over
+  // the full documents table (isolated docs keep themselves, never appear).
+  // This is the row set a 100 TB dedup pass would anti-join against the
+  // corpus to materialize the kept corpus.
+  def c2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = simhashPairs(s, dir)
+    val docs = Tables.documents(s, dir)
+    graft.operators.ConnectedComponents.clusters(s, pairs, docs)
+      .filter($"cluster_id" =!= $"doc_id")
+      .orderBy($"doc_id")
+  }
+
+  // Oracle for C1/C2: same simhash-pair CTEs, then transitive closure by
   // recursive CTE (reach = every (node, reachable) pair; root = min reach).
-  val c1Sql: String = {
+  private val ccCompCtes: String = {
     val sums = (0 until 16).map(j =>
       s"CAST(SUM((((tid*2654435761) >> $j) & 1)*2-1) AS BIGINT) AS s$j").mkString(", ")
     val hash = (0 until 16).map(j =>
@@ -291,11 +305,19 @@ object LlmQueries extends graft.core.QueryModule {
        |  SELECT v, v FROM nodes
        |  UNION
        |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
-       |comp AS (SELECT v, MIN(u) AS root FROM reach GROUP BY v)
+       |comp AS (SELECT v, MIN(u) AS root FROM reach GROUP BY v)""".stripMargin
+  }
+
+  val c1Sql: String =
+    s"""$ccCompCtes
        |SELECT root AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs, MAX(v) AS max_id
        |FROM comp GROUP BY root HAVING COUNT(*) >= 2
        |ORDER BY cluster_id""".stripMargin
-  }
+
+  val c2Sql: String =
+    s"""$ccCompCtes
+       |SELECT v AS doc_id, root AS cluster_id FROM comp WHERE root <> v
+       |ORDER BY doc_id""".stripMargin
 
   // D5: embedding-cosine near-dup pairs within a coarse partition (label =
   // IVF cell) — unrolled dot products for cross-engine bit-exactness.
@@ -584,6 +606,7 @@ object LlmQueries extends graft.core.QueryModule {
     "d3_simhash" -> d3,
     "d6_simhash_hamming" -> d6,
     "c1_dedup_clusters" -> c1,
+    "c2_dedup_droplist" -> c2,
     "m2_chunk_sample" -> m2,
     "d4_ngram_jaccard" -> d4,
     "d5_embedding_neardup" -> d5,
@@ -605,6 +628,7 @@ object LlmQueries extends graft.core.QueryModule {
     "d3_simhash" -> d3Sql,
     "d6_simhash_hamming" -> d6Sql,
     "c1_dedup_clusters" -> c1Sql,
+    "c2_dedup_droplist" -> c2Sql,
     "m2_chunk_sample" -> m2Sql,
     "d4_ngram_jaccard" -> d4Sql,
     "d5_embedding_neardup" -> d5Sql,
