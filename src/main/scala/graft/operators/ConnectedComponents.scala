@@ -67,13 +67,20 @@ object ConnectedComponents {
       df.join(m, df("lbl") === m("sv"), "left")
         .select(df("v"), coalesce(col("slbl"), df("lbl")).as("lbl"))
     }
+    // One propagate + two shortcuts; TWO such super-rounds are fused per
+    // checkpoint+convergence check — the action/job overhead per round
+    // dominates the (tiny) per-round compute, and the unreplanned plan
+    // depth stays bounded at two rounds.
+    def round(df: DataFrame): DataFrame = {
+      val prop = sym.join(df, sym("a") === df("v"))
+        .groupBy(sym("b").as("v"))
+        .agg(min(col("lbl")).as("lbl"))
+      shortcut(shortcut(prop))
+    }
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && it < maxIter) {
       val t0 = System.nanoTime()
-      val prop = sym.join(labels, sym("a") === labels("v"))
-        .groupBy(sym("b").as("v"))
-        .agg(min(col("lbl")).as("lbl"))
-      val next0 = shortcut(shortcut(prop))
+      val next0 = round(round(labels))
       val next = if (reliable) next0.checkpoint() else next0.localCheckpoint()
       val t1 = System.nanoTime()
       val s = lblSum(next)
