@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.core.Tables
+import graft.core.{Oracle, Tables}
 
 /** Window-frame / grouping-set / global-span extras rounding out the
   * relational surface (SURVEY W/A2 + north-star additions the reference
@@ -223,7 +223,28 @@ object Extras extends graft.core.QueryModule {
       |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  // SJ1: hot-key-safe revenue by nation — the orders⋈customer join goes
+  // through SaltedJoin (deterministic 8-way salt; dimension replicated),
+  // so one hot customer key cannot pin a 100 TB shuffle partition. Result
+  // is oracle-identical to the plain join by construction.
+  def sj1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val facts = Tables.orders(s, dir).select($"o_custkey".as("custkey"), $"o_totalprice")
+    val dim = Tables.customer(s, dir).select($"c_custkey".as("custkey"), $"c_nationkey")
+    graft.operators.SaltedJoin.join(facts, dim, "custkey", salts = 8)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Oracle.money($"o_totalprice")).cast("double").as("sum_price"))
+      .orderBy($"c_nationkey")
+  }
+  val sj1Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sj1_salted_join" -> sj1,
     "g2_pivot" -> g2,
     "w5_rolling_avg" -> w5,
     "g1_rollup" -> g1,
@@ -235,6 +256,7 @@ object Extras extends graft.core.QueryModule {
     "g3_grouping_sets" -> g3,
   )
   val oracles: Map[String, String] = Map(
+    "sj1_salted_join" -> sj1Sql,
     "g2_pivot" -> g2Sql,
     "w5_rolling_avg" -> w5Sql,
     "g1_rollup" -> g1Sql,

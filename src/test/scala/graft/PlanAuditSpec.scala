@@ -79,6 +79,43 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("EqualTo(p_brand,Brand#1)"))
   }
 
+  test("EVERY registered query plans without 100 TB red flags") {
+    // Whole-inventory sweep of initial physical plans (no execution): no
+    // unintended cartesian products and no empty-partition Window — the two
+    // shapes that silently stop scaling. Queries whose tiny side is
+    // DELIBERATELY cross-joined (scalar thresholds, 1-row query vectors,
+    // fixed centroid lists) are allowlisted for the cartesian check only.
+    val intendedCross = Set(
+      "q11_important_parts", // scalar subquery threshold (1 row, broadcast)
+      "q22_idle_customers",  // scalar avg(acctbal) subquery (1 row, broadcast)
+      "s1_ann_brute_topk",   // 1-row query vector
+      "s2_ann_lsh_topk",
+      "s3_ann_ivf_topk",     // fixed centroid list
+      "sk2_sketch_bounds",   // 1-row exact-vs-sketch comparison
+      "a15_marginalised_stat", // 1-row marginalisation constant
+      "a5_log_bayes_factors",  // model×model pairs over a handful of models
+      "j8_hd_pair_correlation", // pulsar-pair self-join: tens of pulsars
+      "t3_token_stats")      // corpus-level scalar aggregates
+    // iterative operators run actions while BUILDING the frame — profile
+    // their final stage only (loop internals are audited by their specs)
+    val violations = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if name != "c1_dedup_clusters" && name != "c2_dedup_droplist"
+      p = fn(spark, dir).queryExecution.executedPlan.toString
+      flag <- Seq(
+        if (p.contains("windowspecdefinition()")) Some("empty-partition window") else None,
+        if (!intendedCross(name) &&
+          (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")))
+          Some("unplanned cross join") else None).flatten
+    } yield s"$name: $flag"
+    assert(violations.isEmpty, violations.mkString("; "))
+  }
+
+  test("sj1: the salted join widens the key — hot keys split across salts") {
+    val p = plan("sj1_salted_join")
+    assert(p.contains("__salt") || p.contains("pmod"), p.take(2000))
+  }
+
   test("no query moves all rows to a single-partition window") {
     // spot-check the rank-based queries: their plans must not contain a
     // Window with an empty partition spec (the 100 TB red flag)
