@@ -76,8 +76,11 @@ object LlmQueries extends graft.core.QueryModule {
     // the synthetic corpus has a ~31-word vocabulary, so unigram signatures
     // collide for nearly every pair). NOTE: no persist() here — a cached
     // relation leaked from a query function slows every LATER query in the
-    // session (CacheManager plan-matching against the giant lineage);
-    // recomputing the signature subtree 3x is far cheaper.
+    // session (CacheManager plan-matching against the giant lineage).
+    // localCheckpoint instead: the tokenize→shingle→dict→minhash subtree is
+    // the expensive part and feeds BOTH sides of the candidate self-join
+    // plus both signature lookups — materialize it once, off the
+    // CacheManager (per-doc signatures are tiny next to the corpus).
     val docs = Tables.documents(s, dir)
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 3)
@@ -85,7 +88,7 @@ object LlmQueries extends graft.core.QueryModule {
     val dict = graft.operators.GlobalRank.withRowNumber(
       sh.select($"sh").distinct(), Seq($"sh"), rn = "tid", nTotal = None)
     val tids = sh.join(broadcast(dict), "sh").select($"doc_id", $"tid")
-    val sig = TextOps.minhashSignatures(tids)
+    val sig = TextOps.minhashSignatures(tids).localCheckpoint()
     val bands = TextOps.lshBands(sig)
     val cand = bands.select($"doc_id".as("da"), $"band")
       .join(bands.select($"doc_id".as("db"), $"band"), Seq("band"))
@@ -164,8 +167,11 @@ object LlmQueries extends graft.core.QueryModule {
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"lang", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 3)
+    // shingle table feeds three consumers (per-doc counts + both sides of
+    // the pair equijoin) — one localCheckpoint beats recomputing
+    // tokenize+shingle+distinct thrice (and stays off the CacheManager)
     val sh = docs.select($"doc_id", $"lang",
-      explode(TextOps.shingles3($"toks")).as("sh")).distinct()
+      explode(TextOps.shingles3($"toks")).as("sh")).distinct().localCheckpoint()
     val n = sh.groupBy($"doc_id".as("nid")).agg(count(lit(1)).as("ns"))
     val c = sh.select($"doc_id".as("da"), $"lang", $"sh")
       .join(sh.select($"doc_id".as("db"), $"lang", $"sh"), Seq("lang", "sh"))
@@ -210,9 +216,12 @@ object LlmQueries extends graft.core.QueryModule {
     * c1 clustering stage): band equijoin candidates + bit_count(xor) verify. */
   private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // per-doc simhash feeds FOUR join sides (two bands × two sides) —
+    // materialize once via localCheckpoint (not persist: CacheManager leak)
     val sh = TextOps.simhash(docTids(s, dir))
       .withColumn("b0", $"simhash".bitwiseAND(255))
       .withColumn("b1", shiftright($"simhash", 8))
+      .localCheckpoint()
     def side(p: String) = sh.select($"doc_id".as(s"d$p"), $"simhash".as(s"h$p"),
       $"b0".as(s"b0$p"), $"b1".as(s"b1$p"))
     val cand = side("a").join(side("b"), $"b0a" === $"b0b" && $"da" < $"db")
