@@ -543,6 +543,30 @@ object AnalyticsQueries extends graft.core.QueryModule {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // SM1: bottom-k sketch sample — Aggregators.BottomK keeps the k=4 doc ids
+  // with the smallest Knuth-hash priority per language: a deterministic
+  // uniform sample whose shuffle cost is k longs per group (vs a window
+  // row_number sorting every row). posexplode → (lang, rk, doc_id) rows;
+  // the oracle replays the same priority ORDER BY in DuckDB.
+  def sm1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bottomK = udaf(new graft.functions.Aggregators.BottomK(4))
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(bottomK($"doc_id").as("sample"))
+      .select($"lang", posexplode($"sample").as(Seq("pos", "doc_id")))
+      .select($"lang", ($"pos" + 1).cast("long").as("rk"), $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+  val sm1Sql: String =
+    """WITH pr AS (
+      |  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS p FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY p, doc_id) AS rk
+      |  FROM pr)
+      |SELECT lang, rk, doc_id FROM r WHERE rk <= 4 ORDER BY lang, rk""".stripMargin
+
   // Sketches: approximate quantiles (GK) + HLL distinct counts — declared
   // WITHOUT oracle SQL (sketch internals differ across engines; the driver
   // records a rows-only check). The exact counterparts are a8/a14.
@@ -560,6 +584,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk1_sketches" -> sketches,
     "sk2_sketch_bounds" -> sk2,
+    "sm1_bottomk_sample" -> sm1,
     "ao_asof_join" -> asof,
     "ao2_asof_forward" -> asofForward,
     "x1_powerlaw_psd" -> x1,
@@ -588,6 +613,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
 
   val oracles: Map[String, String] = Map(
     "sk2_sketch_bounds" -> sk2Sql,
+    "sm1_bottomk_sample" -> sm1Sql,
     "ao_asof_join" -> asofSql,
     "ao2_asof_forward" -> asofForwardSql,
     "x1_powerlaw_psd" -> x1Sql,

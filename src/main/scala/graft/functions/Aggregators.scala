@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Custom typed aggregators (SURVEY U5) — the only two aggregation
-  * semantics the reference needs that Spark lacks as built-ins.
-  * Both are algebraic (commutative, associative merge) so Spark applies
+/** Custom typed aggregators (SURVEY U5): the two aggregation semantics the
+  * reference needs that Spark lacks as built-ins, plus the bottom-k sketch
+  * a training-data pipeline needs for per-group sampling.
+  * All are algebraic (commutative, associative merge) so Spark applies
   * them with map-side partial aggregation — shuffle carries one buffer per
   * group, not the rows.
   */
@@ -60,5 +61,54 @@ object Aggregators {
     def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Bottom-k sketch (k-minimum-values): keeps the k ids with the smallest
+    * deterministic hash priority — simultaneously a uniform per-group
+    * SAMPLE (the hash is effectively random but reproducible across runs
+    * and retries, unlike rand()) and the KMV distinct-count estimator.
+    * Buffer is the id array ordered by (priority, id), never larger than
+    * k — a shuffle carries k longs per group regardless of group size,
+    * where a window row_number() over the same grouping would sort every
+    * row. Merge = merge-by-priority, truncate at k (associative,
+    * commutative; property-tested in AggregatorsSpec).
+    */
+  class BottomK(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k > 0)
+    /** Knuth multiplicative hash, 32-bit — cheap enough to recompute on
+      * compare (buffer stays a bare long array) and expressible verbatim
+      * in the DuckDB oracle: (id * 2654435761) % 4294967296. */
+    @inline private def pri(v: Long): Long = (v * 2654435761L) & 0xFFFFFFFFL
+    private def lt(a: Long, b: Long): Boolean = {
+      val (pa, pb) = (pri(a), pri(b))
+      pa < pb || (pa == pb && a < b)
+    }
+    def zero: Array[Long] = Array.empty
+    def reduce(b: Array[Long], v: Long): Array[Long] =
+      if (b.length == k && !lt(v, b(k - 1))) b
+      else insert(b, v)
+    private def insert(b: Array[Long], v: Long): Array[Long] = {
+      var i = b.length
+      // ids arrive distinct in the intended use (keys); a duplicate would
+      // occupy two slots — guard anyway
+      if (b.contains(v)) return b
+      val out = new Array[Long](math.min(b.length + 1, k) max b.length)
+      java.lang.System.arraycopy(b, 0, out, 0, b.length)
+      if (out.length > b.length) out(b.length) = v
+      else if (lt(v, out(out.length - 1))) out(out.length - 1) = v
+      else return b
+      i = out.length - 1
+      while (i > 0 && lt(out(i), out(i - 1))) {
+        val t = out(i); out(i) = out(i - 1); out(i - 1) = t; i -= 1
+      }
+      out
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      y.foldLeft(x)(insert)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 }

@@ -54,4 +54,35 @@ class AggregatorsSpec extends SparkTestBase {
     val agg = udaf(new Aggregators.HistMode(10, 0.0, 10.0))
     assert(vals.select(agg(vals("value"))).head().getDouble(0) === 9.0)
   }
+
+  private def bottomKRef(k: Int, ids: Seq[Long]): Seq[Long] = {
+    def pri(v: Long): Long = (v * 2654435761L) & 0xFFFFFFFFL
+    ids.distinct.sortBy(v => (pri(v), v)).take(k)
+  }
+
+  test("BottomK equals sort-by-priority-take-k on a DataFrame") {
+    import spark.implicits._
+    val ids = (0L until 500L).map(i => i * 7919L % 100000L)
+    val agg = udaf(new Aggregators.BottomK(6))
+    val got = ids.toDF("id").select(agg($"id")).head().getSeq[Long](0)
+    assert(got.toSeq === bottomKRef(6, ids))
+  }
+
+  test("BottomK merge is associative, commutative, and order-insensitive") {
+    val a = new Aggregators.BottomK(5)
+    val gen = Gen.listOf(Gen.choose(0L, 1000L))
+    val prop = forAll(gen, gen, gen) { (xs, ys, zs) =>
+      def buf(l: List[Long]) = l.foldLeft(a.zero)(a.reduce)
+      val (x, y, z) = (buf(xs), buf(ys), buf(zs))
+      // merge mutates nothing observable across orderings of the SAME data
+      val left = a.merge(a.merge(buf(xs), buf(ys)), buf(zs)).toSeq
+      val right = a.merge(buf(xs), a.merge(buf(ys), buf(zs))).toSeq
+      val swap = a.merge(buf(ys), buf(xs)).toSeq
+      val all = a.finish(buf(xs ++ ys ++ zs)).toSeq
+      left == right && a.merge(buf(xs), buf(ys)).toSeq == swap &&
+        left == all && all == bottomKRef(5, xs ++ ys ++ zs)
+    }
+    val r = SCTest.check(prop)(_.withMinSuccessfulTests(100))
+    assert(r.passed, r.status.toString)
+  }
 }

@@ -49,4 +49,36 @@ class AsOfJoinSpec extends SparkTestBase {
       AsOfJoin.backward(df, df, "k", "ts", Seq("quote"))
     }
   }
+
+  test("random data matches the brute-force as-of definition (fwd + bwd)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val keys = 1L to 3L
+      val lrows = Seq.fill(40)((keys(rnd.nextInt(3)), rnd.nextInt(100).toLong))
+        .distinct.map { case (k, t) => (k, t, s"L$k-$t") }
+      // distinct right ts per key: ties among right rows would make the
+      // matched payload order-dependent in ANY as-of definition
+      val rrows = Seq.fill(25)((keys(rnd.nextInt(3)), rnd.nextInt(100).toLong))
+        .distinct.map { case (k, t) => (k, t, s"R$k-$t") }
+      val left = lrows.toDF("k", "ts", "name")
+      val right = rrows.toDF("k", "ts", "quote")
+
+      def brute(fwd: Boolean): Map[(Long, Long), String] =
+        lrows.map { case (k, t, _) =>
+          val cand = rrows.filter(r => r._1 == k && (if (fwd) r._2 >= t else r._2 <= t))
+          val pick = if (cand.isEmpty) null
+            else if (fwd) cand.minBy(_._2)._3 else cand.maxBy(_._2)._3
+          (k, t) -> pick
+        }.toMap
+
+      for (fwd <- Seq(false, true)) {
+        val op = if (fwd) AsOfJoin.forward _ else AsOfJoin.backward _
+        val got = op(left, right, "k", "ts", Seq("quote"))
+          .select($"k", $"ts", $"quote").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+        assert(got === brute(fwd), s"trial $trial fwd=$fwd")
+      }
+    }
+  }
 }

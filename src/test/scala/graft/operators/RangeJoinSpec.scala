@@ -61,4 +61,24 @@ class RangeJoinSpec extends SparkTestBase {
       .select($"pid").collect().map(_.getLong(0)).sorted
     assert(got.toSeq === Seq(10L, 11L))
   }
+
+  test("random intervals/points match the naive theta join at odd bucket widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    for (width <- Seq(3L, 17L, 1000L)) {
+      val iv = Seq.tabulate(30) { i =>
+        val lo = rnd.nextInt(500).toLong
+        (i.toLong, lo, lo + rnd.nextInt(120).toLong)
+      }.toDF("iid", "lo", "hi")
+      val pts = Seq.tabulate(80)(i => (i.toLong, rnd.nextInt(700).toLong))
+        .toDF("pid", "pts")
+      val got = RangeJoin.pointInInterval(iv, col("lo"), col("hi"),
+          pts, col("pts"), bucketWidth = width, joinType = "inner")
+        .select($"iid", $"pid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val want = iv.as("i").join(pts.as("p"),
+          col("p.pts") > col("i.lo") && col("p.pts") <= col("i.hi"))
+        .select($"iid", $"pid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got === want, s"width=$width")
+    }
+  }
 }
