@@ -90,4 +90,43 @@ object EventsStream {
       expr("s_user = c_user AND c_ts > s_ts AND c_ts <= s_ts + INTERVAL 1 HOUR"))
       .select(col("signup_id"), col("click_id"))
   }
+
+  /** Idempotent foreachBatch sink: the production exactly-once pattern for
+    * targets without transactional file-sink semantics (JDBC, key-value
+    * upserts). Spark replays an unacknowledged micro-batch after a crash
+    * with the SAME batchId, so the sink (a) skips batchIds at or below the
+    * recorded high-water mark, and (b) writes batch data + the new mark
+    * under the batchId before acknowledging. Here the "target" is a
+    * parquet dir per batch + a mark file — the shape, not the store,
+    * is the point; swap `commit` for a JDBC upsert in production.
+    *
+    * Returns the started query (Trigger.AvailableNow: drain everything
+    * available, then stop — the backfill/catch-up trigger).
+    */
+  /** One micro-batch commit: write iff `batchId` is above the recorded
+    * high-water mark, then advance the mark. Returns whether it wrote —
+    * a replayed (already-acknowledged) batch is a no-op. */
+  def commitBatch(batch: DataFrame, batchId: Long, targetDir: String): Boolean = {
+    val mark = new java.io.File(targetDir, "_high_water_mark")
+    val seen = if (mark.exists)
+      java.nio.file.Files.readString(mark.toPath).trim.toLong else -1L
+    if (batchId > seen) {
+      batch.write.mode("overwrite") // overwrite: replayed half-written batch dirs heal
+        .parquet(s"$targetDir/batch_id=$batchId")
+      java.nio.file.Files.writeString(mark.toPath, batchId.toString)
+      true
+    } else false // duplicate replay of an acknowledged batch
+  }
+
+  def runIdempotentSink(df: DataFrame, targetDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        commitBatch(batch, batchId, targetDir); ()
+      }
+      .start()
+  }
 }

@@ -80,4 +80,29 @@ class EventsStreamSpec extends SparkTestBase {
       assert(got === batch)
     } finally q.stop()
   }
+
+  test("idempotent foreachBatch sink: AvailableNow drains, replay is a no-op") {
+    val target = tmpDir("sink-target").toString
+    val ckpt = tmpDir("sink-ckpt").toString
+    val stream = EventsStream.fromDirectory(spark, srcDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val q = EventsStream.runIdempotentSink(stream, target, ckpt)
+    q.awaitTermination() // AvailableNow stops itself after the drain
+    val n1 = spark.read.parquet(target).count()
+    assert(n1 === Tables.events(spark, "/root/testdata/sf0.001").count())
+    val mark = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(target, "_high_water_mark")).trim.toLong
+
+    // crash-replay: re-deliver batch 0 with the same batchId — the
+    // high-water mark must make it a no-op
+    val replayed = spark.read.parquet(s"$target/batch_id=0")
+    assert(!EventsStream.commitBatch(replayed, 0L, target),
+      "replay of an acknowledged batchId must be skipped")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(target, "_high_water_mark")).trim.toLong === mark)
+    assert(spark.read.parquet(target).count() === n1)
+    // a NEW batchId commits and advances the mark
+    assert(EventsStream.commitBatch(replayed.limit(1), mark + 1, target))
+    assert(spark.read.parquet(target).count() === n1 + 1)
+  }
 }
