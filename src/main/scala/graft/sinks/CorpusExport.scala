@@ -1,0 +1,35 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Training-corpus export: the write side of the dedup pipeline.
+  *
+  * Layout rules for a 100 TB corpus a trainer will re-read many times:
+  *  - `partitionBy(lang)` → downstream language-filtered reads prune whole
+  *    directories (partition pruning, no file listing of other langs);
+  *  - `repartition(lang)` FIRST → each output partition directory is
+  *    written by the tasks that own that lang, not by every task — without
+  *    it, every one of N tasks opens a file in every lang dir (N×L small
+  *    files, the classic partitioned-write explosion);
+  *  - `maxRecordsPerFile` bounds the file size so a single giant language
+  *    still splits into parallel-readable chunks.
+  *
+  * For a SKEWED language distribution, replace `repartition(col)` with
+  * `repartition(expr(lang, pmod(hash(doc_id), k)))`-style salting so the
+  * dominant language writes through k tasks (same trade as
+  * operators.SaltedJoin).
+  */
+object CorpusExport {
+
+  def write(docs: DataFrame, outDir: String, partitionCol: String = "lang",
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    docs
+      .repartition(col(partitionCol))
+      .write
+      .partitionBy(partitionCol)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(outDir)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming ingest of a document corpus with ONLINE near-dup dedup — the
+  * continuous-arrival counterpart of the batch dedup pipeline (LlmQueries
+  * d3/d6/c1): documents stream in, each row gets a shuffle-free
+  * [[graft.text.TextOps.simhashCol]] (xxhash64 token ids folded with HOF
+  * `aggregate` — a pure projection, so the streaming planner accepts it),
+  * and `dropDuplicatesWithinWatermark` keeps the FIRST document per simhash
+  * with state bounded by the watermark instead of growing with the corpus.
+  *
+  * Design note for 100 TB ingest: exact-simhash dedup is the streamable
+  * fragment of near-dup removal (identical 16-bit sketch ⇒ near-identical
+  * doc). Hamming-distance-1 pairing and transitive clustering need
+  * cross-row joins over unbounded history — those stay in the periodic
+  * batch pass (c1/c2); this filter cheaply drops the bulk of dupes at the
+  * door with O(watermark) state.
+  */
+object CorpusStream {
+
+  val rawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a directory of documents parquet; arrival time
+    * is synthesized from doc_id (the fixture corpus has no event time —
+    * production ingest would carry its own). */
+  def fromDirectory(spark: SparkSession, dir: String): DataFrame =
+    withArrival(spark.readStream.schema(rawSchema).parquet(dir))
+
+  def withArrival(docs: DataFrame): DataFrame =
+    docs.withColumn("arrived", timestamp_micros(col("doc_id") * 1000000L))
+
+  /** Online near-dup filter: first doc per simhash wins; state expires with
+    * the watermark. Identical transform works on a batch frame (parity
+    * asserted in the spec via dropDuplicates, the unbounded equivalent). */
+  def nearDupDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("simhash",
+        graft.text.TextOps.simhashCol(graft.text.TextOps.tokens(col("text"))))
+      .withWatermark("arrived", watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+
+  /** Batch (unbounded-history) equivalent: one doc per distinct simhash —
+    * the parity target for the spec. */
+  def nearDupDedup0(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("simhash",
+        graft.text.TextOps.simhashCol(graft.text.TextOps.tokens(col("text"))))
+      .dropDuplicates("simhash")
+}

@@ -85,4 +85,20 @@ object TextOps {
   def fingerprint(docTids: DataFrame): DataFrame =
     docTids.groupBy(col("doc_id"))
       .agg((sum((col("tid") + 7) * col("pos") * col("pos")) % MinhashPrime).as("fp"))
+
+  /** ROW-LOCAL 16-bit SimHash over a token array: xxhash64 token ids
+    * (the shuffle-free dictionary route) folded per row with HOF
+    * `aggregate` — no groupBy, no shuffle, so it runs identically in a
+    * streaming plan (see streaming.CorpusStream) and inside any projection.
+    * Same bit rule as [[simhash]]: bit j set iff the ±1 sum of token bit j
+    * is positive, over the DISTINCT token set. */
+  def simhashCol(toks: Column, bits: Int = 16): Column = {
+    val uniq = array_distinct(toks)
+    val hash = (0 until bits).map { j =>
+      val s = aggregate(uniq, lit(0L), (acc, t) =>
+        acc + (shiftright(xxhash64(t), j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hash
+  }
 }
