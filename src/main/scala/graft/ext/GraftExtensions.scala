@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Divide(DotFloatVectors(a, b),
           Multiply(Sqrt(DotFloatVectors(a, a)), Sqrt(DotFloatVectors(b, b))))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[graft.functions.SimHash16].getName, "simhash16"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash16 takes exactly 1 argument")
+        graft.functions.SimHash16(children.head)
+      }))
     ext.injectOptimizerRule(_ => NativeDotRewrite)
   }
 }

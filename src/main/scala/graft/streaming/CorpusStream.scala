@@ -7,8 +7,9 @@ import org.apache.spark.sql.types._
 /** Streaming ingest of a document corpus with ONLINE near-dup dedup — the
   * continuous-arrival counterpart of the batch dedup pipeline (LlmQueries
   * d3/d6/c1): documents stream in, each row gets a shuffle-free
-  * [[graft.text.TextOps.simhashCol]] (xxhash64 token ids folded with HOF
-  * `aggregate` — a pure projection, so the streaming planner accepts it),
+  * [[graft.text.TextOps.simhashNative]] (the one-pass codegen'd
+  * [[graft.functions.SimHash16]] — a pure projection, so the streaming
+  * planner accepts it),
   * and `dropDuplicatesWithinWatermark` keeps the FIRST document per simhash
   * with state bounded by the watermark instead of growing with the corpus.
   *
@@ -43,7 +44,7 @@ object CorpusStream {
   def nearDupDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("simhash",
-        graft.text.TextOps.simhashCol(graft.text.TextOps.tokens(col("text"))))
+        graft.text.TextOps.simhashNative(graft.text.TextOps.tokens(col("text"))))
       .withWatermark("arrived", watermark)
       .dropDuplicatesWithinWatermark("simhash")
 
@@ -52,6 +53,6 @@ object CorpusStream {
   def nearDupDedup0(docs: DataFrame): DataFrame =
     docs
       .withColumn("simhash",
-        graft.text.TextOps.simhashCol(graft.text.TextOps.tokens(col("text"))))
+        graft.text.TextOps.simhashNative(graft.text.TextOps.tokens(col("text"))))
       .dropDuplicates("simhash")
 }
