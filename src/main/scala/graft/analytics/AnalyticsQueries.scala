@@ -543,6 +543,25 @@ object AnalyticsQueries extends graft.core.QueryModule {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // W9: rank-normalization windows — percent_rank and cume_dist of value
+  // within each event_type (partitioned windows: no global sort). Doubles
+  // out of both engines' identical closed forms hash-match exactly.
+  def w9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    Tables.events(s, dir)
+      .filter($"user_id" < 3)
+      .select($"event_type", $"event_id",
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .orderBy($"event_type", $"event_id")
+  }
+  val w9Sql: String =
+    """SELECT event_type, event_id,
+      |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+      |FROM events WHERE user_id < 3
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_type, event_id""".stripMargin
+
   // SM1: bottom-k sketch sample — Aggregators.BottomK keeps the k=4 doc ids
   // with the smallest Knuth-hash priority per language: a deterministic
   // uniform sample whose shuffle cost is k longs per group (vs a window
@@ -585,6 +604,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "sk1_sketches" -> sketches,
     "sk2_sketch_bounds" -> sk2,
     "sm1_bottomk_sample" -> sm1,
+    "w9_percent_rank" -> w9,
     "ao_asof_join" -> asof,
     "ao2_asof_forward" -> asofForward,
     "x1_powerlaw_psd" -> x1,
@@ -614,6 +634,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   val oracles: Map[String, String] = Map(
     "sk2_sketch_bounds" -> sk2Sql,
     "sm1_bottomk_sample" -> sm1Sql,
+    "w9_percent_rank" -> w9Sql,
     "ao_asof_join" -> asofSql,
     "ao2_asof_forward" -> asofForwardSql,
     "x1_powerlaw_psd" -> x1Sql,

@@ -82,6 +82,30 @@ object Multimodal {
         expr(s"substring(content, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
       .select(col("media_id"), col("kind"), col("chunk_idx"), col("chunk"))
 
+  /** "Resize" stub: deterministic stride subsample of the payload to ≤
+    * targetBytes — the codec-free stand-in for image resize / audio
+    * downsample (real plumbing: binary in, smaller binary out, metadata
+    * updated; swap the byte math for a codec call on a real cluster).
+    * Runs per partition like [[extractFeatures]] — one "codec" per
+    * partition, rows streamed. */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val in = if (r.content == null) Array.empty[Byte] else r.content
+        val out = if (in.length <= targetBytes) in
+        else {
+          val stride = in.length.toDouble / targetBytes
+          Array.tabulate(targetBytes)(i => in((i * stride).toInt))
+        }
+        MediaRow(r.media_id, r.kind, out,
+          (if (r.meta == null) Map.empty[String, String] else r.meta) +
+            ("orig_bytes" -> in.length.toString))
+      }
+    }.toDF()
+  }
+
   /** Wrap text rows into the media schema (test/fixture helper). */
   def textAsMedia(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id).cast("long").as("media_id"), lit("text").as("kind"),

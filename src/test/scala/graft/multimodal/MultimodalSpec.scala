@@ -36,4 +36,21 @@ class MultimodalSpec extends SparkTestBase {
     val sizes = chunks.select(octet_length(col("chunk"))).collect().map(_.getInt(0))
     assert(sizes.forall(_ === 1000))
   }
+
+  test("resize stub bounds payloads, keeps small ones, records orig_bytes") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", Array.tabulate(1000)(_.toByte), Map("w" -> "100")),
+      (2L, "image", Array.tabulate(16)(_.toByte), Map.empty[String, String]))
+      .toDF("media_id", "kind", "content", "meta")
+    val out = Multimodal.resize(media, targetBytes = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]]("content"), r.getMap[String, String](3))).toMap
+    assert(out(1L)._1.length === 64)
+    assert(out(1L)._1.head === 0.toByte) // stride sampling keeps byte 0
+    assert(out(1L)._2("orig_bytes") === "1000")
+    assert(out(1L)._2("w") === "100") // existing metadata preserved
+    assert(out(2L)._1.length === 16) // already small: untouched
+    assert(out(2L)._2("orig_bytes") === "16")
+  }
 }
