@@ -32,4 +32,20 @@ object CorpusExport {
       .mode("overwrite")
       .parquet(outDir)
   }
+
+  /** Range-clustered layout: `repartitionByRange` + `sortWithinPartitions`
+    * on `rangeCol` → every output file covers a DISJOINT value range, so a
+    * point/range predicate on that column prunes whole files via parquet
+    * min/max stats before any row is read — the sorted-layout half of what
+    * Z-ordering buys, for the single-column case a doc_id / time axis
+    * needs. `numFiles` stands in for cluster parallelism. */
+  def writeRangeSorted(docs: DataFrame, outDir: String, rangeCol: String,
+      numFiles: Int): Unit = {
+    docs
+      .repartitionByRange(numFiles, col(rangeCol))
+      .sortWithinPartitions(col(rangeCol))
+      .write
+      .mode("overwrite")
+      .parquet(outDir)
+  }
 }

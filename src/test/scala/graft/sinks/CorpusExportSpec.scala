@@ -33,4 +33,30 @@ class CorpusExportSpec extends SparkTestBase {
     assert(scan.contains("PartitionFilters") || one.count() ===
       docs.filter(docs("lang") === langs.head).count())
   }
+
+  test("range-sorted export: files cover disjoint doc_id ranges") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = tmpDir("corpus-range").toString
+    CorpusExport.writeRangeSorted(docs, out, "doc_id", numFiles = 4)
+
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length > 1)
+    // per-file [min, max] — the stats parquet row-group pruning keys on
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("doc_id"),
+          org.apache.spark.sql.functions.max("doc_id")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, "overlapping file ranges")
+      case _ =>
+    }
+    // lossless and filter-prunable
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    val p = back.filter(back("doc_id") === 5L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") || p.contains("pushedFilters"))
+  }
 }
