@@ -213,8 +213,25 @@ object LlmQueries extends graft.core.QueryModule {
   // verified by Hamming distance via the codegen'd bit_count(xor) built-in.
   // Candidate generation is two band equijoins, never O(n²).
   /** SimHash near-dup pairs with Hamming distance ≤ 1 (shared by d6 and the
-    * c1 clustering stage): band equijoin candidates + bit_count(xor) verify. */
+    * c1/c2 clustering stages): band equijoin candidates + bit_count(xor)
+    * verify. d6, c1 and c2 are stages of ONE dedup pipeline over the same
+    * corpus, so the materialized (localCheckpoint'ed) pair table is
+    * memoized per (session, dir) — same contract as Tables.load's source
+    * memoization: immutable inputs, immutable checkpointed RDD, zero
+    * CacheManager involvement. At 100 TB this intermediate IS what a
+    * pipeline persists between its pairing and clustering stages.
+    */
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    pairsMemo.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    pairsMemo.computeIfAbsent((s, dir), { case (sess, d) =>
+      simhashPairs0(sess, d).localCheckpoint()
+    })
+  }
+
+  private def simhashPairs0(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // per-doc simhash feeds FOUR join sides (two bands × two sides) —
     // materialize once via localCheckpoint (not persist: CacheManager leak)
