@@ -40,17 +40,34 @@ object LlmQueries extends graft.core.QueryModule {
       |ids AS (
       |  SELECT p.doc_id, p.pos, d.tid FROM pt p JOIN dict d ON p.tok = d.tok)""".stripMargin
 
-  private def docTokens(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    TextOps.docTokens(docs, col("doc_id"), col("text"))
+  // Positioned token stream and id-mapped stream are THE shared
+  // intermediates of the text pipeline (language-ID, quality, token stats,
+  // simhash, fingerprint all fold the same tokenization) — memoized
+  // per (session, dir) as localCheckpoint'ed tables, same contract as
+  // Tables.load / the simhash pair memo: immutable input, immutable
+  // checkpointed RDD, no CacheManager. A 100 TB pipeline materializes
+  // tokenization exactly once for the same reason.
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def memoized(s: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame = {
+    memo.keySet.removeIf { case (sess, _, _) => sess.sparkContext.isStopped }
+    memo.computeIfAbsent((s, dir, key), _ => build.localCheckpoint())
   }
 
-  private def docTids(s: SparkSession, dir: String): DataFrame = {
-    val pt = docTokens(s, dir)
-    // dictionary is vocabulary-sized → broadcast; the token stream never shuffles
-    pt.join(broadcast(TextOps.tokenDict(pt)), "tok")
-      .select(col("doc_id"), col("pos"), col("tid"))
-  }
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "docTokens") {
+      TextOps.docTokens(Tables.documents(s, dir), col("doc_id"), col("text"))
+    }
+
+  private def docTids(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "docTids") {
+      val pt = docTokens(s, dir)
+      // dictionary is vocabulary-sized → broadcast; the token stream never shuffles
+      pt.join(broadcast(TextOps.tokenDict(pt)), "tok")
+        .select(col("doc_id"), col("pos"), col("tid"))
+    }
 
   // D1: exact dedup — canonical-keeper per duplicate group (md5 of text as
   // the group key; hash-groupBy is the 100 TB route) + corpus-level stats.
@@ -221,15 +238,8 @@ object LlmQueries extends graft.core.QueryModule {
     * CacheManager involvement. At 100 TB this intermediate IS what a
     * pipeline persists between its pairing and clustering stages.
     */
-  private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    pairsMemo.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
-    pairsMemo.computeIfAbsent((s, dir), { case (sess, d) =>
-      simhashPairs0(sess, d).localCheckpoint()
-    })
-  }
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "simhashPairs")(simhashPairs0(s, dir))
 
   private def simhashPairs0(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
