@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.text.TextOps
@@ -636,6 +637,166 @@ object LlmQueries extends graft.core.QueryModule {
       |FROM idx WHERE chunk_idx % 3 = 0
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // T6: BM25 relevance scoring — the standard search/curation ranking
+  // function. Corpus stats (df_i, avgdl) are one tiny aggregate broadcast
+  // to every doc; per-term tfs come from conditional aggregation so the
+  // whole score is ONE fixed left-assoc expression (bit-reproducible, the
+  // oracle mirrors it verbatim; ln ulp differences absorbed by round 6).
+  // At 100 TB: one pass over the token stream + a broadcast — no shuffle
+  // beyond the per-doc groupBy.
+  private val Bm25Terms = Seq("data", "query", "scan", "join")
+  def t6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tfAggs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when($"tok" === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val perDoc = docTokens(s, dir).groupBy($"doc_id")
+      .agg(count(lit(1)).as("dl"), tfAggs: _*)
+    val dfAggs = Bm25Terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      dfAggs :+ (sum($"dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"): _*)
+    def term(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val dfi = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) + (($"n_docs".cast("double") - dfi) + lit(0.5)) / (dfi + lit(0.5)))
+      idf * (tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl".cast("double") / $"avgdl")))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .filter(Bm25Terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .select($"doc_id", $"dl".as("n_tokens"),
+        round(Bm25Terms.indices.map(term).reduce(_ + _), 6).as("bm25"))
+      .orderBy($"doc_id")
+  }
+  val t6Sql: String = {
+    val tfDefs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfDefs = Bm25Terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(", ")
+    val terms = Bm25Terms.indices.map { i =>
+      val tf = s"CAST(tf$i AS DOUBLE)"
+      val dfi = s"CAST(df$i AS DOUBLE)"
+      val idf = s"ln(1.0 + ((CAST(n_docs AS DOUBLE) - $dfi) + 0.5) / ($dfi + 0.5))"
+      s"$idf * ($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
+    }.mkString(" + ")
+    val tfSum = Bm25Terms.indices.map(i => s"tf$i").mkString(" + ")
+    s"""$duckTokCtes,
+       |pd AS (SELECT doc_id, COUNT(*) AS dl, $tfDefs FROM pt GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_docs, $dfDefs,
+       |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM pd)
+       |SELECT doc_id, dl AS n_tokens, round($terms, 6) AS bm25
+       |FROM pd CROSS JOIN st WHERE $tfSum > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  // T7: repetition statistics (Gopher-style quality rules) — most-frequent
+  // token fraction, most-frequent bigram fraction, duplicate-token
+  // fraction, and the keep/drop decision. All integer counts + single
+  // divisions: bit-exact with no rounding. Bigrams come from a lead()
+  // window partitioned by doc (never a global window); at 100 TB this is
+  // one shuffle on doc_id shared by both aggregates.
+  def t7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pt = docTokens(s, dir)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val bg = pt.withColumn("nxt", lead($"tok", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .select($"doc_id", concat_ws("_", $"tok", $"nxt").as("bg"))
+    val bgStats = bg.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_bg"), sum($"c").as("n_bg"))
+    val tokStats = pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_tok"), sum($"c").as("n_tok"),
+        count(lit(1)).as("n_distinct"))
+    tokStats.join(bgStats, "doc_id")
+      .withColumn("top_tok_frac", $"top_tok".cast("double") / $"n_tok".cast("double"))
+      .withColumn("top_bg_frac", $"top_bg".cast("double") / $"n_bg".cast("double"))
+      .withColumn("dup_tok_frac",
+        ($"n_tok" - $"n_distinct").cast("double") / $"n_tok".cast("double"))
+      .withColumn("keep", $"top_tok_frac" <= 0.2 && $"top_bg_frac" <= 0.2)
+      .select($"doc_id", $"top_tok_frac", $"top_bg_frac", $"dup_tok_frac", $"keep")
+      .orderBy($"doc_id")
+  }
+  val t7Sql: String =
+    s"""$duckTokCtes,
+       |bg AS (SELECT doc_id, tok || '_' || nxt AS bg FROM (
+       |         SELECT doc_id, tok, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |         FROM pt) q WHERE nxt IS NOT NULL),
+       |bs AS (SELECT doc_id, MAX(c) AS top_bg, CAST(SUM(c) AS BIGINT) AS n_bg FROM (
+       |         SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2) q GROUP BY 1),
+       |ts AS (SELECT doc_id, MAX(c) AS top_tok, CAST(SUM(c) AS BIGINT) AS n_tok,
+       |         COUNT(*) AS n_distinct FROM (
+       |         SELECT doc_id, tok, COUNT(*) AS c FROM pt GROUP BY 1, 2) q GROUP BY 1)
+       |SELECT ts.doc_id,
+       |  CAST(top_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_tok_frac,
+       |  CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE) AS top_bg_frac,
+       |  CAST(n_tok - n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS dup_tok_frac,
+       |  (CAST(top_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 0.2 AND
+       |   CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE) <= 0.2) AS keep
+       |FROM ts JOIN bs ON ts.doc_id = bs.doc_id ORDER BY ts.doc_id""".stripMargin
+
+  // D7: benchmark decontamination — flag training docs sharing 3-gram
+  // shingles with a held-out eval set (doc_id % 10 = 0 stands in for the
+  // benchmark corpus). The eval shingle set is benchmark-sized → broadcast;
+  // candidate generation is a shingle equijoin, never O(n²). This is the
+  // standard eval-overlap scrub a training-data pipeline runs before
+  // training.
+  def d7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+    val sh = docs.select($"doc_id", explode(TextOps.shingles3($"toks")).as("sh")).distinct()
+    val evalSh = sh.filter($"doc_id" % 10 === 0).select($"doc_id".as("eid"), $"sh")
+    val train = sh.filter($"doc_id" % 10 =!= 0)
+    val n = train.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = train.join(broadcast(evalSh), "sh")
+      .groupBy($"doc_id").agg(countDistinct($"sh").as("n_contaminated"),
+        countDistinct($"eid").as("n_eval_docs"))
+    n.join(hits, "doc_id")
+      .withColumn("contam_frac",
+        $"n_contaminated".cast("double") / $"n_sh".cast("double"))
+      .select($"doc_id", $"n_sh", $"n_contaminated", $"n_eval_docs", $"contam_frac")
+      .orderBy($"doc_id")
+  }
+  val d7Sql: String =
+    s"""$duckTokCtes,
+       |sh AS (SELECT DISTINCT doc_id, sh FROM (
+       |         SELECT doc_id,
+       |           tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w AS sh,
+       |           lead(tok, 2) OVER w AS t2
+       |         FROM pt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) q
+       |       WHERE t2 IS NOT NULL),
+       |ev AS (SELECT doc_id AS eid, sh FROM sh WHERE doc_id % 10 = 0),
+       |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM tr GROUP BY 1),
+       |h AS (SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_contaminated,
+       |        COUNT(DISTINCT e.eid) AS n_eval_docs
+       |      FROM tr t JOIN ev e ON t.sh = e.sh GROUP BY 1)
+       |SELECT n.doc_id, n_sh, n_contaminated, n_eval_docs,
+       |  CAST(n_contaminated AS DOUBLE) / CAST(n_sh AS DOUBLE) AS contam_frac
+       |FROM n JOIN h ON n.doc_id = h.doc_id ORDER BY n.doc_id""".stripMargin
+
+  // SM2: deterministic stratified sample — k docs per (lang, source)
+  // stratum, ordered by md5(text) (a uniform, engine-reproducible pseudo
+  // random key) with doc_id tiebreak. The per-stratum window is
+  // partitioned — no global sort; at 100 TB each stratum ranks locally
+  // after one shuffle on the stratum key.
+  def sm2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang", $"source").orderBy(md5($"text"), $"doc_id")
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"lang", $"source", $"rk", $"doc_id", $"n_chars")
+      .orderBy($"lang", $"source", $"rk")
+  }
+  val sm2Sql: String =
+    """SELECT lang, source, rk, doc_id, n_chars FROM (
+      |  SELECT lang, source, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents) q WHERE rk <= 3 ORDER BY lang, source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1,
     "d2_minhash_lsh" -> d2,
@@ -655,6 +816,10 @@ object LlmQueries extends graft.core.QueryModule {
     "t2_quality_score" -> t2,
     "t3_token_stats" -> t3,
     "t4_fingerprint" -> t4,
+    "t6_bm25_score" -> t6,
+    "t7_repetition_filter" -> t7,
+    "d7_decontaminate" -> d7,
+    "sm2_stratified_sample" -> sm2,
     "m1_binary_meta" -> m1,
   )
 
@@ -677,6 +842,10 @@ object LlmQueries extends graft.core.QueryModule {
     "t2_quality_score" -> t2Sql,
     "t3_token_stats" -> t3Sql,
     "t4_fingerprint" -> t4Sql,
+    "t6_bm25_score" -> t6Sql,
+    "t7_repetition_filter" -> t7Sql,
+    "d7_decontaminate" -> d7Sql,
+    "sm2_stratified_sample" -> sm2Sql,
     "m1_binary_meta" -> m1Sql,
   )
 }

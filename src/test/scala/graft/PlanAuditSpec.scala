@@ -93,6 +93,7 @@ class PlanAuditSpec extends SparkTestBase {
       "s3_ann_ivf_topk",     // fixed centroid list
       "sk2_sketch_bounds",   // 1-row exact-vs-sketch comparison
       "a15_marginalised_stat", // 1-row marginalisation constant
+      "t6_bm25_score",       // 1-row corpus stats (N, df_i, avgdl) broadcast
       "a5_log_bayes_factors",  // model×model pairs over a handful of models
       "j8_hd_pair_correlation", // pulsar-pair self-join: tens of pulsars
       "t3_token_stats")      // corpus-level scalar aggregates
