@@ -271,12 +271,21 @@ object LlmQueries extends graft.core.QueryModule {
   // pairs via distributed connected components (min-label propagation,
   // graft.operators.ConnectedComponents), then one row per duplicate group:
   // cluster_id = the canonical keeper (min doc_id), group size, max member.
+  /** Component table (v, root) of the simhash near-dup graph — the third
+    * stage of the ONE dedup pipeline c1/c2 report on, so it is memoized
+    * like the pair table: label propagation runs once, both consumers join
+    * against the checkpointed result. (run() already checkpoints its labels
+    * every round, so the memo adds no extra materialization cost.) */
+  private def ccComp(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "ccComp") {
+      graft.operators.ConnectedComponents.run(
+        simhashPairs(s, dir).select(col("da").as("a"), col("db").as("b")))
+    }
+
   // Pairs alone aren't a dedup pipeline; keep-one-per-GROUP needs this stage.
   def c1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = simhashPairs(s, dir)
-    val comp = graft.operators.ConnectedComponents.run(
-      pairs.select($"da".as("a"), $"db".as("b")))
+    val comp = ccComp(s, dir)
     comp.groupBy($"root".as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max($"v").as("max_id"))
       .filter($"n_docs" >= 2)
@@ -310,9 +319,8 @@ object LlmQueries extends graft.core.QueryModule {
   // corpus to materialize the kept corpus.
   def c2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = simhashPairs(s, dir)
     val docs = Tables.documents(s, dir)
-    graft.operators.ConnectedComponents.clusters(s, pairs, docs)
+    graft.operators.ConnectedComponents.clustersFromComp(ccComp(s, dir), docs)
       .filter($"cluster_id" =!= $"doc_id")
       .orderBy($"doc_id")
   }

@@ -96,10 +96,14 @@ object ConnectedComponents {
 
   /** Dedup clustering: `pairs` (da, db) near-dup edges over `docIds`; every
     * doc gets a cluster root (its own id if untouched by any pair). */
-  def clusters(spark: SparkSession, pairs: DataFrame, docIds: DataFrame): DataFrame = {
-    val comp = run(pairs.select(col("da").as("a"), col("db").as("b")))
+  def clusters(spark: SparkSession, pairs: DataFrame, docIds: DataFrame): DataFrame =
+    clustersFromComp(run(pairs.select(col("da").as("a"), col("db").as("b"))), docIds)
+
+  /** [[clusters]] over an already-computed component table (v, root) —
+    * lets a pipeline reuse ONE components run across its reporting and
+    * drop-list stages instead of re-propagating labels per consumer. */
+  def clustersFromComp(comp: DataFrame, docIds: DataFrame): DataFrame =
     docIds.select(col("doc_id"))
       .join(comp, docIds("doc_id") === comp("v"), "left")
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
-  }
 }
