@@ -54,7 +54,19 @@ object LlmQueries extends graft.core.QueryModule {
   private def memoized(s: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame = {
     memo.keySet.removeIf { case (sess, _, _) => sess.sparkContext.isStopped }
-    memo.computeIfAbsent((s, dir, key), _ => build.localCheckpoint())
+    // NOT computeIfAbsent: a build may itself call memoized() for its
+    // upstream stage (ccComp → simhashPairs, docTids → docTokens), and a
+    // reentrant computeIfAbsent on the same map throws "Recursive update".
+    // Double-checked putIfAbsent tolerates reentrancy; a concurrent race
+    // at worst builds twice and keeps one.
+    val k = (s, dir, key)
+    val existing = memo.get(k)
+    if (existing != null) existing
+    else {
+      val built = build.localCheckpoint()
+      val prev = memo.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
   }
 
   private def docTokens(s: SparkSession, dir: String): DataFrame =
@@ -785,6 +797,117 @@ object LlmQueries extends graft.core.QueryModule {
        |  CAST(n_contaminated AS DOUBLE) / CAST(n_sh AS DOUBLE) AS contam_frac
        |FROM n JOIN h ON n.doc_id = h.doc_id ORDER BY n.doc_id""".stripMargin
 
+  // T8: unigram language-model quality score (the CCNet-style LM filter):
+  // corpus unigram probabilities → per-doc mean token log-probability →
+  // keep/drop. The unigram table is vocabulary-sized → broadcast; the doc
+  // side is one groupBy — at 100 TB this is one shuffle on doc_id plus a
+  // broadcast, no global state.
+  def t8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pt = docTokens(s, dir)
+    val tokC = pt.groupBy($"tok").agg(count(lit(1)).as("ct"))
+    val tot = tokC.agg(sum($"ct").as("total"))
+    pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .join(broadcast(tokC), "tok").crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        sum($"c".cast("double") *
+          log($"ct".cast("double") / $"total".cast("double"))).as("lp"))
+      .withColumn("avg_logprob", round($"lp" / $"n_tokens".cast("double"), 6))
+      .withColumn("keep", $"avg_logprob" >= -3.5)
+      .select($"doc_id", $"n_tokens", $"avg_logprob", $"keep")
+      .orderBy($"doc_id")
+  }
+  val t8Sql: String =
+    s"""$duckTokCtes,
+       |tc AS (SELECT tok, COUNT(*) AS ct FROM pt GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS total FROM tc),
+       |dc AS (SELECT doc_id, tok, COUNT(*) AS c FROM pt GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |          round(SUM(CAST(c AS DOUBLE) * ln(CAST(ct AS DOUBLE) / CAST(total AS DOUBLE)))
+       |                / CAST(SUM(c) AS DOUBLE), 6) AS avg_logprob
+       |        FROM dc JOIN tc ON dc.tok = tc.tok CROSS JOIN tt GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, avg_logprob, avg_logprob >= -3.5 AS keep
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  // T9: TF-IDF top terms per document — the classic relevance weighting,
+  // top-3 by score with deterministic tok tiebreak. df table is
+  // vocabulary-sized → broadcast; ranking is a doc-partitioned window.
+  def t9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pt = docTokens(s, dir)
+    val nDocs = pt.agg(countDistinct($"doc_id").as("n_docs"))
+    val dfT = pt.select($"doc_id", $"tok").distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("dft"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"tok")
+    pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .join(broadcast(dfT), "tok").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        $"c".cast("double") * log($"n_docs".cast("double") / $"dft".cast("double")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3 && $"tfidf" > 0)
+      .select($"doc_id", $"rk", $"tok", round($"tfidf", 6).as("tfidf"))
+      .orderBy($"doc_id", $"rk")
+  }
+  val t9Sql: String =
+    s"""$duckTokCtes,
+       |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM pt),
+       |dft AS (SELECT tok, COUNT(*) AS dft FROM (SELECT DISTINCT doc_id, tok FROM pt) u GROUP BY 1),
+       |sc AS (SELECT dc.doc_id, dc.tok,
+       |         CAST(c AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(dft AS DOUBLE)) AS tfidf
+       |       FROM (SELECT doc_id, tok, COUNT(*) AS c FROM pt GROUP BY 1, 2) dc
+       |       JOIN dft ON dc.tok = dft.tok CROSS JOIN nd),
+       |rk AS (SELECT doc_id, tok, tfidf,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+       |       FROM sc)
+       |SELECT doc_id, rk, tok, round(tfidf, 6) AS tfidf
+       |FROM rk WHERE rk <= 3 AND tfidf > 0 ORDER BY doc_id, rk""".stripMargin
+
+  // S4: k-means centroid UPDATE step over the embedding corpus — assign
+  // every vector to its nearest fixed centroid (s3's IVF assignment), then
+  // compute the per-cell mean vector: explode dimensions → one groupBy on
+  // (cell, dim). This is the shuffle pattern of one distributed EM
+  // iteration; at 100 TB the assignment is a k-centroid broadcast and the
+  // update is a single 256-key aggregation with map-side partials.
+  def s4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val cents = e.filter($"vec_id".between(1, 4))
+      .select($"vec_id".cast("long").as("cid"), $"embedding".as("ce"),
+        VectorOps.dotNative($"embedding", $"embedding").as("cn2"))
+    val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    val cells = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", VectorOps.dotNative($"embedding", $"ce") /
+        (sqrt(VectorOps.dotNative($"embedding", $"embedding")) * sqrt($"cn2")))
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"vec_id", $"cid".as("cell"))
+    e.join(cells, "vec_id")
+      .select($"cell", posexplode($"embedding").as(Seq("dim0", "v")))
+      .withColumn("dim", ($"dim0" + 1).cast("long"))
+      .groupBy($"cell", $"dim")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"v".cast("double")) / count(lit(1)).cast("double"), 6).as("mean_v"))
+      .orderBy($"cell", $"dim")
+  }
+  val s4Sql: String = {
+    val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
+    s"""WITH c AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+       |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
+       |        FROM embeddings e CROSS JOIN c),
+       |cells AS (SELECT vec_id, cid AS cell FROM (
+       |            SELECT vec_id, cid,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
+       |            FROM asg) r WHERE rk = 1),
+       |ex AS (SELECT cell, s.dim AS dim, s.v AS v FROM (
+       |         SELECT cells.cell,
+       |           unnest(list_transform(e.embedding, (x, i) -> struct_pack(dim := i, v := x))) AS s
+       |         FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id) t)
+       |SELECT cell, dim, COUNT(*) AS n,
+       |  round(SUM(CAST(v AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_v
+       |FROM ex GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin
+  }
+
   // SM2: deterministic stratified sample — k docs per (lang, source)
   // stratum, ordered by md5(text) (a uniform, engine-reproducible pseudo
   // random key) with doc_id tiebreak. The per-stratum window is
@@ -826,6 +949,9 @@ object LlmQueries extends graft.core.QueryModule {
     "t4_fingerprint" -> t4,
     "t6_bm25_score" -> t6,
     "t7_repetition_filter" -> t7,
+    "t8_unigram_logprob" -> t8,
+    "t9_tfidf_topterms" -> t9,
+    "s4_kmeans_update" -> s4,
     "d7_decontaminate" -> d7,
     "sm2_stratified_sample" -> sm2,
     "m1_binary_meta" -> m1,
@@ -852,6 +978,9 @@ object LlmQueries extends graft.core.QueryModule {
     "t4_fingerprint" -> t4Sql,
     "t6_bm25_score" -> t6Sql,
     "t7_repetition_filter" -> t7Sql,
+    "t8_unigram_logprob" -> t8Sql,
+    "t9_tfidf_topterms" -> t9Sql,
+    "s4_kmeans_update" -> s4Sql,
     "d7_decontaminate" -> d7Sql,
     "sm2_stratified_sample" -> sm2Sql,
     "m1_binary_meta" -> m1Sql,
