@@ -33,6 +33,19 @@ object CorpusExport {
       .parquet(outDir)
   }
 
+  /** JSONL shard export — the interchange format LLM training stacks
+    * consume (one JSON document per line, fixed shard count, optional
+    * gzip). Shards are assigned by hash(idCol), so shard sizes stay even
+    * under any source skew; the shard COUNT, not file size, is the
+    * downstream parallelism contract (a loader maps one reader per shard).
+    * Parquet (see [[write]]) stays the analytical format; JSONL is the
+    * hand-off format at the pipeline boundary. */
+  def writeJsonlShards(docs: DataFrame, outDir: String, idCol: String,
+      numShards: Int, gzip: Boolean = false): Unit = {
+    val w = docs.repartition(numShards, col(idCol)).write.mode("overwrite")
+    (if (gzip) w.option("compression", "gzip") else w).json(outDir)
+  }
+
   /** Range-clustered layout: `repartitionByRange` + `sortWithinPartitions`
     * on `rangeCol` → every output file covers a DISJOINT value range, so a
     * point/range predicate on that column prunes whole files via parquet

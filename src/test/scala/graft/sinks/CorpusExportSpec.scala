@@ -34,6 +34,27 @@ class CorpusExportSpec extends SparkTestBase {
       docs.filter(docs("lang") === langs.head).count())
   }
 
+  test("jsonl shard export: fixed shard count, line-parseable, lossless") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = tmpDir("corpus-jsonl").toString
+    CorpusExport.writeJsonlShards(docs, out, "doc_id", numShards = 4)
+
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".json")).map(_.getPath)
+    assert(files.length === 4)
+    // every line of every shard is a standalone JSON object (the JSONL contract)
+    for (f <- files) {
+      val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))
+      lines.forEach { l =>
+        assert(l.startsWith("{") && l.endsWith("}"), l.take(60))
+      }
+    }
+    // lossless round-trip through the JSON reader
+    val back = spark.read.json(out)
+    assert(back.count() === docs.count())
+    assert(back.columns.sorted === docs.columns.sorted)
+  }
+
   test("range-sorted export: files cover disjoint doc_id ranges") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = tmpDir("corpus-range").toString
