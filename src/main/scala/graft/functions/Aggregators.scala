@@ -63,6 +63,46 @@ object Aggregators {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Misra–Gries heavy-hitters sketch (k counters): the frequent-items
+    * primitive of corpus analysis (frequent tokens / n-grams / domains).
+    * Deterministic guarantee: every item with true frequency > n/(k+1)
+    * survives in the key set, yet the buffer never exceeds k entries — a
+    * shuffle carries k (key, count) pairs per group regardless of group
+    * size, where exact counting shuffles the full key space. reduce is the
+    * classic decrement-all step; merge sums counters then subtracts the
+    * (k+1)-th largest and drops non-positives (Agarwal et al., "Mergeable
+    * Summaries" §5 — guarantee-preserving; merge laws property-tested in
+    * AggregatorsSpec). finish returns the sorted surviving key set (the
+    * candidate heavy hitters; a second exact pass over candidates is the
+    * standard two-pass top-k at scale).
+    */
+  class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Array[String]] {
+    require(k > 0)
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      b.get(v) match {
+        case Some(c) => b.updated(v, c + 1)
+        case None if b.size < k => b.updated(v, 1L)
+        case None => b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+      }
+    def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val sum = y.foldLeft(x) { case (m, (key, c)) =>
+        m.updated(key, m.getOrElse(key, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest counter value from everything
+        val cut = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+        sum.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+      }
+    }
+    def finish(b: Map[String, Long]): Array[String] = b.keys.toArray.sorted
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Array[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  }
+
   /** Bottom-k sketch (k-minimum-values): keeps the k ids with the smallest
     * deterministic hash priority — simultaneously a uniform per-group
     * SAMPLE (the hash is effectively random but reproducible across runs

@@ -908,6 +908,43 @@ object LlmQueries extends graft.core.QueryModule {
        |FROM ex GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin
   }
 
+  // HH1: heavy hitters per language — exact top-3 tokens alongside a
+  // CHECKABLE guarantee flag from the Misra–Gries sketch (every token with
+  // count > n/(k+1) must be among the sketch's surviving keys; the oracle
+  // computes the exact side and expects TRUE, the sk2 pattern). At 100 TB
+  // the sketch pass shuffles k entries per group where the exact pass
+  // shuffles the vocabulary — the sketch IS the first pass of two-pass
+  // top-k; here both run so the guarantee is asserted per group.
+  def hh1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pt = docTokens(s, dir)
+      .join(broadcast(Tables.documents(s, dir).select($"doc_id", $"lang")), "doc_id")
+    val mg = udaf(new graft.functions.Aggregators.MisraGries(8))
+    val sk = pt.groupBy($"lang").agg(mg($"tok").as("hh_keys"), count(lit(1)).as("n"))
+    val exact = pt.groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"lang").orderBy($"c".desc, $"tok")
+    val top3 = exact
+      .withColumn("rk", row_number().over(w).cast("long")).filter($"rk" <= 3)
+    // integer-exact heavy-hitter predicate: c > n/(k+1)  ⇔  c*(k+1) > n
+    val flag = exact.join(sk, "lang")
+      .filter($"c" * 9 > $"n")
+      .groupBy($"lang")
+      .agg((sum(when(array_contains($"hh_keys", $"tok"), 0L).otherwise(1L)) === 0)
+        .as("hh_captured"))
+    top3.join(flag, Seq("lang"), "left")
+      .select($"lang", $"rk", $"tok", $"c",
+        coalesce($"hh_captured", lit(true)).as("hh_captured"))
+      .orderBy($"lang", $"rk")
+  }
+  val hh1Sql: String =
+    s"""$duckTokCtes,
+       |ex AS (SELECT lang, tok, COUNT(*) AS c FROM pt GROUP BY 1, 2),
+       |rk AS (SELECT lang, tok, c,
+       |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rk
+       |       FROM ex)
+       |SELECT lang, rk, tok, c, TRUE AS hh_captured
+       |FROM rk WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
+
   // SM2: deterministic stratified sample — k docs per (lang, source)
   // stratum, ordered by md5(text) (a uniform, engine-reproducible pseudo
   // random key) with doc_id tiebreak. The per-stratum window is
@@ -952,6 +989,7 @@ object LlmQueries extends graft.core.QueryModule {
     "t8_unigram_logprob" -> t8,
     "t9_tfidf_topterms" -> t9,
     "s4_kmeans_update" -> s4,
+    "hh1_heavy_hitters" -> hh1,
     "d7_decontaminate" -> d7,
     "sm2_stratified_sample" -> sm2,
     "m1_binary_meta" -> m1,
@@ -981,6 +1019,7 @@ object LlmQueries extends graft.core.QueryModule {
     "t8_unigram_logprob" -> t8Sql,
     "t9_tfidf_topterms" -> t9Sql,
     "s4_kmeans_update" -> s4Sql,
+    "hh1_heavy_hitters" -> hh1Sql,
     "d7_decontaminate" -> d7Sql,
     "sm2_stratified_sample" -> sm2Sql,
     "m1_binary_meta" -> m1Sql,

@@ -55,6 +55,39 @@ class AggregatorsSpec extends SparkTestBase {
     assert(vals.select(agg(vals("value"))).head().getDouble(0) === 9.0)
   }
 
+  test("MisraGries keeps every item with count > n/(k+1) (exact-stream run)") {
+    val a = new Aggregators.MisraGries(3)
+    // 100×"a", 80×"b", 10 singletons: n=190, n/(k+1)=47.5 → a and b must survive
+    val stream = List.fill(100)("a") ++ List.fill(80)("b") ++
+      (1 to 10).map(i => s"x$i")
+    val keys = a.finish(stream.foldLeft(a.zero)(a.reduce)).toSet
+    assert(keys.contains("a") && keys.contains("b"))
+  }
+
+  test("MisraGries buffer never exceeds k entries and merge preserves the guarantee") {
+    val k = 4
+    val a = new Aggregators.MisraGries(k)
+    val tokGen = Gen.frequency((8, Gen.const("hot")), (4, Gen.const("warm")),
+      (1, Gen.oneOf("c", "d", "e", "f", "g", "h")))
+    val gen = Gen.listOf(tokGen)
+    val prop = forAll(gen, gen, gen) { (xs, ys, zs) =>
+      def buf(l: List[String]) = l.foldLeft(a.zero)(a.reduce)
+      val (x, y, z) = (buf(xs), buf(ys), buf(zs))
+      val mLeft = a.merge(a.merge(x, y), z)
+      val mRight = a.merge(x, a.merge(y, z))
+      val all = xs ++ ys ++ zs
+      val n = all.size
+      val exact = all.groupBy(identity).view.mapValues(_.size.toLong)
+      // deterministic guarantee: true heavy hitters survive ANY merge tree
+      val hh = exact.filter { case (_, c) => c * (k + 1) > n }.keys.toSet
+      val sizesOk = Seq(x, y, z, mLeft, mRight).forall(_.size <= k)
+      sizesOk && hh.subsetOf(a.finish(mLeft).toSet) &&
+        hh.subsetOf(a.finish(mRight).toSet)
+    }
+    val r = SCTest.check(prop)(_.withMinSuccessfulTests(200))
+    assert(r.passed, r.status.toString)
+  }
+
   private def bottomKRef(k: Int, ids: Seq[Long]): Seq[Long] = {
     def pri(v: Long): Long = (v * 2654435761L) & 0xFFFFFFFFL
     ids.distinct.sortBy(v => (pri(v), v)).take(k)
