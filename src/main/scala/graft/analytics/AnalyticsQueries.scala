@@ -600,7 +600,70 @@ object AnalyticsQueries extends graft.core.QueryModule {
       .orderBy($"event_type")
   }
 
+  // FN1: funnel analysis — per-user ordered progression through
+  // view → click → purchase (each later step strictly after the user's
+  // earliest completion of the previous one). Three stage tables, each a
+  // per-user min — at scale this is one shuffle per stage on user_id with
+  // map-side partial mins, never a window over the whole event stream.
+  def fn1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).withColumn("us", unix_micros($"ts"))
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("v_us"))
+    val c = e.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"us" > $"v_us")
+      .groupBy($"user_id").agg(min($"us").as("c_us"))
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"us" > $"c_us")
+      .groupBy($"user_id").agg(min($"us").as("p_us"))
+    v.join(c.select($"user_id", $"c_us"), Seq("user_id"), "left")
+      .join(p.select($"user_id", $"p_us"), Seq("user_id"), "left")
+      .select($"user_id",
+        when($"p_us".isNotNull, 3L).when($"c_us".isNotNull, 2L).otherwise(1L)
+          .as("funnel_stage"),
+        $"v_us", coalesce($"c_us", lit(-1L)).as("c_us"),
+        coalesce($"p_us", lit(-1L)).as("p_us"))
+      .orderBy($"user_id")
+  }
+  val fn1Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, MIN(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(us) AS c_us FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(us) AS p_us FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND us > c_us GROUP BY 1)
+      |SELECT v.user_id,
+      |  CAST(CASE WHEN p_us IS NOT NULL THEN 3 WHEN c_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS funnel_stage,
+      |  v_us, COALESCE(c_us, -1) AS c_us, COALESCE(p_us, -1) AS p_us
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  // RT1: weekly retention cohorts — cohort = the user's first active epoch
+  // week; cell (cohort_week, week) counts users still active. Integer week
+  // ids from epoch-microsecond floor-div (`div`, never double `/`). Two
+  // user_id shuffles (first-week agg + self-join) and one small agg — the
+  // standard cohort matrix at any scale.
+  def rt1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .withColumn("wk", expr("unix_micros(ts) div 604800000000"))
+    val cohort = e.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    e.select($"user_id", $"wk").distinct()
+      .join(cohort, "user_id")
+      .groupBy($"cohort_wk", $"wk")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_wk", $"wk")
+  }
+  val rt1Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1)
+      |SELECT cohort_wk, wk, COUNT(DISTINCT e.user_id) AS n_users
+      |FROM (SELECT DISTINCT user_id, wk FROM e) e JOIN c ON e.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_wk, wk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn1_funnel_steps" -> fn1,
+    "rt1_retention_cohorts" -> rt1,
     "sk1_sketches" -> sketches,
     "sk2_sketch_bounds" -> sk2,
     "sm1_bottomk_sample" -> sm1,
@@ -632,6 +695,8 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn1_funnel_steps" -> fn1Sql,
+    "rt1_retention_cohorts" -> rt1Sql,
     "sk2_sketch_bounds" -> sk2Sql,
     "sm1_bottomk_sample" -> sm1Sql,
     "w9_percent_rank" -> w9Sql,
