@@ -648,16 +648,18 @@ object AnalyticsQueries extends graft.core.QueryModule {
     val e = Tables.events(s, dir)
       .withColumn("wk", expr("unix_micros(ts) div 604800000000"))
     val cohort = e.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    // rows are already distinct per (user, wk) and a user has ONE cohort,
+    // so plain count == count-distinct without the extra Expand pass
     e.select($"user_id", $"wk").distinct()
       .join(cohort, "user_id")
       .groupBy($"cohort_wk", $"wk")
-      .agg(countDistinct($"user_id").as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy($"cohort_wk", $"wk")
   }
   val rt1Sql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
       |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1)
-      |SELECT cohort_wk, wk, COUNT(DISTINCT e.user_id) AS n_users
+      |SELECT cohort_wk, wk, COUNT(*) AS n_users
       |FROM (SELECT DISTINCT user_id, wk FROM e) e JOIN c ON e.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY cohort_wk, wk""".stripMargin
 

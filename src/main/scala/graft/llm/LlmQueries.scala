@@ -57,21 +57,28 @@ object LlmQueries extends graft.core.QueryModule {
     // NOT computeIfAbsent: a build may itself call memoized() for its
     // upstream stage (ccComp → simhashPairs, docTids → docTokens), and a
     // reentrant computeIfAbsent on the same map throws "Recursive update".
-    // Double-checked putIfAbsent tolerates reentrancy; a concurrent race
-    // at worst builds twice and keeps one.
+    // Double-checked locking instead; the monitor is reentrant, so nested
+    // builds on the same thread are fine, and a concurrent caller waits
+    // rather than racing a second EAGER localCheckpoint it could never
+    // unpersist (the persist-leak class).
     val k = (s, dir, key)
     val existing = memo.get(k)
     if (existing != null) existing
-    else {
-      val built = build.localCheckpoint()
-      val prev = memo.putIfAbsent(k, built)
-      if (prev != null) prev else built
+    else memo.synchronized {
+      val again = memo.get(k)
+      if (again != null) again
+      else {
+        val built = build.localCheckpoint()
+        memo.put(k, built)
+        built
+      }
     }
   }
 
   private def docTokens(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "docTokens") {
-      TextOps.docTokens(Tables.documents(s, dir), col("doc_id"), col("text"))
+      TextOps.docTokens(Tables.documents(s, dir), col("doc_id"), col("text"),
+        keep = Seq(col("lang")))
     }
 
   private def docTids(s: SparkSession, dir: String): DataFrame =
@@ -448,19 +455,29 @@ object LlmQueries extends graft.core.QueryModule {
   // scale path for billion-vector ANN: the assignment pass is a broadcast
   // cross join against k centroids + one per-vector argmax, and the probe
   // touches 1/k of the data.
+  /** IVF cell assignment shared by s3 (probe) and s4 (update): nearest of
+    * the 4 fixed centroids by cosine, deterministic cid tiebreak. Memoized
+    * — one assignment pass serves both pipeline stages, and any change to
+    * the assignment semantics changes both together. */
+  private def ivfCells(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "ivfCells") {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter($"vec_id".between(1, 4))
+        .select($"vec_id".cast("long").as("cid"), $"embedding".as("ce"),
+          VectorOps.dotNative($"embedding", $"embedding").as("cn2"))
+      val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+      e.crossJoin(broadcast(cents))
+        .withColumn("ccos", VectorOps.dotNative($"embedding", $"ce") /
+          (sqrt(VectorOps.dotNative($"embedding", $"embedding")) * sqrt($"cn2")))
+        .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"vec_id", $"cid".as("cell"))
+    }
+
   def s3(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val cents = e.filter($"vec_id".between(1, 4))
-      .select($"vec_id".cast("long").as("cid"), $"embedding".as("ce"),
-        VectorOps.dotNative($"embedding", $"embedding").as("cn2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-    val cells = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", VectorOps.dotNative($"embedding", $"ce") /
-        (sqrt(VectorOps.dotNative($"embedding", $"embedding")) * sqrt($"cn2")))
-      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-      .select($"vec_id", $"cid".as("cell"))
+    val cells = ivfCells(s, dir)
     val qcell = cells.filter($"vec_id" === 0).select($"cell".as("qcell"))
     val q = e.filter($"vec_id" === 0)
       .select($"embedding".as("qe"), VectorOps.dotNative($"embedding", $"embedding").as("qn2"))
@@ -728,9 +745,12 @@ object LlmQueries extends graft.core.QueryModule {
     val tokStats = pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id").agg(max($"c").as("top_tok"), sum($"c").as("n_tok"),
         count(lit(1)).as("n_distinct"))
-    tokStats.join(bgStats, "doc_id")
+    // LEFT join: a one-token doc has no bigrams but still needs a verdict
+    // (no repetition possible → bigram fraction 0, keep decided by tokens)
+    tokStats.join(bgStats, Seq("doc_id"), "left")
       .withColumn("top_tok_frac", $"top_tok".cast("double") / $"n_tok".cast("double"))
-      .withColumn("top_bg_frac", $"top_bg".cast("double") / $"n_bg".cast("double"))
+      .withColumn("top_bg_frac",
+        coalesce($"top_bg".cast("double") / $"n_bg".cast("double"), lit(0.0)))
       .withColumn("dup_tok_frac",
         ($"n_tok" - $"n_distinct").cast("double") / $"n_tok".cast("double"))
       .withColumn("keep", $"top_tok_frac" <= 0.2 && $"top_bg_frac" <= 0.2)
@@ -749,11 +769,11 @@ object LlmQueries extends graft.core.QueryModule {
        |         SELECT doc_id, tok, COUNT(*) AS c FROM pt GROUP BY 1, 2) q GROUP BY 1)
        |SELECT ts.doc_id,
        |  CAST(top_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_tok_frac,
-       |  CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE) AS top_bg_frac,
+       |  COALESCE(CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE), 0.0) AS top_bg_frac,
        |  CAST(n_tok - n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS dup_tok_frac,
        |  (CAST(top_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 0.2 AND
-       |   CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE) <= 0.2) AS keep
-       |FROM ts JOIN bs ON ts.doc_id = bs.doc_id ORDER BY ts.doc_id""".stripMargin
+       |   COALESCE(CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE), 0.0) <= 0.2) AS keep
+       |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id ORDER BY ts.doc_id""".stripMargin
 
   // D7: benchmark decontamination — flag training docs sharing 3-gram
   // shingles with a held-out eval set (doc_id % 10 = 0 stands in for the
@@ -807,12 +827,18 @@ object LlmQueries extends graft.core.QueryModule {
     val pt = docTokens(s, dir)
     val tokC = pt.groupBy($"tok").agg(count(lit(1)).as("ct"))
     val tot = tokC.agg(sum($"ct").as("total"))
+    // per-doc log-prob is a LEFT FOLD over the tok-sorted term list, not an
+    // unordered double SUM — float addition is non-associative, and the
+    // partial-aggregation order would otherwise differ between engines
+    // (and between Spark runs). Same discipline as the dot products.
     pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
       .join(broadcast(tokC), "tok").crossJoin(broadcast(tot))
+      .withColumn("term", $"c".cast("double") *
+        log($"ct".cast("double") / $"total".cast("double")))
       .groupBy($"doc_id")
       .agg(sum($"c").as("n_tokens"),
-        sum($"c".cast("double") *
-          log($"ct".cast("double") / $"total".cast("double"))).as("lp"))
+        sort_array(collect_list(struct($"tok", $"term"))).as("ts"))
+      .withColumn("lp", aggregate($"ts", lit(0.0), (acc, x) => acc + x("term")))
       .withColumn("avg_logprob", round($"lp" / $"n_tokens".cast("double"), 6))
       .withColumn("keep", $"avg_logprob" >= -3.5)
       .select($"doc_id", $"n_tokens", $"avg_logprob", $"keep")
@@ -822,12 +848,17 @@ object LlmQueries extends graft.core.QueryModule {
     s"""$duckTokCtes,
        |tc AS (SELECT tok, COUNT(*) AS ct FROM pt GROUP BY 1),
        |tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS total FROM tc),
-       |dc AS (SELECT doc_id, tok, COUNT(*) AS c FROM pt GROUP BY 1, 2),
+       |dc AS (SELECT doc_id, dc0.tok AS tok, c,
+       |         CAST(c AS DOUBLE) * ln(CAST(ct AS DOUBLE) / CAST(total AS DOUBLE)) AS term
+       |       FROM (SELECT doc_id, tok, COUNT(*) AS c FROM pt GROUP BY 1, 2) dc0
+       |       JOIN tc ON dc0.tok = tc.tok CROSS JOIN tt),
        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-       |          round(SUM(CAST(c AS DOUBLE) * ln(CAST(ct AS DOUBLE) / CAST(total AS DOUBLE)))
-       |                / CAST(SUM(c) AS DOUBLE), 6) AS avg_logprob
-       |        FROM dc JOIN tc ON dc.tok = tc.tok CROSS JOIN tt GROUP BY doc_id)
-       |SELECT doc_id, n_tokens, avg_logprob, avg_logprob >= -3.5 AS keep
+       |          list_reduce(list_transform(
+       |            list_sort(list(struct_pack(tok := tok, term := term))),
+       |            x -> x.term), (a, b) -> a + b) AS lp
+       |        FROM dc GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, round(lp / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob,
+       |  round(lp / CAST(n_tokens AS DOUBLE), 6) >= -3.5 AS keep
        |FROM agg ORDER BY doc_id""".stripMargin
 
   // T9: TF-IDF top terms per document — the classic relevance weighting,
@@ -839,14 +870,17 @@ object LlmQueries extends graft.core.QueryModule {
     val nDocs = pt.agg(countDistinct($"doc_id").as("n_docs"))
     val dfT = pt.select($"doc_id", $"tok").distinct()
       .groupBy($"tok").agg(count(lit(1)).as("dft"))
+    // rank on the ROUNDED score: the raw ln-derived value can differ by an
+    // ulp between engines, which would flip row_number for near-equal
+    // scores — round first, deterministic tok tiebreak second
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"tok")
     pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
       .join(broadcast(dfT), "tok").crossJoin(broadcast(nDocs))
-      .withColumn("tfidf",
-        $"c".cast("double") * log($"n_docs".cast("double") / $"dft".cast("double")))
+      .withColumn("tfidf", round(
+        $"c".cast("double") * log($"n_docs".cast("double") / $"dft".cast("double")), 6))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 3 && $"tfidf" > 0)
-      .select($"doc_id", $"rk", $"tok", round($"tfidf", 6).as("tfidf"))
+      .select($"doc_id", $"rk", $"tok", $"tfidf")
       .orderBy($"doc_id", $"rk")
   }
   val t9Sql: String =
@@ -854,13 +888,13 @@ object LlmQueries extends graft.core.QueryModule {
        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM pt),
        |dft AS (SELECT tok, COUNT(*) AS dft FROM (SELECT DISTINCT doc_id, tok FROM pt) u GROUP BY 1),
        |sc AS (SELECT dc.doc_id, dc.tok,
-       |         CAST(c AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(dft AS DOUBLE)) AS tfidf
+       |         round(CAST(c AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(dft AS DOUBLE)), 6) AS tfidf
        |       FROM (SELECT doc_id, tok, COUNT(*) AS c FROM pt GROUP BY 1, 2) dc
        |       JOIN dft ON dc.tok = dft.tok CROSS JOIN nd),
        |rk AS (SELECT doc_id, tok, tfidf,
        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
        |       FROM sc)
-       |SELECT doc_id, rk, tok, round(tfidf, 6) AS tfidf
+       |SELECT doc_id, rk, tok, tfidf
        |FROM rk WHERE rk <= 3 AND tfidf > 0 ORDER BY doc_id, rk""".stripMargin
 
   // S4: k-means centroid UPDATE step over the embedding corpus — assign
@@ -872,21 +906,18 @@ object LlmQueries extends graft.core.QueryModule {
   def s4(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val cents = e.filter($"vec_id".between(1, 4))
-      .select($"vec_id".cast("long").as("cid"), $"embedding".as("ce"),
-        VectorOps.dotNative($"embedding", $"embedding").as("cn2"))
-    val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-    val cells = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", VectorOps.dotNative($"embedding", $"ce") /
-        (sqrt(VectorOps.dotNative($"embedding", $"embedding")) * sqrt($"cn2")))
-      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-      .select($"vec_id", $"cid".as("cell"))
-    e.join(cells, "vec_id")
-      .select($"cell", posexplode($"embedding").as(Seq("dim0", "v")))
+    // per-(cell, dim) mean is a LEFT FOLD over the vec_id-sorted component
+    // list, not an unordered double SUM (same determinism discipline as the
+    // dot products and t8's log-prob fold)
+    e.join(ivfCells(s, dir), "vec_id")
+      .select($"vec_id", $"cell", posexplode($"embedding").as(Seq("dim0", "v")))
       .withColumn("dim", ($"dim0" + 1).cast("long"))
       .groupBy($"cell", $"dim")
       .agg(count(lit(1)).as("n"),
-        round(sum($"v".cast("double")) / count(lit(1)).cast("double"), 6).as("mean_v"))
+        sort_array(collect_list(struct($"vec_id", $"v"))).as("vs"))
+      .withColumn("sv", aggregate($"vs", lit(0.0), (acc, x) => acc + x("v").cast("double")))
+      .select($"cell", $"dim", $"n",
+        round($"sv" / $"n".cast("double"), 6).as("mean_v"))
       .orderBy($"cell", $"dim")
   }
   val s4Sql: String = {
@@ -899,12 +930,15 @@ object LlmQueries extends graft.core.QueryModule {
        |            SELECT vec_id, cid,
        |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
        |            FROM asg) r WHERE rk = 1),
-       |ex AS (SELECT cell, s.dim AS dim, s.v AS v FROM (
-       |         SELECT cells.cell,
+       |ex AS (SELECT vec_id, cell, s.dim AS dim, s.v AS v FROM (
+       |         SELECT e.vec_id, cells.cell,
        |           unnest(list_transform(e.embedding, (x, i) -> struct_pack(dim := i, v := x))) AS s
        |         FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id) t)
        |SELECT cell, dim, COUNT(*) AS n,
-       |  round(SUM(CAST(v AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_v
+       |  round(list_reduce(list_transform(
+       |          list_sort(list(struct_pack(vec_id := vec_id, v := v))),
+       |          x -> CAST(x.v AS DOUBLE)), (a, b) -> a + b)
+       |        / CAST(COUNT(*) AS DOUBLE), 6) AS mean_v
        |FROM ex GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin
   }
 
@@ -915,11 +949,13 @@ object LlmQueries extends graft.core.QueryModule {
   // the sketch pass shuffles k entries per group where the exact pass
   // shuffles the vocabulary — the sketch IS the first pass of two-pass
   // top-k; here both run so the guarantee is asserted per group.
+  private val HhK = 8 // Misra–Gries width; the guarantee predicate uses HhK+1
   def hh1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // lang rides through the memoized token stream (docTokens keep-cols) —
+    // no per-doc metadata join, so nothing corpus-sized is ever broadcast
     val pt = docTokens(s, dir)
-      .join(broadcast(Tables.documents(s, dir).select($"doc_id", $"lang")), "doc_id")
-    val mg = udaf(new graft.functions.Aggregators.MisraGries(8))
+    val mg = udaf(new graft.functions.Aggregators.MisraGries(HhK))
     val sk = pt.groupBy($"lang").agg(mg($"tok").as("hh_keys"), count(lit(1)).as("n"))
     val exact = pt.groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy($"lang").orderBy($"c".desc, $"tok")
@@ -927,7 +963,7 @@ object LlmQueries extends graft.core.QueryModule {
       .withColumn("rk", row_number().over(w).cast("long")).filter($"rk" <= 3)
     // integer-exact heavy-hitter predicate: c > n/(k+1)  ⇔  c*(k+1) > n
     val flag = exact.join(sk, "lang")
-      .filter($"c" * 9 > $"n")
+      .filter($"c" * (HhK + 1) > $"n")
       .groupBy($"lang")
       .agg((sum(when(array_contains($"hh_keys", $"tok"), 0L).otherwise(1L)) === 0)
         .as("hh_captured"))

@@ -21,9 +21,13 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
-  /** (doc_id, pos, tok) exploded token stream; pos is 1-based. */
-  def docTokens(docs: DataFrame, docId: Column, text: Column): DataFrame =
-    docs.select(docId.as("doc_id"), posexplode(tokens(text)).as(Seq("pos0", "tok")))
+  /** (doc_id, pos, tok) exploded token stream; pos is 1-based. `keep`
+    * passes doc-level columns (e.g. lang) through the explode, so
+    * downstream grouping by metadata needs no join back to the corpus. */
+  def docTokens(docs: DataFrame, docId: Column, text: Column,
+      keep: Seq[Column] = Nil): DataFrame =
+    docs.select((docId.as("doc_id") +: keep) :+
+        posexplode(tokens(text)).as(Seq("pos0", "tok")): _*)
       .withColumn("pos", col("pos0") + 1).drop("pos0")
 
   /** Global token dictionary (tok, tid), tid = 1-based rank in sorted order
