@@ -663,7 +663,88 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |FROM (SELECT DISTINCT user_id, wk FROM e) e JOIN c ON e.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY cohort_wk, wk""".stripMargin
 
+  // TWA1: time-weighted average — each observation weighted by how long it
+  // was current (lead-timestamp delta), the correct mean for irregularly
+  // sampled series. Durations are exact integer µs, values go through the
+  // DECIMAL route, one double division at the end — bit-exact, no rounding.
+  // One user-partitioned window + one groupBy: two user_id shuffles total.
+  def twa1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("dur", lead($"us", 1).over(w) - $"us")
+      .filter($"dur".isNotNull)
+      // integer cents × integer µs: the weighted sum stays an exact
+      // INTEGER decimal, and integer→double casts round identically on
+      // both engines (a scaled decimal→double cast does NOT: DuckDB
+      // divides int128 by 10^scale in float — a second rounding)
+      .withColumn("cents", (vdec($"value") * 100).cast("decimal(38,0)"))
+      .groupBy($"user_id")
+      .agg(sum($"cents" * $"dur").as("vd"), sum($"dur").as("d"),
+        count(lit(1)).as("n_intervals"))
+      .select($"user_id", $"n_intervals",
+        ($"vd".cast("double") / ($"d" * 100).cast("double")).as("twa_value"))
+      .orderBy($"user_id")
+  }
+  val twa1Sql: String =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0)) AS cents,
+      |    epoch_us(ts) AS us,
+      |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |      - epoch_us(ts) AS dur
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_intervals,
+      |  CAST(SUM(cents * dur) AS DOUBLE)
+      |    / CAST(CAST(SUM(dur) AS BIGINT) * 100 AS DOUBLE) AS twa_value
+      |FROM t WHERE dur IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // O1: OHLC bars — open/high/low/close/volume per 6-hour bucket and
+  // event_type, the standard downsampling of a value stream. Open/close
+  // come from row_number at both ends of the SAME bucket-partitioned
+  // window order (deterministic event_id tiebreak); conditional MAX
+  // folds them into one aggregation pass.
+  def o1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wAsc = Window.partitionBy($"bucket", $"event_type").orderBy($"us", $"event_id")
+    val wDesc = Window.partitionBy($"bucket", $"event_type").orderBy($"us".desc, $"event_id".desc)
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("bucket", expr("unix_micros(ts) div 21600000000"))
+      .withColumn("ra", row_number().over(wAsc))
+      .withColumn("rd", row_number().over(wDesc))
+      .groupBy($"bucket", $"event_type")
+      .agg(max(when($"ra" === 1, $"value")).as("open"),
+        max($"value").as("high"), min($"value").as("low"),
+        max(when($"rd" === 1, $"value")).as("close"),
+        count(lit(1)).as("volume"),
+        sum(vdec($"value")).cast("double").as("sum_value"))
+      .withColumn("window_start",
+        date_format(timestamp_micros($"bucket" * 21600000000L), "yyyy-MM-dd HH:mm:ss"))
+      .select($"window_start", $"event_type", $"open", $"high", $"low", $"close",
+        $"volume", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+  val o1Sql: String =
+    """WITH t AS (
+      |  SELECT epoch_us(ts) // 21600000000 AS bucket, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY epoch_us(ts) // 21600000000, event_type
+      |                       ORDER BY epoch_us(ts), event_id) AS ra,
+      |    ROW_NUMBER() OVER (PARTITION BY epoch_us(ts) // 21600000000, event_type
+      |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rd
+      |  FROM events)
+      |SELECT strftime(make_timestamp(bucket * 21600000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, MAX(CASE WHEN ra = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
+      |  COUNT(*) AS volume,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM t GROUP BY bucket, event_type ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "twa1_time_weighted" -> twa1,
+    "o1_ohlc_bars" -> o1,
     "fn1_funnel_steps" -> fn1,
     "rt1_retention_cohorts" -> rt1,
     "sk1_sketches" -> sketches,
@@ -697,6 +778,8 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "twa1_time_weighted" -> twa1Sql,
+    "o1_ohlc_bars" -> o1Sql,
     "fn1_funnel_steps" -> fn1Sql,
     "rt1_retention_cohorts" -> rt1Sql,
     "sk2_sketch_bounds" -> sk2Sql,
