@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** End-to-end training-corpus curation: the individual operators
+  * (repetition filter, unigram-LM quality score, near-dup clustering,
+  * eval-set decontamination) composed into the single pass a 100 TB
+  * pipeline runs before training, plus the sharded hand-off export.
+  *
+  * Composition is entirely semi/anti joins on doc_id against the stage
+  * verdict tables — each stage stays an independent, separately tested
+  * operator (LlmQueries.t7/t8/c2/d7), and the shared tokenization
+  * intermediates are memoized so the corpus is tokenized once, not once
+  * per stage. Stage order is cheapest-reduction-first only in REPORTING;
+  * the plan itself is one DAG and Catalyst schedules the joins.
+  */
+object Curation {
+
+  /** Per-stage keep/drop accounting: (stage, dropped, remaining). */
+  case class StageReport(stage: String, dropped: Long, remaining: Long)
+
+  /** doc_ids failing the repetition rules (LlmQueries.t7 keep=false). */
+  def repetitionDrops(s: SparkSession, dir: String): DataFrame =
+    LlmQueries.t7(s, dir).filter(!col("keep")).select("doc_id")
+
+  /** doc_ids failing the unigram-LM quality score (t8 keep=false). */
+  def qualityDrops(s: SparkSession, dir: String): DataFrame =
+    LlmQueries.t8(s, dir).filter(!col("keep")).select("doc_id")
+
+  /** doc_ids losing to their near-dup cluster keeper (c2 drop list). */
+  def nearDupDrops(s: SparkSession, dir: String): DataFrame =
+    LlmQueries.c2(s, dir).select("doc_id")
+
+  /** doc_ids sharing too many shingles with the eval set (d7, ≥ minFrac
+    * contaminated shingles). */
+  def contaminationDrops(s: SparkSession, dir: String, minFrac: Double = 0.5): DataFrame =
+    LlmQueries.d7(s, dir).filter(col("contam_frac") >= minFrac).select("doc_id")
+
+  /** The kept corpus after all four stages (anti joins on doc_id). */
+  def curate(s: SparkSession, dir: String, minContamFrac: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Seq(repetitionDrops(s, dir), qualityDrops(s, dir),
+      nearDupDrops(s, dir), contaminationDrops(s, dir, minContamFrac))
+      .foldLeft(docs)((d, drops) => d.join(drops, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Stage-by-stage accounting, sequential semantics (a doc dropped by an
+    * earlier stage is not double-counted by a later one). */
+  def report(s: SparkSession, dir: String, minContamFrac: Double = 0.5): Seq[StageReport] = {
+    val stages = Seq(
+      "repetition" -> repetitionDrops(s, dir),
+      "lm_quality" -> qualityDrops(s, dir),
+      "near_dup" -> nearDupDrops(s, dir),
+      "decontamination" -> contaminationDrops(s, dir, minContamFrac))
+    var current = Tables.documents(s, dir).select("doc_id")
+    stages.map { case (name, drops) =>
+      val next = current.join(drops, Seq("doc_id"), "left_anti")
+      val (before, after) = (current.count(), next.count())
+      current = next
+      StageReport(name, before - after, after)
+    }
+  }
+
+  /** Curate then export as hash-sharded JSONL (the training hand-off). */
+  def curateAndExport(s: SparkSession, dir: String, outDir: String,
+      numShards: Int = 16): Long = {
+    val kept = curate(s, dir)
+    graft.sinks.CorpusExport.writeJsonlShards(kept, outDir, "doc_id", numShards)
+    kept.count()
+  }
+}
