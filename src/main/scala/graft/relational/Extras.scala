@@ -58,6 +58,28 @@ object Extras extends graft.core.QueryModule {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  // G4: cube over (returnflag, linestatus) — all 2² grouping combinations
+  // (rollup's row set plus per-linestatus subtotals), null keys labelled
+  // for a stable hash, same discipline as g1.
+  def g4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum(vdec($"l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
+        coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
+        $"sum_qty", $"n")
+      .orderBy($"returnflag", $"linestatus")
+  }
+  val g4Sql: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+      |  coalesce(l_linestatus, '(all)') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   // A2: global span = max over per-group maxima minus min over minima
   // (two-level aggregation, enterprise_warp.py:441-443) — per-user spans
   // plus the PTA-wide span appended as user_id = -1.
@@ -248,6 +270,7 @@ object Extras extends graft.core.QueryModule {
     "g2_pivot" -> g2,
     "w5_rolling_avg" -> w5,
     "g1_rollup" -> g1,
+    "g4_cube" -> g4,
     "a2_global_tspan" -> a2,
     "q8_market_share" -> q8,
     "q13_cust_distribution" -> q13,
@@ -260,6 +283,7 @@ object Extras extends graft.core.QueryModule {
     "g2_pivot" -> g2Sql,
     "w5_rolling_avg" -> w5Sql,
     "g1_rollup" -> g1Sql,
+    "g4_cube" -> g4Sql,
     "a2_global_tspan" -> a2Sql,
     "q8_market_share" -> q8Sql,
     "q13_cust_distribution" -> q13Sql,
