@@ -199,16 +199,25 @@ object LlmQueries extends graft.core.QueryModule {
 
   // D4: token-3-gram Jaccard near-dup pairs within the same language
   // (shingle equijoin generates candidates; |A∩B|/|A∪B| over distinct sets).
+  /** Distinct (doc_id, lang, sh) 3-gram shingle table — the shared
+    * candidate-generation substrate of n-gram dedup (d4) and eval-set
+    * decontamination (d7): tokenize+shingle+distinct runs once per
+    * (session, dir), like the tokenization and simhash memos. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "docShingles") {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", TextOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 3)
+      docs.select($"doc_id", $"lang",
+        explode(TextOps.shingles3($"toks")).as("sh")).distinct()
+    }
+
   def d4(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-      .select($"doc_id", $"lang", TextOps.tokens($"text").as("toks"))
-      .filter(size($"toks") >= 3)
     // shingle table feeds three consumers (per-doc counts + both sides of
-    // the pair equijoin) — one localCheckpoint beats recomputing
-    // tokenize+shingle+distinct thrice (and stays off the CacheManager)
-    val sh = docs.select($"doc_id", $"lang",
-      explode(TextOps.shingles3($"toks")).as("sh")).distinct().localCheckpoint()
+    // the pair equijoin) — memoized checkpoint, never the CacheManager
+    val sh = docShingles(s, dir)
     val n = sh.groupBy($"doc_id".as("nid")).agg(count(lit(1)).as("ns"))
     val c = sh.select($"doc_id".as("da"), $"lang", $"sh")
       .join(sh.select($"doc_id".as("db"), $"lang", $"sh"), Seq("lang", "sh"))
@@ -783,10 +792,7 @@ object LlmQueries extends graft.core.QueryModule {
   // training.
   def d7(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .filter(size($"toks") >= 3)
-    val sh = docs.select($"doc_id", explode(TextOps.shingles3($"toks")).as("sh")).distinct()
+    val sh = docShingles(s, dir).select($"doc_id", $"sh")
     val evalSh = sh.filter($"doc_id" % 10 === 0).select($"doc_id".as("eid"), $"sh")
     val train = sh.filter($"doc_id" % 10 =!= 0)
     val n = train.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
