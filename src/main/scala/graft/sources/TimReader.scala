@@ -22,6 +22,20 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TimReader {
 
+  /** Typed row of the TOA table — the case-class boundary for consumers
+    * that want compile-time column safety (`Dataset[Toa]`); the decimal
+    * MJD survives as `java.math.BigDecimal` (scale 18). */
+  case class Toa(psr: String, file: String, freq_mhz: Double,
+      toa_mjd: java.math.BigDecimal, toaerr_us: Double, site: String,
+      flags: Map[String, String], toa_sec: Double)
+
+  /** [[read]] as a typed Dataset — same plan, case-class Encoder on top. */
+  def readTyped(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[Toa] = {
+    implicit val enc: org.apache.spark.sql.Encoder[Toa] =
+      org.apache.spark.sql.Encoders.product[Toa]
+    read(spark, path).as[Toa]
+  }
+
   def read(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.textFile(path).toDF("value")
       .withColumn("file_path", input_file_name())

@@ -27,6 +27,19 @@ class TimReaderSpec extends SparkTestBase {
       "toaerr_us", "site", "flags", "toa_sec"))
   }
 
+  test("readTyped: Dataset[Toa] round-trips the schema with decimal MJD intact") {
+    val ds = TimReader.readTyped(spark, path)
+    val rows = ds.collect().sortBy(_.file)
+    assert(rows.length === 4)
+    assert(rows.head.psr === "J0437-4715")
+    assert(rows.head.flags("group") === "PDFB_20CM")
+    assert(rows.last.flags.isEmpty)
+    // 19 significant digits survive the typed boundary
+    assert(rows.head.toa_mjd.toPlainString.startsWith("56260.286239512404133"))
+    // typed transformations stay on the same plan
+    assert(ds.filter(_.freq_mhz > 1000.0).count() === 3)
+  }
+
   test("pulsar name from path stem (split('_')[0])") {
     assert(toas.select("psr").distinct().collect().map(_.getString(0)).toSeq === Seq("J0437-4715"))
   }
