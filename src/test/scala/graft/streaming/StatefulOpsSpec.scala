@@ -35,6 +35,37 @@ class StatefulOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel matches the batch fn1 query (event-time-ordered feed)") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_type"), col("us"))
+      .as[StatefulOps.FunnelEvent]
+      .collect().sortBy(_.us)
+    val input = MemoryStream[StatefulOps.FunnelEvent]
+    val q = StatefulOps.funnelProgress(input.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      // two event-time-ordered micro-batches; state carries across them
+      val (b1, b2) = all.splitAt(all.length / 2)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // latest update per user == the batch query's verdict
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("funnel_stage").desc)
+      val streamed = spark.table("funnel")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "funnel_stage", "v_us", "c_us", "p_us")
+      val batch = graft.analytics.AnalyticsQueries.fn1(spark, dir)
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("sliding windows overlap correctly (1h window / 15m slide)") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventsStream.slidingCounts(
