@@ -254,6 +254,56 @@ object LlmQueries extends graft.core.QueryModule {
       |WHERE c >= 3 AND CAST(c AS DOUBLE) / CAST(na.ns + nb.ns - c AS DOUBLE) >= 0.2
       |ORDER BY da, db""".stripMargin
 
+  // DS1: duplicated-span detection — for each same-lang doc pair sharing
+  // 3-gram shingles at aligned offsets, the LONGEST consecutive run of
+  // matching shingles (the substring-dedup primitive: a run of r shingles
+  // = a common token substring of r+2). Runs are found with the islands
+  // trick: matches with equal offset delta (pa−pb) and consecutive pa get
+  // one island id pa−row_number — pure integer windows, no quadratic
+  // string comparison; candidate generation is the same positioned-shingle
+  // equijoin family as d4, never O(n²) over docs.
+  def ds1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val psh = docTokens(s, dir)
+      .select($"doc_id", $"lang", $"pos", $"tok")
+      .withColumn("t1", lead($"tok", 1).over(
+        Window.partitionBy($"doc_id").orderBy($"pos")))
+      .withColumn("t2", lead($"tok", 2).over(
+        Window.partitionBy($"doc_id").orderBy($"pos")))
+      .filter($"t2".isNotNull)
+      .select($"doc_id", $"lang", $"pos".as("spos"),
+        concat_ws("_", $"tok", $"t1", $"t2").as("sh"))
+    val m = psh.select($"doc_id".as("da"), $"lang", $"spos".as("pa"), $"sh")
+      .join(psh.select($"doc_id".as("db"), $"lang", $"spos".as("pb"), $"sh"),
+        Seq("lang", "sh"))
+      .filter($"da" < $"db")
+    val wRun = Window.partitionBy($"da", $"db", $"delta").orderBy($"pa")
+    m.withColumn("delta", $"pa" - $"pb")
+      .withColumn("island", $"pa" - row_number().over(wRun))
+      .groupBy($"da", $"db", $"delta", $"island")
+      .agg(count(lit(1)).as("run"))
+      .groupBy($"da", $"db")
+      .agg((max($"run") + 2).as("max_dup_tokens"))
+      .filter($"max_dup_tokens" >= 5)
+      .orderBy($"da", $"db")
+  }
+  val ds1Sql: String =
+    s"""$duckTokCtes,
+       |psh AS (SELECT doc_id, lang, pos AS spos,
+       |          tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w AS sh,
+       |          lead(tok, 2) OVER w AS t2
+       |        FROM pt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |ps AS (SELECT doc_id, lang, spos, sh FROM psh WHERE t2 IS NOT NULL),
+       |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.spos AS pa, b.spos AS pb
+       |      FROM ps a JOIN ps b ON a.lang = b.lang AND a.sh = b.sh AND a.doc_id < b.doc_id),
+       |runs AS (SELECT da, db, COUNT(*) AS run FROM (
+       |           SELECT da, db, pa, pa - pb AS delta,
+       |             pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS island
+       |           FROM m) q GROUP BY da, db, delta, island)
+       |SELECT da, db, MAX(run) + 2 AS max_dup_tokens
+       |FROM runs GROUP BY da, db HAVING MAX(run) + 2 >= 5
+       |ORDER BY da, db""".stripMargin
+
   // D6: SimHash near-dup pairs — candidates from 8-bit band equality (a
   // 16-bit simhash splits into two bands; near-dups agree on at least one),
   // verified by Hamming distance via the codegen'd bit_count(xor) built-in.
@@ -1033,6 +1083,7 @@ object LlmQueries extends graft.core.QueryModule {
     "s4_kmeans_update" -> s4,
     "hh1_heavy_hitters" -> hh1,
     "d7_decontaminate" -> d7,
+    "ds1_dup_spans" -> ds1,
     "sm2_stratified_sample" -> sm2,
     "m1_binary_meta" -> m1,
   )
@@ -1063,6 +1114,7 @@ object LlmQueries extends graft.core.QueryModule {
     "s4_kmeans_update" -> s4Sql,
     "hh1_heavy_hitters" -> hh1Sql,
     "d7_decontaminate" -> d7Sql,
+    "ds1_dup_spans" -> ds1Sql,
     "sm2_stratified_sample" -> sm2Sql,
     "m1_binary_meta" -> m1Sql,
   )
