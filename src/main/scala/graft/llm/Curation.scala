@@ -38,36 +38,53 @@ object Curation {
   def contaminationDrops(s: SparkSession, dir: String, minFrac: Double = 0.5): DataFrame =
     LlmQueries.d7(s, dir).filter(col("contam_frac") >= minFrac).select("doc_id")
 
-  /** The kept corpus after all four stages (anti joins on doc_id). */
-  def curate(s: SparkSession, dir: String, minContamFrac: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    Seq(repetitionDrops(s, dir), qualityDrops(s, dir),
-      nearDupDrops(s, dir), contaminationDrops(s, dir, minContamFrac))
-      .foldLeft(docs)((d, drops) => d.join(drops, Seq("doc_id"), "left_anti"))
-  }
+  /** The held-out eval documents themselves (d7's doc_id % 10 = 0
+    * convention) — they must NEVER reach the training export: d7 only
+    * scores TRAIN docs against them, so without this stage every eval doc
+    * would sail through the other filters into the hand-off, the exact
+    * leak decontamination exists to prevent. */
+  def evalHoldoutDrops(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id").filter(col("doc_id") % 10 === 0)
+
+  private def stageDrops(s: SparkSession, dir: String,
+      minContamFrac: Double): Seq[(String, DataFrame)] = Seq(
+    "eval_holdout" -> evalHoldoutDrops(s, dir),
+    "repetition" -> repetitionDrops(s, dir),
+    "lm_quality" -> qualityDrops(s, dir),
+    "near_dup" -> nearDupDrops(s, dir),
+    "decontamination" -> contaminationDrops(s, dir, minContamFrac))
+
+  /** The kept corpus after all five stages (anti joins on doc_id). */
+  def curate(s: SparkSession, dir: String, minContamFrac: Double = 0.5): DataFrame =
+    stageDrops(s, dir, minContamFrac)
+      .foldLeft(Tables.documents(s, dir)) { case (d, (_, drops)) =>
+        d.join(drops, Seq("doc_id"), "left_anti")
+      }
 
   /** Stage-by-stage accounting, sequential semantics (a doc dropped by an
     * earlier stage is not double-counted by a later one). */
   def report(s: SparkSession, dir: String, minContamFrac: Double = 0.5): Seq[StageReport] = {
-    val stages = Seq(
-      "repetition" -> repetitionDrops(s, dir),
-      "lm_quality" -> qualityDrops(s, dir),
-      "near_dup" -> nearDupDrops(s, dir),
-      "decontamination" -> contaminationDrops(s, dir, minContamFrac))
     var current = Tables.documents(s, dir).select("doc_id")
-    stages.map { case (name, drops) =>
+    var remaining = current.count()
+    stageDrops(s, dir, minContamFrac).map { case (name, drops) =>
       val next = current.join(drops, Seq("doc_id"), "left_anti")
-      val (before, after) = (current.count(), next.count())
+      // thread the previous stage's count through — one action per stage,
+      // never recounting the frame just counted
+      val after = next.count()
+      val r = StageReport(name, remaining - after, after)
       current = next
-      StageReport(name, before - after, after)
+      remaining = after
+      r
     }
   }
 
-  /** Curate then export as hash-sharded JSONL (the training hand-off). */
+  /** Curate then export as hash-sharded JSONL (the training hand-off);
+    * returns the exported row count (read from the written shards — the
+    * curation DAG executes exactly once, for the write). */
   def curateAndExport(s: SparkSession, dir: String, outDir: String,
-      numShards: Int = 16): Long = {
-    val kept = curate(s, dir)
+      numShards: Int = 16, minContamFrac: Double = 0.5): Long = {
+    val kept = curate(s, dir, minContamFrac)
     graft.sinks.CorpusExport.writeJsonlShards(kept, outDir, "doc_id", numShards)
-    kept.count()
+    s.read.json(outDir).count()
   }
 }

@@ -262,17 +262,24 @@ object LlmQueries extends graft.core.QueryModule {
   // one island id pa−row_number — pure integer windows, no quadratic
   // string comparison; candidate generation is the same positioned-shingle
   // equijoin family as d4, never O(n²) over docs.
+  private val Ds1FreqCap = 8
   def ds1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val psh = docTokens(s, dir)
-      .select($"doc_id", $"lang", $"pos", $"tok")
-      .withColumn("t1", lead($"tok", 1).over(
-        Window.partitionBy($"doc_id").orderBy($"pos")))
-      .withColumn("t2", lead($"tok", 2).over(
-        Window.partitionBy($"doc_id").orderBy($"pos")))
-      .filter($"t2".isNotNull)
-      .select($"doc_id", $"lang", $"pos".as("spos"),
-        concat_ws("_", $"tok", $"t1", $"t2").as("sh"))
+    // positioned shingles straight from the token array (posexplode of the
+    // in-row shingles3 transform — no per-doc window sort); shingle index
+    // vs token position is an offset-by-one the delta/island arithmetic
+    // never sees. Shingle values repeated more than Ds1FreqCap times
+    // WITHIN a doc are dropped first: template self-repetition contributes
+    // k·m match rows per pair (the quadratic term) but no cross-doc dup
+    // signal, so the cap bounds the join fan-out at Ds1FreqCap² per value.
+    val psh = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", $"lang",
+        posexplode(TextOps.shingles3($"toks")).as(Seq("spos", "sh")))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy($"doc_id", $"sh")))
+      .filter($"cnt" <= Ds1FreqCap).drop("cnt")
     val m = psh.select($"doc_id".as("da"), $"lang", $"spos".as("pa"), $"sh")
       .join(psh.select($"doc_id".as("db"), $"lang", $"spos".as("pb"), $"sh"),
         Seq("lang", "sh"))
@@ -293,7 +300,10 @@ object LlmQueries extends graft.core.QueryModule {
        |          tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w AS sh,
        |          lead(tok, 2) OVER w AS t2
        |        FROM pt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-       |ps AS (SELECT doc_id, lang, spos, sh FROM psh WHERE t2 IS NOT NULL),
+       |ps AS (SELECT doc_id, lang, spos, sh FROM (
+       |         SELECT doc_id, lang, spos, sh,
+       |           COUNT(*) OVER (PARTITION BY doc_id, sh) AS cnt
+       |         FROM psh WHERE t2 IS NOT NULL) c WHERE cnt <= $Ds1FreqCap),
        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.spos AS pa, b.spos AS pb
        |      FROM ps a JOIN ps b ON a.lang = b.lang AND a.sh = b.sh AND a.doc_id < b.doc_id),
        |runs AS (SELECT da, db, COUNT(*) AS run FROM (

@@ -17,52 +17,63 @@ object StatefulOps {
   case class SpendAlert(user_id: Long, total: Double, threshold: Double)
 
   case class FunnelEvent(user_id: Long, event_type: String, us: Long)
-  /** Earliest qualifying timestamp per stage; -1 = not reached. */
-  case class FunnelState(vUs: Long, cUs: Long, pUs: Long)
+  /** Earliest qualifying timestamp per stage; -1 = not reached. `seq` is a
+    * per-user running update counter carried in state so consumers (and
+    * the parity spec) can order the append stream's updates. */
+  case class FunnelState(vUs: Long, cUs: Long, pUs: Long, seq: Long)
   case class FunnelUpdate(user_id: Long, funnel_stage: Long,
-      v_us: Long, c_us: Long, p_us: Long)
+      v_us: Long, c_us: Long, p_us: Long, upd_seq: Long)
 
   /** Streaming funnel progression (the incremental form of
     * AnalyticsQueries.fn1): per user, earliest view, earliest click AFTER
-    * that view, earliest purchase AFTER that click — state is three longs
-    * per user, emitted only when a stage advances (Append mode). Events are
-    * folded in event-time order within each batch; matches the batch
-    * query exactly when arrival respects event-time order across batches
-    * (the watermark contract), which is what the parity spec feeds. */
+    * that view, earliest purchase AFTER that click — state is four longs
+    * per user, and EVERY accepted transition emits an update (Append mode):
+    * a user advancing view→click→purchase inside one micro-batch produces
+    * stage-1, -2 and -3 rows, so stage-level consumers never miss an
+    * intermediate state. Events are folded in event-time order within each
+    * batch; matches the batch query exactly when arrival respects
+    * event-time order across batches (the watermark contract), which is
+    * what the parity spec feeds. */
   def funnelProgress(events: Dataset[FunnelEvent])(
       implicit spark: SparkSession): Dataset[FunnelUpdate] = {
     import spark.implicits._
     def stage(st: FunnelState): Long =
       if (st.pUs >= 0) 3L else if (st.cUs >= 0) 2L else if (st.vUs >= 0) 1L else 0L
+    def transition(st: FunnelState, e: FunnelEvent): FunnelState =
+      e.event_type match {
+        case "view" if st.vUs < 0 || e.us < st.vUs =>
+          // an earlier view can only widen later stages' windows;
+          // already-qualified clicks/purchases stay qualified
+          st.copy(vUs = e.us)
+        case "click" if st.vUs >= 0 && e.us > st.vUs &&
+            (st.cUs < 0 || e.us < st.cUs) =>
+          // a new earliest click invalidates a purchase at or before it
+          // (purchase must be strictly after the click)
+          if (st.pUs >= 0 && st.pUs <= e.us) st.copy(cUs = e.us, pUs = -1L)
+          else st.copy(cUs = e.us)
+        case "purchase" if st.cUs >= 0 && e.us > st.cUs &&
+            (st.pUs < 0 || e.us < st.pUs) =>
+          st.copy(pUs = e.us)
+        case _ => st
+      }
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelUpdate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          val prev = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          val next = it.toSeq.sortBy(e => (e.us, e.event_type)).foldLeft(prev) {
-            (st, e) =>
-              e.event_type match {
-                case "view" if st.vUs < 0 || e.us < st.vUs =>
-                  // an earlier view can only widen later stages' windows;
-                  // already-qualified clicks/purchases stay qualified
-                  st.copy(vUs = e.us)
-                case "click" if st.vUs >= 0 && e.us > st.vUs &&
-                    (st.cUs < 0 || e.us < st.cUs) =>
-                  // a new earliest click invalidates a purchase at or
-                  // before it (purchase must be strictly after the click)
-                  if (st.pUs >= 0 && st.pUs <= e.us) st.copy(cUs = e.us, pUs = -1L)
-                  else st.copy(cUs = e.us)
-                case "purchase" if st.cUs >= 0 && e.us > st.cUs &&
-                    (st.pUs < 0 || e.us < st.pUs) =>
-                  st.copy(pUs = e.us)
-                case _ => st
+          val prev = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, 0L))
+          val (next, updates) = it.toSeq.sortBy(e => (e.us, e.event_type))
+            .foldLeft((prev, Vector.empty[FunnelUpdate])) { case ((st, ups), e) =>
+              val st2 = transition(st, e)
+              if (st2 == st) (st, ups)
+              else {
+                val st3 = st2.copy(seq = st.seq + 1)
+                (st3, ups :+ FunnelUpdate(user, stage(st3),
+                  st3.vUs, st3.cUs, st3.pUs, st3.seq))
               }
-          }
+            }
           state.update(next)
-          if (next != prev)
-            Iterator.single(FunnelUpdate(user, stage(next), next.vUs, next.cUs, next.pUs))
-          else Iterator.empty
+          updates.iterator
       }
   }
 

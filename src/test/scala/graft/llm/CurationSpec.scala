@@ -16,18 +16,21 @@ class CurationSpec extends SparkTestBase {
     // set semantics: kept ∩ (any drop list) = ∅, and every excluded doc is
     // in at least one drop list
     val dropUnion = Seq(
+      Curation.evalHoldoutDrops(spark, dir),
       Curation.repetitionDrops(spark, dir), Curation.qualityDrops(spark, dir),
       Curation.nearDupDrops(spark, dir), Curation.contaminationDrops(spark, dir))
       .reduce(_ unionByName _).distinct()
     assert(kept.join(dropUnion, Seq("doc_id"), "left_semi").count() === 0L)
     assert(keptN === total - dropUnion.count())
+    // the training export must never contain the held-out eval set
+    assert(kept.filter(kept("doc_id") % 10 === 0).count() === 0L)
   }
 
   test("report stages partition the dropped set and end at the kept count") {
     val total = Tables.documents(spark, dir).count()
     val rep = Curation.report(spark, dir)
     assert(rep.map(_.stage) ===
-      Seq("repetition", "lm_quality", "near_dup", "decontamination"))
+      Seq("eval_holdout", "repetition", "lm_quality", "near_dup", "decontamination"))
     // sequential accounting: remaining decreases monotonically to kept
     rep.foldLeft(total) { (prev, r) =>
       assert(r.remaining === prev - r.dropped)

@@ -53,9 +53,10 @@ class StatefulOpsSpec extends SparkTestBase {
       val (b1, b2) = all.splitAt(all.length / 2)
       input.addData(b1.toIndexedSeq); q.processAllAvailable()
       input.addData(b2.toIndexedSeq); q.processAllAvailable()
-      // latest update per user == the batch query's verdict
+      // latest update per user (by the carried update counter) == the
+      // batch query's verdict; intermediate advances are also present
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("funnel_stage").desc)
+        .partitionBy("user_id").orderBy(col("upd_seq").desc)
       val streamed = spark.table("funnel")
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select("user_id", "funnel_stage", "v_us", "c_us", "p_us")
