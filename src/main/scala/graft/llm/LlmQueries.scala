@@ -263,37 +263,43 @@ object LlmQueries extends graft.core.QueryModule {
   // string comparison; candidate generation is the same positioned-shingle
   // equijoin family as d4, never O(n²) over docs.
   private val Ds1FreqCap = 8
-  def ds1(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // positioned shingles straight from the token array (posexplode of the
-    // in-row shingles3 transform — no per-doc window sort); shingle index
-    // vs token position is an offset-by-one the delta/island arithmetic
-    // never sees. Shingle values repeated more than Ds1FreqCap times
-    // WITHIN a doc are dropped first: template self-repetition contributes
-    // k·m match rows per pair (the quadratic term) but no cross-doc dup
-    // signal, so the cap bounds the join fan-out at Ds1FreqCap² per value.
-    val psh = Tables.documents(s, dir)
-      .select($"doc_id", $"lang", TextOps.tokens($"text").as("toks"))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", $"lang",
-        posexplode(TextOps.shingles3($"toks")).as(Seq("spos", "sh")))
+
+  /** Core of ds1, reusable on any (doc_id, lang, text) frame: positioned
+    * shingles straight from the token array (posexplode of the in-row
+    * shingles3 transform — no per-doc window sort); shingle index vs token
+    * position is an offset-by-one the delta/island arithmetic never sees.
+    * Shingle values repeated more than `freqCap` times WITHIN a doc are
+    * dropped first: template self-repetition contributes k·m match rows
+    * per pair (the quadratic term) but no cross-doc dup signal, so the cap
+    * bounds the join fan-out at freqCap² per value. Property-tested
+    * against a brute-force longest-common-substring reference (Ds1Spec).
+    */
+  def dupSpans(docs: DataFrame, minTokens: Long = 5, freqCap: Int = Ds1FreqCap): DataFrame = {
+    val psh = docs
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        posexplode(TextOps.shingles3(col("toks"))).as(Seq("spos", "sh")))
       .withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy($"doc_id", $"sh")))
-      .filter($"cnt" <= Ds1FreqCap).drop("cnt")
-    val m = psh.select($"doc_id".as("da"), $"lang", $"spos".as("pa"), $"sh")
-      .join(psh.select($"doc_id".as("db"), $"lang", $"spos".as("pb"), $"sh"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("sh"))))
+      .filter(col("cnt") <= freqCap).drop("cnt")
+    val m = psh.select(col("doc_id").as("da"), col("lang"), col("spos").as("pa"), col("sh"))
+      .join(psh.select(col("doc_id").as("db"), col("lang"), col("spos").as("pb"), col("sh")),
         Seq("lang", "sh"))
-      .filter($"da" < $"db")
-    val wRun = Window.partitionBy($"da", $"db", $"delta").orderBy($"pa")
-    m.withColumn("delta", $"pa" - $"pb")
-      .withColumn("island", $"pa" - row_number().over(wRun))
-      .groupBy($"da", $"db", $"delta", $"island")
+      .filter(col("da") < col("db"))
+    val wRun = Window.partitionBy(col("da"), col("db"), col("delta")).orderBy(col("pa"))
+    m.withColumn("delta", col("pa") - col("pb"))
+      .withColumn("island", col("pa") - row_number().over(wRun))
+      .groupBy(col("da"), col("db"), col("delta"), col("island"))
       .agg(count(lit(1)).as("run"))
-      .groupBy($"da", $"db")
-      .agg((max($"run") + 2).as("max_dup_tokens"))
-      .filter($"max_dup_tokens" >= 5)
-      .orderBy($"da", $"db")
+      .groupBy(col("da"), col("db"))
+      .agg((max(col("run")) + 2).as("max_dup_tokens"))
+      .filter(col("max_dup_tokens") >= minTokens)
+      .orderBy(col("da"), col("db"))
   }
+
+  def ds1(s: SparkSession, dir: String): DataFrame =
+    dupSpans(Tables.documents(s, dir))
   val ds1Sql: String =
     s"""$duckTokCtes,
        |psh AS (SELECT doc_id, lang, pos AS spos,
