@@ -22,15 +22,18 @@ import org.apache.spark.sql.functions.col
   */
 object CorpusExport {
 
+  /** `format`: "parquet" (default) or "orc" — both columnar with
+    * min/max-stat pruning; the layout rules above apply identically. */
   def write(docs: DataFrame, outDir: String, partitionCol: String = "lang",
-      maxRecordsPerFile: Long = 1000000L): Unit = {
+      maxRecordsPerFile: Long = 1000000L, format: String = "parquet"): Unit = {
     docs
       .repartition(col(partitionCol))
       .write
       .partitionBy(partitionCol)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
-      .parquet(outDir)
+      .format(format)
+      .save(outDir)
   }
 
   /** JSONL shard export — the interchange format LLM training stacks

@@ -34,6 +34,18 @@ class CorpusExportSpec extends SparkTestBase {
       docs.filter(docs("lang") === langs.head).count())
   }
 
+  test("orc export: partitioned layout round-trips losslessly with pushdown") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = tmpDir("corpus-orc").toString
+    CorpusExport.write(docs, out, format = "orc")
+    val back = spark.read.orc(out)
+    assert(back.count() === docs.count())
+    assert(back.columns.sorted === docs.columns.sorted)
+    val p = back.filter(back("doc_id") === 5L)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("pushedfilters") || p.contains("doc_id"))
+  }
+
   test("jsonl shard export: fixed shard count, line-parseable, lossless") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = tmpDir("corpus-jsonl").toString
