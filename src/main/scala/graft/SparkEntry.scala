@@ -14,7 +14,9 @@ object SparkEntry {
     graft.relational.Tpch2,
     graft.analytics.AnalyticsQueries,
     graft.llm.LlmQueries,
+    graft.llm.CorpusQueries,
     graft.relational.Extras,
+    graft.relational.GraphQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

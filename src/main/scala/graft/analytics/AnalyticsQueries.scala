@@ -742,7 +742,51 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM t GROUP BY bucket, event_type ORDER BY window_start, event_type""".stripMargin
 
+  /** z1: per-user anomaly detection — flag events whose value is more than
+    * 2.5 population standard deviations from that user's mean. Moments come
+    * from exact DECIMAL sums (Σv as DECIMAL(12,2), Σv² as the exact decimal
+    * square product), so mean/std are bit-identical doubles on both engines
+    * and the z-scores hash-match without tolerance. groupBy+broadcast-back
+    * instead of a per-user window: the aggregate is map-side combinable and
+    * the stats table is user-count-sized (dimension-small), where a window
+    * sorts every fact row.
+    */
+  def z1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val st = ev.groupBy($"user_id".as("su"))
+      .agg(sum(vdec($"value")).as("sv"),
+        sum((vdec($"value") * vdec($"value")).cast(DecimalType(28, 4))).as("svv"),
+        count(lit(1)).as("n"))
+      .withColumn("mean", $"sv".cast("double") / $"n")
+      .withColumn("std",
+        sqrt($"svv".cast("double") / $"n" - $"mean" * $"mean"))
+    ev.join(broadcast(st), $"user_id" === $"su")
+      .withColumn("z", ($"value" - $"mean") / $"std")
+      .filter($"n" >= 8 && $"std" > 0 && abs($"z") > 2.5)
+      .select($"event_id", $"user_id", $"event_type",
+        round($"z", 6).as("z"))
+      .orderBy($"event_id")
+  }
+
+  val z1Sql: String =
+    """WITH st AS (
+      |  SELECT user_id AS su,
+      |    SUM(CAST(value AS DECIMAL(12,2))) AS sv,
+      |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS svv,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY user_id),
+      |m AS (SELECT su, n, CAST(sv AS DOUBLE) / n AS mean,
+      |        sqrt(CAST(svv AS DOUBLE) / n - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)) AS std
+      |      FROM st)
+      |SELECT event_id, user_id, event_type,
+      |  round((value - mean) / std, 6) AS z
+      |FROM events JOIN m ON user_id = su
+      |WHERE n >= 8 AND std > 0 AND abs((value - mean) / std) > 2.5
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "z1_event_anomaly" -> z1,
     "twa1_time_weighted" -> twa1,
     "o1_ohlc_bars" -> o1,
     "fn1_funnel_steps" -> fn1,
@@ -778,6 +822,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "z1_event_anomaly" -> z1Sql,
     "twa1_time_weighted" -> twa1Sql,
     "o1_ohlc_bars" -> o1Sql,
     "fn1_funnel_steps" -> fn1Sql,

@@ -151,4 +151,54 @@ object Aggregators {
     def outputEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
+
+  /** Top-k rows per group by a long score, as a mergeable aggregate —
+    * the shuffle carries ≤ k (score, id) pairs per group, where the
+    * equivalent `ROW_NUMBER() OVER (PARTITION BY g ORDER BY score DESC)`
+    * window sorts EVERY row of every group. The classic 100 TB "top
+    * products per region" shape: map-side partial top-k makes the reduce
+    * input proportional to groups×k, not rows.
+    *
+    * Total order: score DESC, then id ASC (ids must be unique within a
+    * group for deterministic results — pack a rowid if needed). Buffer is
+    * an interleaved [score0, id0, score1, id1, …] long array kept sorted;
+    * merge re-inserts (associative, commutative; property-tested).
+    * Output: ids in rank order.
+    */
+  class TopKByScore(k: Int) extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+    require(k > 0)
+    // (score, id) at slot i lives at b(2i), b(2i+1); order: score desc, id asc
+    private def before(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+    def zero: Array[Long] = Array.empty
+    private def insert(b: Array[Long], s: Long, id: Long): Array[Long] = {
+      val n = b.length / 2
+      if (n == k && !before(s, id, b(2 * k - 2), b(2 * k - 1))) return b
+      val m = math.min(n + 1, k)
+      val out = new Array[Long](2 * m)
+      java.lang.System.arraycopy(b, 0, out, 0, 2 * math.min(n, m))
+      out(2 * m - 2) = s; out(2 * m - 1) = id
+      var i = m - 1
+      while (i > 0 && before(out(2 * i), out(2 * i + 1), out(2 * i - 2), out(2 * i - 1))) {
+        val ts = out(2 * i); val ti = out(2 * i + 1)
+        out(2 * i) = out(2 * i - 2); out(2 * i + 1) = out(2 * i - 1)
+        out(2 * i - 2) = ts; out(2 * i - 1) = ti
+        i -= 1
+      }
+      out
+    }
+    def reduce(b: Array[Long], v: (Long, Long)): Array[Long] = insert(b, v._1, v._2)
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var out = x
+      var i = 0
+      while (i < y.length) { out = insert(out, y(i), y(i + 1)); i += 2 }
+      out
+    }
+    def finish(b: Array[Long]): Array[Long] =
+      Array.tabulate(b.length / 2)(i => b(2 * i + 1))
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
 }

@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.GlobalRank
+import graft.text.TextOps
+
+/** Training-batch assembly queries: sequence packing and domain-mixture
+  * weighting — the step between a curated corpus and a training run
+  * (north-star widening; the reference stops at analysis outputs).
+  */
+object CorpusQueries extends graft.core.QueryModule {
+
+  /** pack1: contiguous sequence packing — docs in doc_id order are laid
+    * head-to-tail into a token stream; a doc belongs to the context-window
+    * bin its START offset falls in (capacity 2048 tokens). The global
+    * running total comes from [[GlobalRank.withPrefixSum]] (range shuffle +
+    * broadcast offsets), NOT an unpartitioned window — the single-partition
+    * `SUM OVER (ORDER BY)` the oracle runs would serialize the whole corpus
+    * through one task at scale. Integer token counts keep the bin ids
+    * exact.
+    */
+  def pack1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", size(TextOps.tokens($"text")).as("tok"))
+    GlobalRank.withPrefixSum(docs, Seq($"doc_id"), $"tok", out = "cum")
+      .withColumn("bin", expr("(cum - tok) div 2048"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("sum_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"bin")
+  }
+
+  val pack1Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok,
+      |    SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT (cum - tok) // 2048 AS bin, COUNT(*) AS n_docs,
+      |  SUM(tok) AS sum_tokens, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** mix1: temperature-scaled domain mixture — per-source sampling weight
+    * w_i ∝ (tokens_i / Σtokens)^0.7 (the multinomial temperature trick from
+    * multilingual/domain-balance training recipes), normalized to sum 1.
+    * Both normalizations run as 1-row aggregates broadcast back (no
+    * unpartitioned window). Token counts are exact integers; the two double
+    * pow/divide steps are identical expressions on both engines, rounded to
+    * 6 for the hash.
+    */
+  def mix1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bySrc = Tables.documents(s, dir)
+      .select($"source", size(TextOps.tokens($"text")).cast("long").as("tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("tokens"))
+    val tot = bySrc.agg(sum($"tokens").as("tot_tokens"))
+    val w = bySrc.crossJoin(broadcast(tot))
+      .withColumn("w", pow($"tokens".cast("double") / $"tot_tokens".cast("double"), 0.7))
+    val wsum = w.agg(sum($"w").as("wsum"))
+    w.crossJoin(broadcast(wsum))
+      .select($"source", $"n_docs", $"tokens",
+        round($"w" / $"wsum", 6).as("mix_weight"))
+      .orderBy($"source")
+  }
+
+  val mix1Sql: String =
+    """WITH bysrc AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    SUM(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)) AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(tokens) AS tot_tokens FROM bysrc),
+      |w AS (SELECT source, n_docs, tokens,
+      |        pow(CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 0.7) AS w
+      |      FROM bysrc, tot),
+      |ws AS (SELECT SUM(w) AS wsum FROM w)
+      |SELECT source, n_docs, tokens, round(w / wsum, 6) AS mix_weight
+      |FROM w, ws ORDER BY source""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack1_sequence_packing" -> pack1,
+    "mix1_domain_mixture" -> mix1,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "pack1_sequence_packing" -> pack1Sql,
+    "mix1_domain_mixture" -> mix1Sql,
+  )
+}

@@ -889,6 +889,66 @@ object LlmQueries extends graft.core.QueryModule {
        |  CAST(n_contaminated AS DOUBLE) / CAST(n_sh AS DOUBLE) AS contam_frac
        |FROM n JOIN h ON n.doc_id = h.doc_id ORDER BY n.doc_id""".stripMargin
 
+  // D8: INCREMENTAL dedup — the production shape: a new ingest batch
+  // (doc_id % 10 = 7 stands in for "today's crawl") deduped AGAINST the
+  // existing corpus, not within itself. Same 3-gram-Jaccard semantics as
+  // d4, but the join is new×corpus only (no corpus self-pairs — at 100 TB
+  // the standing corpus is orders of magnitude bigger than the increment,
+  // and re-pairing it every ingest would dwarf the real work). Every new
+  // doc appears in the output with a keep/drop verdict (left join).
+  def d8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(s, dir)
+    val newSh = sh.filter($"doc_id" % 10 === 7)
+    val corpusSh = sh.filter($"doc_id" % 10 =!= 7)
+    val nNew = newSh.groupBy($"doc_id").agg(count(lit(1)).as("na"))
+    val nCorp = corpusSh.groupBy($"doc_id".as("cid")).agg(count(lit(1)).as("nb"))
+    val cand = newSh.select($"doc_id", $"lang", $"sh")
+      .join(corpusSh.select($"doc_id".as("cid"), $"lang", $"sh"), Seq("lang", "sh"))
+      .groupBy($"doc_id", $"cid").agg(count(lit(1)).as("c"))
+      .join(nNew, "doc_id").join(nCorp, "cid")
+      .withColumn("jacc", $"c".cast("double") / ($"na" + $"nb" - $"c").cast("double"))
+      .filter($"c" >= 3 && $"jacc" >= 0.2)
+    val verdict = cand.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dups"), max($"jacc").as("best_jacc"))
+    Tables.documents(s, dir).filter($"doc_id" % 10 === 7)
+      .join(verdict, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_dups", lit(0L)).as("n_dups"),
+        round(coalesce($"best_jacc", lit(0.0)), 6).as("best_jacc"),
+        ($"n_dups".isNull).as("keep"))
+      .orderBy($"doc_id")
+  }
+  val d8Sql: String =
+    s"""$duckTokCtes,
+       |sh AS (SELECT DISTINCT doc_id, lang, sh FROM (
+       |         SELECT doc_id, lang,
+       |           tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w AS sh,
+       |           lead(tok, 2) OVER w AS t2
+       |         FROM pt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) q
+       |       WHERE t2 IS NOT NULL),
+       |ns AS (SELECT doc_id, lang, sh FROM sh WHERE doc_id % 10 = 7),
+       |cs AS (SELECT doc_id AS cid, lang, sh FROM sh WHERE doc_id % 10 <> 7),
+       |na AS (SELECT doc_id, COUNT(*) AS na FROM ns GROUP BY 1),
+       |nb AS (SELECT cid, COUNT(*) AS nb FROM cs GROUP BY 1),
+       |cand AS (
+       |  SELECT n.doc_id, c.cid, COUNT(*) AS c
+       |  FROM ns n JOIN cs c ON n.sh = c.sh AND n.lang = c.lang
+       |  GROUP BY 1, 2),
+       |j AS (SELECT cand.doc_id, cand.cid,
+       |        CAST(c AS DOUBLE) / CAST(na.na + nb.nb - c AS DOUBLE) AS jacc, c
+       |      FROM cand JOIN na ON cand.doc_id = na.doc_id
+       |                JOIN nb ON cand.cid = nb.cid
+       |      WHERE c >= 3
+       |        AND CAST(c AS DOUBLE) / CAST(na.na + nb.nb - c AS DOUBLE) >= 0.2),
+       |v AS (SELECT doc_id, COUNT(*) AS n_dups, MAX(jacc) AS best_jacc
+       |      FROM j GROUP BY 1)
+       |SELECT d.doc_id, coalesce(v.n_dups, 0) AS n_dups,
+       |  round(coalesce(v.best_jacc, 0.0), 6) AS best_jacc,
+       |  v.n_dups IS NULL AS keep
+       |FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+       |WHERE d.doc_id % 10 = 7 ORDER BY d.doc_id""".stripMargin
+
   // T8: unigram language-model quality score (the CCNet-style LM filter):
   // corpus unigram probabilities → per-doc mean token log-probability →
   // keep/drop. The unigram table is vocabulary-sized → broadcast; the doc
@@ -1099,6 +1159,7 @@ object LlmQueries extends graft.core.QueryModule {
     "s4_kmeans_update" -> s4,
     "hh1_heavy_hitters" -> hh1,
     "d7_decontaminate" -> d7,
+    "d8_incremental_dedup" -> d8,
     "ds1_dup_spans" -> ds1,
     "sm2_stratified_sample" -> sm2,
     "m1_binary_meta" -> m1,
@@ -1130,6 +1191,7 @@ object LlmQueries extends graft.core.QueryModule {
     "s4_kmeans_update" -> s4Sql,
     "hh1_heavy_hitters" -> hh1Sql,
     "d7_decontaminate" -> d7Sql,
+    "d8_incremental_dedup" -> d8Sql,
     "ds1_dup_spans" -> ds1Sql,
     "sm2_stratified_sample" -> sm2Sql,
     "m1_binary_meta" -> m1Sql,

@@ -60,6 +60,35 @@ object GlobalRank {
     spark.createDataFrame(rows, schema)
   }
 
+  /** `df` + an inclusive global running total of `value` ordered by `sort`
+    * (`SUM(value) OVER (ORDER BY sort ROWS UNBOUNDED PRECEDING)`) without a
+    * single-partition WindowExec — same two-pass shape as [[withRowNumber]]:
+    * one range shuffle, a per-partition-sums job (numParts longs to the
+    * driver — metadata, not data), then a streaming per-partition scan with
+    * broadcast start offsets. `value` must cast losslessly to long (token
+    * counts, byte sizes); integer accumulation keeps the result exact and
+    * order-independent at any scale. */
+  def withPrefixSum(df: DataFrame, sort: Seq[Column], value: Column,
+      out: String = "cum"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val tagged = df.withColumn("__psv", value.cast(LongType))
+    val sorted = tagged.repartitionByRange(parts, sort: _*).sortWithinPartitions(sort: _*)
+    val vIdx = sorted.schema.fieldIndex("__psv")
+    val rdd = sorted.rdd // memoized: both jobs share the shuffle stage
+    val sums = rdd.mapPartitionsWithIndex((i, it) => {
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
+    }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = bcOff.value(i)
+      it.map { row => s += row.getLong(vIdx); Row.fromSeq(row.toSeq :+ s) }
+    }
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    spark.createDataFrame(rows, schema).drop("__psv")
+  }
+
   /** SQL NTILE(k) computed from a global rank: the first `n % k` tiles get
     * `ceil(n/k)` rows, the rest `floor(n/k)` — exact NTILE semantics without
     * the single-partition window. `rn` is 1-based, `n` the total count. */

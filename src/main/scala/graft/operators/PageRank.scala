@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank in fixed-point (integer-scaled) arithmetic.
+  *
+  * Ranks are carried as long "micro-rank" units (1e12 = total mass 1.0) and
+  * every step is integer division / integer sums, so the result is exact and
+  * **order-independent**: the same bits fall out of any engine regardless of
+  * partitioning or summation order — which is what lets a Spark run
+  * hash-match a DuckDB oracle (and two cluster runs match each other).
+  * Floating-point PageRank can't make that promise: `SUM(double)` is
+  * non-associative, so per-partition order changes low bits every run.
+  *
+  * Per iteration, for the undirected graph given by `edges(a, b)`:
+  * {{{
+  *   contrib(u)  = r(u) div deg(u)                    -- exact long division
+  *   r'(v)       = (15 * (S div n)) div 100
+  *               + (85 * SUM(contrib(u) for u adjacent to v)) div 100
+  * }}}
+  * which is standard damping-0.85 PageRank up to sub-µrank truncation (each
+  * div discards < 1 unit = 1e-12 of mass; mass is not exactly conserved,
+  * exactly as specified — the oracle follows the same spec).
+  *
+  * Scale shape: one `groupBy(node)` degree aggregation up front, then one
+  * shuffle-hash join + one aggregation per iteration, all keyed on node id —
+  * never quadratic, no driver-side graph. Like [[ConnectedComponents.run]],
+  * ranks are localCheckpoint'ed every `checkpointEvery` iterations so
+  * lineage/plan depth stays O(1) in iteration count — but NOT every
+  * iteration: a checkpoint is an eager job, and for short chains the
+  * un-materialized plan (executed once by the final action) is cheaper.
+  *
+  * The reference has no graph operator; this is north-star widening (the
+  * dedup→cluster→rank chain a curation pipeline uses to pick canonical
+  * documents, and plain graph analytics over entity edges).
+  */
+object PageRank {
+
+  val Scale = 1000000000000L // 1e12 µrank units = total mass 1.0
+
+  /** Ranks after `iters` damped iterations over the undirected graph
+    * `edges(a, b)`. Returns (v LONG, rank LONG) in µrank units; every node
+    * appearing in any edge is present (degree ≥ 1 after symmetrisation, so
+    * there are no dangling nodes by construction).
+    */
+  def run(edges: DataFrame, iters: Int = 3, reliable: Boolean = false,
+      checkpointEvery: Int = 4): DataFrame = {
+    val bidir = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val sym0 = bidir.repartition(col("a"))
+    val sym = if (reliable) sym0.checkpoint() else sym0.localCheckpoint()
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    // n is one scalar — an O(1) driver value, same as any COUNT() action.
+    val n = deg.count()
+    val base = (15L * (Scale / n)) / 100L
+    var ranks = deg.select(col("v"), col("deg"), lit(Scale / n).as("rank"))
+    var it = 0
+    while (it < iters) {
+      val contrib = ranks.select(col("v"), expr("rank div deg").as("c"))
+      val next = sym.join(contrib, sym("a") === contrib("v"))
+        .groupBy(sym("b").as("v"))
+        .agg(expr(s"$base + (85 * sum(c)) div 100").as("rank"))
+        .join(deg.select(col("v").as("dv"), col("deg")), col("v") === col("dv"))
+        .select(col("v"), col("deg"), col("rank"))
+      it += 1
+      ranks =
+        if (it < iters && it % checkpointEvery == 0) {
+          if (reliable) next.checkpoint() else next.localCheckpoint()
+        } else next
+    }
+    ranks.select(col("v"), col("rank"))
+  }
+}

@@ -265,7 +265,38 @@ object Extras extends graft.core.QueryModule {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // TK1: top-3 lineitems by price per supplier via the mergeable
+  // TopKByScore aggregate — the shuffle carries ≤3 (score,id) pairs per
+  // supplier (map-side partial top-k), where the oracle's ROW_NUMBER
+  // window sorts every row of every partition. Score is exact decimal
+  // cents; rowid = orderkey*8+linenumber is a unique total-order tiebreak
+  // (linenumber ≤ 7).
+  def tk1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val topk = udaf(new graft.functions.Aggregators.TopKByScore(3))
+    Tables.lineitem(s, dir)
+      .select($"l_suppkey",
+        (vdec($"l_extendedprice") * 100).cast("long").as("cents"),
+        ($"l_orderkey" * 8 + $"l_linenumber").as("rowid"))
+      .groupBy($"l_suppkey")
+      .agg(topk($"cents", $"rowid").as("ids"))
+      .select($"l_suppkey", posexplode($"ids").as(Seq("rk0", "rowid")))
+      .select($"l_suppkey", ($"rk0" + 1).cast("long").as("rk"),
+        expr("rowid div 8").as("o_key"), expr("rowid % 8").as("line_no"))
+      .orderBy($"l_suppkey", $"rk")
+  }
+  val tk1Sql: String =
+    """SELECT l_suppkey, rk, o_key, line_no FROM (
+      |  SELECT l_suppkey,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |      ORDER BY CAST(l_extendedprice AS DECIMAL(12,2)) DESC,
+      |               l_orderkey * 8 + l_linenumber) AS rk,
+      |    l_orderkey AS o_key, CAST(l_linenumber AS BIGINT) AS line_no
+      |  FROM lineitem) q
+      |WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tk1_topk_per_group" -> tk1,
     "sj1_salted_join" -> sj1,
     "g2_pivot" -> g2,
     "w5_rolling_avg" -> w5,
@@ -279,6 +310,7 @@ object Extras extends graft.core.QueryModule {
     "g3_grouping_sets" -> g3,
   )
   val oracles: Map[String, String] = Map(
+    "tk1_topk_per_group" -> tk1Sql,
     "sj1_salted_join" -> sj1Sql,
     "g2_pivot" -> g2Sql,
     "w5_rolling_avg" -> w5Sql,

@@ -1,0 +1,98 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{BloomSemiJoin, PageRank}
+
+/** Graph analytics + runtime-filter queries over the star schema —
+  * north-star widening (the reference has no graph operator; a curation
+  * pipeline uses rank/centrality to pick canonical documents, and runtime
+  * filters are the standard 100 TB star-join device).
+  */
+object GraphQueries extends graft.core.QueryModule {
+
+  /** pr1: integer-scaled PageRank over the customer–supplier bipartite
+    * graph (edge = "customer ordered from supplier"). Node encoding keeps
+    * the id spaces disjoint: customer c → 2c, supplier s → 2s+1. Fixed-point
+    * µrank arithmetic (PageRank.Scale) makes all three iterations exact, so
+    * the long ranks hash-match the oracle bit-for-bit — no float-summation
+    * order anywhere.
+    */
+  def pr1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    PageRank.run(edges, iters = 3)
+      .select($"v".as("node"), $"rank".as("microrank"))
+      .orderBy($"node")
+  }
+
+  val pr1Sql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |sym AS (SELECT DISTINCT a, b FROM
+      |         (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)),
+      |deg AS (SELECT a AS v, COUNT(*) AS deg FROM sym GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS cnt FROM deg),
+      |r0 AS (SELECT v, deg, 1000000000000 // (SELECT cnt FROM n) AS rank FROM deg),
+      |p1 AS (SELECT s.b AS v,
+      |         (15 * (1000000000000 // (SELECT cnt FROM n))) // 100
+      |         + (85 * SUM(r.rank // r.deg)) // 100 AS rank
+      |       FROM sym s JOIN r0 r ON s.a = r.v GROUP BY s.b),
+      |r1 AS (SELECT p.v, d.deg, p.rank FROM p1 p JOIN deg d ON p.v = d.v),
+      |p2 AS (SELECT s.b AS v,
+      |         (15 * (1000000000000 // (SELECT cnt FROM n))) // 100
+      |         + (85 * SUM(r.rank // r.deg)) // 100 AS rank
+      |       FROM sym s JOIN r1 r ON s.a = r.v GROUP BY s.b),
+      |r2 AS (SELECT p.v, d.deg, p.rank FROM p2 p JOIN deg d ON p.v = d.v),
+      |p3 AS (SELECT s.b AS v,
+      |         (15 * (1000000000000 // (SELECT cnt FROM n))) // 100
+      |         + (85 * SUM(r.rank // r.deg)) // 100 AS rank
+      |       FROM sym s JOIN r2 r ON s.a = r.v GROUP BY s.b)
+      |SELECT v AS node, rank AS microrank FROM p3 ORDER BY node""".stripMargin
+
+  /** bf1: bloom-prefiltered semi join — revenue of lineitems belonging to
+    * URGENT orders. The bloom (built over the ~1/5-selectivity urgent
+    * order-key set) thins lineitem BELOW its shuffle; the exact semi-join
+    * refine removes false positives, so the result equals the plain semi
+    * join the oracle runs. Exact-decimal revenue for a stable hash.
+    */
+  def bf1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.Oracle._
+    val urgent = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    // static capacity estimate, NOT a count() job: an oversized bloom only
+    // costs bits (fpp drops), an extra count action costs a full pass. A
+    // real deployment feeds this from table statistics.
+    BloomSemiJoin.semiJoin(Tables.lineitem(s, dir), $"l_orderkey",
+        urgent, $"o_orderkey", expectedItems = 1L << 20)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        d(sum(money($"l_extendedprice"))).as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
+  val bf1Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pr1_pagerank" -> pr1,
+    "bf1_bloom_semijoin" -> bf1,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "pr1_pagerank" -> pr1Sql,
+    "bf1_bloom_semijoin" -> bf1Sql,
+  )
+}

@@ -99,7 +99,8 @@ class PlanAuditSpec extends SparkTestBase {
       "s4_kmeans_update",    // k-centroid broadcast (assignment pass, as s3)
       "a5_log_bayes_factors",  // model×model pairs over a handful of models
       "j8_hd_pair_correlation", // pulsar-pair self-join: tens of pulsars
-      "t3_token_stats")      // corpus-level scalar aggregates
+      "t3_token_stats",      // corpus-level scalar aggregates
+      "mix1_domain_mixture") // two 1-row normalization constants (Σtokens, Σw)
     // iterative operators run actions while BUILDING the frame — profile
     // their final stage only (loop internals are audited by their specs)
     val violations = for {

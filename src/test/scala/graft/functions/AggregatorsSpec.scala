@@ -118,4 +118,33 @@ class AggregatorsSpec extends SparkTestBase {
     val r = SCTest.check(prop)(_.withMinSuccessfulTests(100))
     assert(r.passed, r.status.toString)
   }
+
+  private def topKRef(k: Int, pairs: Seq[(Long, Long)]): Seq[Long] =
+    pairs.sortBy { case (s, id) => (-s, id) }.take(k).map(_._2)
+
+  test("TopKByScore equals sort-desc-take-k on a DataFrame") {
+    import spark.implicits._
+    val pairs = (0L until 400L).map(i => ((i * 2654435761L) % 997L, i))
+    val agg = udaf(new Aggregators.TopKByScore(5))
+    val got = pairs.toDF("s", "id").select(agg($"s", $"id")).head().getSeq[Long](0)
+    assert(got.toSeq === topKRef(5, pairs))
+  }
+
+  test("TopKByScore merge is associative, commutative, and matches single-pass") {
+    val a = new Aggregators.TopKByScore(4)
+    val gen = Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 10000L)))
+    val prop = forAll(gen, gen, gen) { (xs, ys, zs) =>
+      def buf(l: List[(Long, Long)]) = l.foldLeft(a.zero)(a.reduce)
+      val left = a.merge(a.merge(buf(xs), buf(ys)), buf(zs)).toSeq
+      val right = a.merge(buf(xs), a.merge(buf(ys), buf(zs))).toSeq
+      val swap = a.merge(buf(ys), buf(xs)).toSeq
+      val all = a.finish(buf(xs ++ ys ++ zs)).toSeq
+      // duplicate (score, id) pairs occupy two slots; compare on distinct
+      val distinctAll = a.finish(buf((xs ++ ys ++ zs).distinct)).toSeq
+      left == right && a.merge(buf(xs), buf(ys)).toSeq == swap &&
+        distinctAll == topKRef(4, (xs ++ ys ++ zs).distinct)
+    }
+    val r = SCTest.check(prop)(_.withMinSuccessfulTests(100))
+    assert(r.passed, r.status.toString)
+  }
 }

@@ -29,6 +29,20 @@ class GlobalRankSpec extends SparkTestBase {
     assert(sorted.toSeq === sorted.toSeq.sorted)
   }
 
+  test("withPrefixSum matches a global running-total window") {
+    import spark.implicits._
+    val df = (1 to 977).map(i => (i, (i * 7919) % 101)).toDF("id", "v")
+    val got = GlobalRank.withPrefixSum(df, Seq(col("id")), $"v")
+      .select($"id", $"cum")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    val want = df
+      .withColumn("cum", sum($"v").over(
+        Window.orderBy($"id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"id", $"cum")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    assert(got === want)
+  }
+
   test("ntileFromRank reproduces NTILE semantics for uneven splits") {
     import spark.implicits._
     for (n <- Seq(5, 8, 17, 100); k <- Seq(3, 8)) {
