@@ -49,9 +49,22 @@ object PageRank {
     val bidir = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+    // materialize the symmetrized edge list ONCE — deg, the annotation
+    // join, and n all read it; un-checkpointed, each would re-run the
+    // union+distinct shuffle
     val sym0 = bidir.repartition(col("a"))
     val sym = if (reliable) sym0.checkpoint() else sym0.localCheckpoint()
     val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    // Edges annotated ONCE with the receiving node's degree, so each
+    // iteration's aggregation yields (v, deg, rank) directly — without
+    // this, every iteration pays a second node-table join to re-attach deg
+    // for the next round's contributions (and broadcasting deg instead
+    // would cap the node count at broadcast size — not a 100 TB posture).
+    val symDeg0 = sym
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("deg_b"))
+      .repartition(col("a"))
+    val symDeg = if (reliable) symDeg0.checkpoint() else symDeg0.localCheckpoint()
     // n is one scalar — an O(1) driver value, same as any COUNT() action.
     val n = deg.count()
     val base = (15L * (Scale / n)) / 100L
@@ -59,10 +72,9 @@ object PageRank {
     var it = 0
     while (it < iters) {
       val contrib = ranks.select(col("v"), expr("rank div deg").as("c"))
-      val next = sym.join(contrib, sym("a") === contrib("v"))
-        .groupBy(sym("b").as("v"))
+      val next = symDeg.join(contrib, symDeg("a") === contrib("v"))
+        .groupBy(symDeg("b").as("v"), symDeg("deg_b").as("deg"))
         .agg(expr(s"$base + (85 * sum(c)) div 100").as("rank"))
-        .join(deg.select(col("v").as("dv"), col("deg")), col("v") === col("dv"))
         .select(col("v"), col("deg"), col("rank"))
       it += 1
       ranks =
