@@ -17,14 +17,16 @@ object Bench {
         "a4_model_counts") // events
       .foreach(name => SparkEntry.queries.get(name)
         .foreach(fn => try fn(spark, sfDir).collect() catch { case _: Throwable => () }))
-    // best-of-2 with a FRESH DataFrame per run: each timed run pays full
+    // best-of-3 with a FRESH DataFrame per run: each timed run pays full
     // analysis + optimization + execution (reusing one DataFrame would let
     // AQE serve the second run from materialized shuffle stages — cached
     // intermediates, not a benchmark). The duplicate-plan codegen cache
     // hit between runs absorbs Janino/JIT warmup, which otherwise
     // dominates sub-second queries (observed 5-15s first-run stalls).
+    // Three runs, not two: this host shows sporadic multi-second external
+    // stalls (CPU steal) that can hit both of two runs back-to-back.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9

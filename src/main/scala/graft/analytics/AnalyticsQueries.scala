@@ -785,7 +785,45 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |WHERE n >= 8 AND std > 0 AND abs((value - mean) / std) > 2.5
       |ORDER BY event_id""".stripMargin
 
+  /** zo1: Z-order locality audit — Morton-interleave (user_id, value
+    * cents) and aggregate per coarse z-bucket. Each bucket's (min,max)
+    * envelope is tight in BOTH dimensions — the property that lets a
+    * z-clustered layout ([[graft.sinks.CorpusExport.writeZOrdered]]) prune
+    * files on either predicate. The interleave is plain shift/and/or
+    * arithmetic mirrored term-for-term into the oracle SQL, all integer →
+    * exact.
+    */
+  def zo1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.events(s, dir).select(
+      $"user_id",
+      least((vdec($"value") * 100).cast("long"), lit(65535L)).as("cents"),
+      expr("user_id % 65536").as("xa"))
+    q.withColumn("z", graft.functions.ZOrder.interleave16($"xa", $"cents"))
+      .withColumn("zbucket", expr("z div 4194304"))
+      .groupBy($"zbucket")
+      .agg(count(lit(1)).as("n"),
+        min($"user_id").as("min_user"), max($"user_id").as("max_user"),
+        min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+      .orderBy($"zbucket")
+  }
+
+  val zo1Sql: String = {
+    val z = graft.functions.ZOrder.interleave16Sql("xa", "cents")
+    s"""WITH q AS (
+       |  SELECT user_id,
+       |    LEAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT), 65535) AS cents,
+       |    user_id % 65536 AS xa
+       |  FROM events),
+       |z AS (SELECT user_id, cents, $z AS z FROM q)
+       |SELECT z // 4194304 AS zbucket, COUNT(*) AS n,
+       |  MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+       |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
+       |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zo1_zorder_locality" -> zo1,
     "z1_event_anomaly" -> z1,
     "twa1_time_weighted" -> twa1,
     "o1_ohlc_bars" -> o1,
@@ -822,6 +860,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "zo1_zorder_locality" -> zo1Sql,
     "z1_event_anomaly" -> z1Sql,
     "twa1_time_weighted" -> twa1Sql,
     "o1_ohlc_bars" -> o1Sql,

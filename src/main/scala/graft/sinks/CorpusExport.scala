@@ -64,4 +64,23 @@ object CorpusExport {
       .mode("overwrite")
       .parquet(outDir)
   }
+
+  /** Z-ordered layout over TWO dimensions: range-partition + sort by the
+    * Morton-interleaved key ([[graft.functions.ZOrder]]), so each file's
+    * min/max envelope is tight in BOTH `dimA` and `dimB` — point/range
+    * predicates on either column prune files, where a plain sort serves
+    * only its leading column. Dims must be pre-quantized to [0, 65535]
+    * (the caller owns the value→bucket mapping; stats-driven quantile
+    * quantization composes on top). The key is dropped before write. */
+  def writeZOrdered(docs: DataFrame, outDir: String, dimA: String,
+      dimB: String, numFiles: Int): Unit = {
+    docs
+      .withColumn("__z", graft.functions.ZOrder.interleave16(col(dimA), col(dimB)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(outDir)
+  }
 }

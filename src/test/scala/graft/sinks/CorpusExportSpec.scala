@@ -92,4 +92,44 @@ class CorpusExportSpec extends SparkTestBase {
     val p = back.filter(back("doc_id") === 5L).queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters") || p.contains("pushedFilters"))
   }
+
+  test("z-order interleave: column expression matches the reference bit-weave") {
+    import spark.implicits._
+    import graft.functions.ZOrder
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 7L))
+    val got = pairs.toDF("a", "b")
+      .select(ZOrder.interleave16($"a", $"b")).as[Long].collect()
+    assert(got.toSeq === pairs.map { case (a, b) => ZOrder.interleave16Ref(a, b) })
+    // and the interleave is a bijection on the sampled grid
+    val grid = for (a <- 0L to 63L; b <- 0L to 63L) yield ZOrder.interleave16Ref(a, b)
+    assert(grid.distinct.size === grid.size)
+  }
+
+  test("z-ordered export: file envelopes are tight in BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a 64×64 grid — a 1-D sort by x would give every file the full y range
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val out = tmpDir("corpus-zorder").toString
+    CorpusExport.writeZOrdered(grid, out, "x", "y", numFiles = 16)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 4)
+    val envelopes = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("x"), max("x"), min("y"), max("y")).head
+      (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+    }
+    // z-curve locality: most files' bounding boxes span ≤ half the range
+    // in BOTH dims (a file straddling a major quadrant boundary may be
+    // wide in one dim — that's inherent to the curve, not a layout bug).
+    // A 1-D sort by x gives EVERY file the full y range (dy = 63).
+    val tight = envelopes.count { case (dx, dy) => dx <= 32 && dy <= 32 }
+    assert(tight * 4 >= envelopes.length * 3, envelopes.mkString(", "))
+    val avgDy = envelopes.map(_._2).sum.toDouble / envelopes.length
+    assert(avgDy <= 40.0, s"avg dy $avgDy — no better than a 1-D x sort")
+    assert(spark.read.parquet(out).count() === 64L * 64L)
+  }
 }
