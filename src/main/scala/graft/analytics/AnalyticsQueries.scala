@@ -822,7 +822,46 @@ object AnalyticsQueries extends graft.core.QueryModule {
        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
   }
 
+  /** gf1: time-series gap filling — a regular 6-hour grid per user,
+    * forward-filled with the user's most recent reading (sensor/metric
+    * densification). The fill is [[graft.operators.AsOfJoin.backward]] —
+    * the same single-shuffle union+window operator as ao_asof_join, on a
+    * second use case; rows before a user's first reading stay null →
+    * filled flag false. Readings collapse to one per (user, µs) first so
+    * the as-of match is deterministic under timestamp ties.
+    */
+  def gf1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val start = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+    val step = 21600000000L       // 6 h
+    val readings = Tables.events(s, dir)
+      .filter($"user_id" < 50)
+      .groupBy($"user_id", unix_micros($"ts").as("us"))
+      .agg(max($"value").as("v"))
+    val grid = readings.select($"user_id").distinct()
+      .select($"user_id", explode(sequence(lit(0L), lit(119L))).as("i"))
+      .select($"user_id", (lit(start) + $"i" * lit(step)).as("us"))
+    graft.operators.AsOfJoin.backward(grid, readings, "user_id", "us", Seq("v"))
+      .select($"user_id", $"us",
+        coalesce($"v", lit(0.0)).as("v_filled"),
+        $"v".isNotNull.as("filled"))
+      .orderBy($"user_id", $"us")
+  }
+
+  val gf1Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, epoch_us(ts) AS us, MAX(value) AS v
+      |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      |u AS (SELECT DISTINCT user_id FROM r),
+      |g AS (SELECT user_id, 1704067200000000 + 21600000000 * i AS us
+      |      FROM u, (SELECT unnest(range(0, 120)) AS i))
+      |SELECT g.user_id, g.us, coalesce(r.v, 0.0) AS v_filled,
+      |  r.v IS NOT NULL AS filled
+      |FROM g ASOF LEFT JOIN r ON g.user_id = r.user_id AND g.us >= r.us
+      |ORDER BY g.user_id, g.us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gf1_gap_fill" -> gf1,
     "zo1_zorder_locality" -> zo1,
     "z1_event_anomaly" -> z1,
     "twa1_time_weighted" -> twa1,
@@ -860,6 +899,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "gf1_gap_fill" -> gf1Sql,
     "zo1_zorder_locality" -> zo1Sql,
     "z1_event_anomaly" -> z1Sql,
     "twa1_time_weighted" -> twa1Sql,

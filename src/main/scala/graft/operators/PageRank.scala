@@ -51,7 +51,9 @@ object PageRank {
       .distinct()
     // materialize the symmetrized edge list ONCE — deg, the annotation
     // join, and n all read it; un-checkpointed, each would re-run the
-    // union+distinct shuffle
+    // union+distinct shuffle (a window count over b was tried instead of
+    // the join: the per-partition sort made it ~3× slower than hash
+    // join + hash agg)
     val sym0 = bidir.repartition(col("a"))
     val sym = if (reliable) sym0.checkpoint() else sym0.localCheckpoint()
     val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
