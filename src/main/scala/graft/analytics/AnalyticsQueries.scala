@@ -860,7 +860,45 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |FROM g ASOF LEFT JOIN r ON g.user_id = r.user_id AND g.us >= r.us
       |ORDER BY g.user_id, g.us""".stripMargin
 
+  /** scd1: slowly-changing-dimension (type 2) intervals — collapse each
+    * user's event stream into validity windows of a tracked state (the
+    * props k mod 4 bucket): a new interval opens when the state CHANGES
+    * (gaps-and-islands), closes at the next change, stays open (null) for
+    * the current state. Everything is per-user window work — partitioned
+    * by the natural key, no global sort; the warehouse CDC-merge shape.
+    */
+  def scd1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val e = Tables.events(s, dir)
+      .filter($"user_id" < 30)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        (get_json_object($"props", "$.k").cast("long") % 4).as("state"))
+    val starts = e
+      .withColumn("prev", lag($"state", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"state")
+    starts
+      .withColumn("valid_to",
+        lead($"us", 1).over(Window.partitionBy($"user_id").orderBy($"us", $"event_id")))
+      .select($"user_id", $"state", $"us".as("valid_from"), $"valid_to")
+      .orderBy($"user_id", $"valid_from")
+  }
+
+  val scd1Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS state
+      |  FROM events WHERE user_id < 30),
+      |m AS (SELECT *, lag(state) OVER w AS prev FROM e
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |st AS (SELECT user_id, us, event_id, state FROM m
+      |       WHERE prev IS NULL OR prev <> state)
+      |SELECT user_id, state, us AS valid_from,
+      |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+      |FROM st ORDER BY user_id, valid_from""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd1_scd2_intervals" -> scd1,
     "gf1_gap_fill" -> gf1,
     "zo1_zorder_locality" -> zo1,
     "z1_event_anomaly" -> z1,
@@ -899,6 +937,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "scd1_scd2_intervals" -> scd1Sql,
     "gf1_gap_fill" -> gf1Sql,
     "zo1_zorder_locality" -> zo1Sql,
     "z1_event_anomaly" -> z1Sql,

@@ -295,7 +295,110 @@ object Extras extends graft.core.QueryModule {
       |  FROM lineitem) q
       |WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin
 
+  // DQ1: declarative data-quality audit (the Deequ-style constraint
+  // suite): referential integrity as anti-join counts, key uniqueness as
+  // excess-row counts, domain checks as one conditional-aggregation pass
+  // over the fact table. One row per constraint — the audit artifact a
+  // 100 TB ingest gate emits. All checks are counts → map-side
+  // combinable; the orphan checks shuffle only the join keys.
+  def dq1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val ords = Tables.orders(s, dir)
+    def row(name: String, violations: org.apache.spark.sql.Column,
+        checked: org.apache.spark.sql.Column, src: DataFrame): DataFrame =
+      src.agg(violations.cast("long").as("n_violations"),
+        checked.cast("long").as("n_checked"))
+        .select(lit(name).as("chk"), $"n_violations", $"n_checked")
+    def orphanRow(name: String, src: DataFrame): DataFrame =
+      src.agg(count(lit(1)).cast("long").as("n_violations"))
+        .select(lit(name).as("chk"), $"n_violations",
+          lit(null).cast("long").as("n_checked"))
+    val orphanLi = orphanRow("fk_lineitem_orders",
+      li.join(ords.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_anti"))
+    val orphanOrd = orphanRow("fk_orders_customer",
+      ords.join(Tables.customer(s, dir).select($"c_custkey"),
+        $"o_custkey" === $"c_custkey", "left_anti"))
+    val dupKeys = row("pk_lineitem_unique",
+      sum($"cnt" - 1), sum($"cnt"),
+      li.groupBy($"l_orderkey", $"l_linenumber").agg(count(lit(1)).as("cnt")))
+    val domain = li.agg(
+      sum(when($"l_shipdate".isNull, 1L).otherwise(0L)).as("null_ship"),
+      sum(when($"l_quantity" <= 0, 1L).otherwise(0L)).as("nonpos_qty"),
+      sum(when(!$"l_discount".between(0.0, 1.0), 1L).otherwise(0L)).as("bad_disc"),
+      count(lit(1)).as("n"))
+    val domainRows = Seq(
+      ("notnull_shipdate", "null_ship"), ("positive_quantity", "nonpos_qty"),
+      ("discount_in_unit_range", "bad_disc")).map { case (nm, c) =>
+      domain.select(lit(nm).as("chk"), col(c).cast("long").as("n_violations"),
+        $"n".cast("long").as("n_checked"))
+    }
+    val shipAfter = row("ship_after_orderdate",
+      sum(when($"l_shipdate" < $"o_orderdate", 1L).otherwise(0L)), count(lit(1)),
+      li.join(ords.select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey"))
+    (Seq(orphanLi, orphanOrd, dupKeys, shipAfter) ++ domainRows)
+      .reduce(_ unionByName _)
+      .orderBy($"chk")
+  }
+  val dq1Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'fk_lineitem_orders' AS chk,
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+      |      (SELECT o_orderkey FROM orders)) AS n_violations,
+      |    CAST(NULL AS BIGINT) AS n_checked
+      |  UNION ALL
+      |  SELECT 'fk_orders_customer',
+      |    (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+      |      (SELECT c_custkey FROM customer)), CAST(NULL AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'pk_lineitem_unique', SUM(cnt - 1), SUM(cnt) FROM
+      |    (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber)
+      |  UNION ALL
+      |  SELECT 'ship_after_orderdate',
+      |    SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END), COUNT(*)
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  UNION ALL
+      |  SELECT 'notnull_shipdate',
+      |    SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), COUNT(*) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'positive_quantity',
+      |    SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), COUNT(*) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'discount_in_unit_range',
+      |    SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 ELSE 0 END),
+      |    COUNT(*) FROM lineitem
+      |) ORDER BY chk""".stripMargin
+
+  // FZ1: fuzzy matching — near-identical part names by edit distance,
+  // blocked on the noun token so the candidate set is dictionary-sized
+  // (the block-then-verify shape every 100 TB entity-resolution job
+  // uses; levenshtein is codegen'd in both engines).
+  def fz1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Tables.part(s, dir).select($"p_name").distinct()
+      .withColumn("noun", element_at(split($"p_name", " "), 2))
+    val a = names.select($"p_name".as("name_a"), $"noun")
+    val b = names.select($"p_name".as("name_b"), $"noun")
+    a.join(b, "noun")
+      .filter($"name_a" < $"name_b")
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= 3)
+      .select($"name_a", $"name_b", $"dist".cast("long").as("dist"))
+      .orderBy($"name_a", $"name_b")
+  }
+  val fz1Sql: String =
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |b AS (SELECT p_name, string_split(p_name, ' ')[2] AS noun FROM names)
+      |SELECT a.p_name AS name_a, c.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist
+      |FROM b a JOIN b c ON a.noun = c.noun AND a.p_name < c.p_name
+      |WHERE levenshtein(a.p_name, c.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq1_quality_audit" -> dq1,
+    "fz1_fuzzy_match" -> fz1,
     "tk1_topk_per_group" -> tk1,
     "sj1_salted_join" -> sj1,
     "g2_pivot" -> g2,
@@ -310,6 +413,8 @@ object Extras extends graft.core.QueryModule {
     "g3_grouping_sets" -> g3,
   )
   val oracles: Map[String, String] = Map(
+    "dq1_quality_audit" -> dq1Sql,
+    "fz1_fuzzy_match" -> fz1Sql,
     "tk1_topk_per_group" -> tk1Sql,
     "sj1_salted_join" -> sj1Sql,
     "g2_pivot" -> g2Sql,
