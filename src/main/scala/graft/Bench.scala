@@ -12,6 +12,8 @@ object Bench {
     // the engine, not first-call classloading or cold parquet reads.
     Seq("q1_pricing_summary", // lineitem
         "q13_cust_distribution", // orders + customer
+        "q5_local_supplier", // supplier + nation + region
+        "q19_disjunctive_revenue", // part
         "t3_token_stats", // documents
         "s1_ann_brute_topk", // embeddings
         "a4_model_counts") // events

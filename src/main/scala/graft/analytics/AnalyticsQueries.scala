@@ -878,8 +878,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
       .withColumn("prev", lag($"state", 1).over(w))
       .filter($"prev".isNull || $"prev" =!= $"state")
     starts
-      .withColumn("valid_to",
-        lead($"us", 1).over(Window.partitionBy($"user_id").orderBy($"us", $"event_id")))
+      .withColumn("valid_to", lead($"us", 1).over(w))
       .select($"user_id", $"state", $"us".as("valid_from"), $"valid_to")
       .orderBy($"user_id", $"valid_from")
   }

@@ -32,11 +32,14 @@ import org.apache.spark.util.sketch.BloomFilter
 object BloomSemiJoin {
 
   /** `fact` rows whose `factKey` is (probably) in the bloom built over
-    * `keys(keyCol)` — a superset of the exact semi join at the given fpp. */
+    * `keys(keyCol)` — a superset of the exact semi join at the given fpp.
+    * Build and probe BOTH go through a LONG cast: the sketch hashes longs
+    * and strings differently, so building over a raw non-long column while
+    * probing long would false-negative on every row. */
   def prefilter(fact: DataFrame, factKey: Column, keys: DataFrame,
       keyCol: Column, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
-    val bloom = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bloom = keys.stat.bloomFilter(keyCol.cast(LongType), expectedItems, fpp)
     fact.filter(GraftSqlBridge.column(BloomMightContainLong(
       GraftSqlBridge.expression(factKey.cast(LongType)), bloom)))
   }
@@ -47,7 +50,9 @@ object BloomSemiJoin {
   def semiJoin(fact: DataFrame, factKey: Column, keys: DataFrame,
       keyCol: Column, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val thinned = prefilter(fact, factKey, keys, keyCol, expectedItems, fpp)
-    thinned.join(keys.select(keyCol.as("__bsk")).distinct(),
+    // no .distinct() on the keys: a left_semi hash relation dedupes its
+    // build side for free — an explicit distinct is a wasted exchange
+    thinned.join(keys.select(keyCol.cast(LongType).as("__bsk")),
       factKey.cast(LongType) === col("__bsk"), "left_semi")
   }
 }

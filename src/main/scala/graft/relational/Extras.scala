@@ -344,13 +344,14 @@ object Extras extends graft.core.QueryModule {
   val dq1Sql: String =
     """SELECT * FROM (
       |  SELECT 'fk_lineitem_orders' AS chk,
-      |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
-      |      (SELECT o_orderkey FROM orders)) AS n_violations,
+      |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
       |    CAST(NULL AS BIGINT) AS n_checked
       |  UNION ALL
       |  SELECT 'fk_orders_customer',
-      |    (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
-      |      (SELECT c_custkey FROM customer)), CAST(NULL AS BIGINT)
+      |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |    CAST(NULL AS BIGINT)
       |  UNION ALL
       |  SELECT 'pk_lineitem_unique', SUM(cnt - 1), SUM(cnt) FROM
       |    (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber)
