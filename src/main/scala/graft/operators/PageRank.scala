@@ -49,28 +49,29 @@ object PageRank {
     val bidir = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-    // materialize the symmetrized edge list ONCE — deg, the annotation
-    // join, and n all read it; un-checkpointed, each would re-run the
-    // union+distinct shuffle (a window count over b was tried instead of
-    // the join: the per-partition sort made it ~3× slower than hash
-    // join + hash agg)
-    val sym0 = bidir.repartition(col("a"))
-    val sym = if (reliable) sym0.checkpoint() else sym0.localCheckpoint()
-    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
     // Edges annotated ONCE with the receiving node's degree, so each
     // iteration's aggregation yields (v, deg, rank) directly — without
     // this, every iteration pays a second node-table join to re-attach deg
     // for the next round's contributions (and broadcasting deg instead
     // would cap the node count at broadcast size — not a 100 TB posture).
-    val symDeg0 = sym
+    // deg derives from bidir INSIDE the same plan: Spark's ReuseExchange
+    // dedupes the distinct shuffle between the join's two sides, so the
+    // whole build phase is ONE materialized intermediate, which every
+    // iteration then reads — hence the checkpoint. (A window count over b
+    // was tried instead of the join: the per-partition sort made it ~3×
+    // slower than hash join + hash agg.)
+    val deg = bidir.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    val symDeg0 = bidir
       .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
       .select(col("a"), col("b"), col("deg_b"))
       .repartition(col("a"))
     val symDeg = if (reliable) symDeg0.checkpoint() else symDeg0.localCheckpoint()
-    // n is one scalar — an O(1) driver value, same as any COUNT() action.
-    val n = deg.count()
+    // Node table from the checkpointed edges (each node owns its deg on
+    // every incident edge). n is one scalar — an O(1) driver value.
+    val nodes = symDeg.select(col("b").as("v"), col("deg_b").as("deg")).distinct()
+    val n = nodes.count()
     val base = (15L * (Scale / n)) / 100L
-    var ranks = deg.select(col("v"), col("deg"), lit(Scale / n).as("rank"))
+    var ranks = nodes.select(col("v"), col("deg"), lit(Scale / n).as("rank"))
     var it = 0
     while (it < iters) {
       val contrib = ranks.select(col("v"), expr("rank div deg").as("c"))
