@@ -25,9 +25,17 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet. */
-  def fromDirectory(spark: SparkSession, dir: String): DataFrame =
-    normalize(spark.readStream.schema(rawSchema).parquet(dir))
+  /** File-source stream over a directory of events parquet.
+    * `maxFilesPerTrigger` > 0 throttles to that many files per
+    * micro-batch — multiple batches let the watermark ADVANCE mid-stream,
+    * which outer joins and state eviction need to observe. */
+  def fromDirectory(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(rawSchema)
+    val r2 = if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else r
+    normalize(r2.parquet(dir))
+  }
 
   /** ns-long → proper µs timestamp (same conversion as Tables.events). */
   def normalize(raw: DataFrame): DataFrame =
@@ -88,6 +96,29 @@ object EventsStream {
       .withWatermark("c_ts", "2 hours")
     signups.join(clicks,
       expr("s_user = c_user AND c_ts > s_ts AND c_ts <= s_ts + INTERVAL 1 HOUR"))
+      .select(col("signup_id"), col("click_id"))
+  }
+
+  /** LEFT OUTER stream-stream interval join — every signup emits, with
+    * null click columns when no click follows within the hour. The outer
+    * side's null rows can only emit once the watermark passes the join
+    * window (the engine must be sure no match is still coming), so this is
+    * the canonical "conversion + abandonment in one query" shape: inner
+    * results stream out immediately, non-conversions trail by the
+    * watermark delay. Same bounded state as the inner join.
+    */
+  def signupClickLeftJoin(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("signup_id"))
+      .withWatermark("s_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    signups.join(clicks,
+      expr("s_user = c_user AND c_ts > s_ts AND c_ts <= s_ts + INTERVAL 1 HOUR"),
+      "left_outer")
       .select(col("signup_id"), col("click_id"))
   }
 

@@ -81,6 +81,63 @@ class EventsStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("LEFT OUTER stream-stream join: inner parity + watermark-evicted null rows") {
+    // Two time-ordered source files → two micro-batches, so the watermark
+    // advances after batch 1 and the engine can emit outer null rows for
+    // early signups. Trailing signups stay pending forever (no batch 3) —
+    // that asymmetry is the semantics under test.
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val cutNs = 1706140800000000000L // 2024-01-25T00:00:00Z (span is Jan 1-30)
+    val d = tmpDir("events-loj")
+    def writeSlice(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = tmpDir(s"slice-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = d.resolve(name)
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+    }
+    writeSlice(raw.filter(col("ts") < cutNs), "a.parquet", 1000000L)
+    writeSlice(raw.filter(col("ts") >= cutNs), "b.parquet", 2000000L)
+
+    val stream = EventsStream.fromDirectory(spark, d.toString, maxFilesPerTrigger = 1)
+    val q = EventsStream.signupClickLeftJoin(stream).writeStream
+      .format("memory").queryName("loj_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("loj_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      val batch = EventsStream.signupClickLeftJoin(ev).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+
+      // 1. inner results match the batch join exactly
+      val gotInner = got.filter(_._2.isDefined).sorted
+      assert(gotInner.toSeq === batch.filter(_._2.isDefined).sorted.toSeq)
+
+      // 2. every streamed null row is a real batch null row
+      val gotNulls = got.filter(_._2.isEmpty).map(_._1).toSet
+      val batchNulls = batch.filter(_._2.isEmpty).map(_._1).toSet
+      assert(gotNulls.subsetOf(batchNulls))
+
+      // 3. nulls old enough that batch-1's watermark passed their window
+      //    MUST have been evicted and emitted (1s slack on the boundary)
+      val sliceA = spark.read.parquet(d.resolve("a.parquet").toString)
+      def maxUs(tpe: String) = sliceA.filter(col("event_type") === tpe)
+        .agg(max(expr("ts div 1000"))).head().getLong(0)
+      val wmUs = math.min(maxUs("signup"), maxUs("click")) - 2L * 3600 * 1000000
+      val signupUs = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), expr("unix_micros(ts)"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mustEmit = batchNulls.filter(id =>
+        signupUs(id) + 3600000000L < wmUs - 1000000L)
+      assert(mustEmit.subsetOf(gotNulls),
+        s"${(mustEmit -- gotNulls).size} overdue null rows never emitted")
+      assert(mustEmit.nonEmpty, "test needs at least one evictable null row")
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch sink: AvailableNow drains, replay is a no-op") {
     val target = tmpDir("sink-target").toString
     val ckpt = tmpDir("sink-ckpt").toString
