@@ -32,10 +32,28 @@ object QuickStart {
     println("ANN brute-force top-k:")
     graft.SparkEntry.queries("s1_ann_brute_topk")(spark, dir).show(5)
 
-    // 5. export: curated corpus as JSONL shards
+    // 5. graph + runtime filters: fixed-point PageRank, bloom semi join
+    println("customer-supplier PageRank (top 3 by µrank):")
+    graft.SparkEntry.queries("pr1_pagerank")(spark, dir)
+      .orderBy($"microrank".desc).show(3)
+    println("bloom-prefiltered semi join (urgent-order revenue):")
+    graft.SparkEntry.queries("bf1_bloom_semijoin")(spark, dir).show()
+
+    // 6. training-batch assembly: sequence packing + domain mixture
+    println("2048-token sequence-packing bins:")
+    graft.SparkEntry.queries("pack1_sequence_packing")(spark, dir).show(3)
+    println("temperature-scaled domain mixture:")
+    graft.SparkEntry.queries("mix1_domain_mixture")(spark, dir).show(3)
+
+    // 7. export: curated corpus as JSONL shards, plus a Z-ordered layout
     val out = java.nio.file.Files.createTempDirectory("graft-quickstart").toString
     val n = graft.llm.Curation.curateAndExport(spark, dir, s"$out/corpus", numShards = 4)
     println(s"exported $n curated docs to $out/corpus")
+    graft.sinks.CorpusExport.writeZOrdered(
+      graft.core.Tables.events(spark, dir)
+        .select($"user_id", least(($"value" * 100).cast("long"), lit(65535L)).as("cents")),
+      s"$out/events_z", "user_id", "cents", numFiles = 8)
+    println(s"z-ordered events layout at $out/events_z")
 
     spark.stop()
   }
