@@ -122,6 +122,21 @@ object EventsStream {
       .select(col("signup_id"), col("click_id"))
   }
 
+  /** CHAINED stateful operators in one streaming query: bounded-state
+    * dedup feeding a watermarked tumbling aggregation (Spark 4 supports
+    * multiple stateful operators when every stage is event-time bound).
+    * The at-least-once ingest shape: upstream retries produce duplicate
+    * event_ids, the dedup state absorbs them inside the watermark, and
+    * the window counts stay exactly-once — without a second job or an
+    * intermediate sink between the two stateful stages.
+    */
+  def dedupedTumblingCounts(events: DataFrame, window_ : String = "6 hours",
+      watermark: String = "1 hour"): DataFrame =
+    dedupWithinWatermark(events, watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+
   /** Idempotent foreachBatch sink: the production exactly-once pattern for
     * targets without transactional file-sink semantics (JDBC, key-value
     * upserts). Spark replays an unacknowledged micro-batch after a crash

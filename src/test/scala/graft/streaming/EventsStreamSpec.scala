@@ -138,6 +138,58 @@ class EventsStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("chained stateful ops: in-stream dedup feeding windowed counts stays exactly-once") {
+    // at-least-once ingest: every slice delivered TWICE, in time order, so
+    // duplicates hit the dedup state (or arrive late and are watermark-
+    // dropped — either way each event counts once); the downstream window
+    // counts must equal the batch counts over distinct events.
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val cutNs = 1706140800000000000L // 2024-01-25T00:00:00Z
+    val d = tmpDir("events-chain")
+    def writeSlice(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = tmpDir(s"chain-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = d.resolve(name)
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+    }
+    val a = raw.filter(col("ts") < cutNs)
+    val b = raw.filter(col("ts") >= cutNs)
+    writeSlice(a, "a1.parquet", 1000000L)
+    writeSlice(a, "a2.parquet", 2000000L)
+    writeSlice(b, "b1.parquet", 3000000L)
+    writeSlice(b, "b2.parquet", 4000000L)
+
+    val stream = EventsStream.fromDirectory(spark, d.toString, maxFilesPerTrigger = 1)
+    val q = EventsStream.dedupedTumblingCounts(stream).writeStream
+      .format("memory").queryName("chain_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("chain_out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
+      val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      val batch = ev
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
+
+      // every emitted window count equals the batch (duplicate-free) count
+      assert(got.nonEmpty)
+      for ((k, cnt) <- got) assert(batch(k) === cnt, s"window $k")
+      // every window that closed before the post-slice-A watermark emitted
+      val maxAUs = a.agg(max(expr("ts div 1000"))).head().getLong(0)
+      val wmMs = maxAUs / 1000 - 3600 * 1000
+      val mustEmit = batch.keys.filter(_._1 + 6L * 3600 * 1000 < wmMs - 1000)
+      val missing = mustEmit.filterNot(got.contains)
+      assert(missing.isEmpty, s"${missing.size} closed windows never emitted")
+      assert(mustEmit.nonEmpty)
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch sink: AvailableNow drains, replay is a no-op") {
     val target = tmpDir("sink-target").toString
     val ckpt = tmpDir("sink-ckpt").toString
