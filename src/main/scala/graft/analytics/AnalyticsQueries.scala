@@ -896,7 +896,41 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
       |FROM st ORDER BY user_id, valid_from""".stripMargin
 
+  /** im1: incremental aggregate maintenance — a stored per-key aggregate
+    * (the history partition) merged with a new batch's partial aggregate
+    * via full-outer join + coalesced combine, WITHOUT rescanning history
+    * rows. Works because count/sum are algebraic (mergeable) — the same
+    * property that makes them map-side combinable. The oracle computes the
+    * full aggregate directly, so the hash match IS the proof that
+    * incremental == recompute. The 100 TB shape: a daily ingest updates a
+    * key-count-sized state table instead of re-aggregating the fact table.
+    */
+  def im1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val decZero = lit(0).cast(DecimalType(22, 2))
+    def partial(df: DataFrame, suffix: String): DataFrame =
+      df.groupBy($"event_type")
+        .agg(count(lit(1)).as(s"n_$suffix"), sum(vdec($"value")).as(s"sv_$suffix"))
+    val stored = partial(ev.filter($"event_id" % 5 =!= 4), "h")
+    val batch = partial(ev.filter($"event_id" % 5 === 4), "b")
+    stored.join(batch, Seq("event_type"), "full_outer")
+      .select($"event_type",
+        (coalesce($"n_h", lit(0L)) + coalesce($"n_b", lit(0L))).as("n"),
+        (coalesce($"sv_h", decZero) + coalesce($"sv_b", decZero))
+          .cast("double").as("sum_value"))
+      .withColumn("avg_value", $"sum_value" / $"n")
+      .orderBy($"event_type")
+  }
+
+  val im1Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "im1_incremental_agg" -> im1,
     "scd1_scd2_intervals" -> scd1,
     "gf1_gap_fill" -> gf1,
     "zo1_zorder_locality" -> zo1,
@@ -936,6 +970,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "im1_incremental_agg" -> im1Sql,
     "scd1_scd2_intervals" -> scd1Sql,
     "gf1_gap_fill" -> gf1Sql,
     "zo1_zorder_locality" -> zo1Sql,
