@@ -73,6 +73,33 @@ class PlanAuditSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"))
   }
 
+  test("bf1: bloom probe filters the fact scan BEFORE the semi-join shuffle") {
+    val p = formatted("bf1_bloom_semijoin")
+    assert(p.contains("bloom_might_contain_long"), "probe expression missing")
+    // the probe must appear in a Filter over the lineitem scan, not after
+    // the join: in the formatted plan the Filter node listing the probe
+    // references l_orderkey from the scan output
+    val probeIdx = p.indexOf("bloom_might_contain_long")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(joinIdx < 0 || probeIdx >= 0, p.take(500))
+  }
+
+  test("tk1: top-k per group is a mergeable aggregate, not a rank window") {
+    val p = plan("tk1_topk_per_group")
+    assert(!p.contains("windowspecdefinition"),
+      "tk1 must not plan a window sort — TopKByScore is the whole point")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+      p.contains("HashAggregate"))
+  }
+
+  test("pr1/pack1: iterative and prefix-sum operators keep data partitioned") {
+    for (q <- Seq("pr1_pagerank", "pack1_sequence_packing")) {
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition()"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
   test("q17: single shuffle of the brand subset — no full-fact aggregation") {
     val p = formatted("q17_small_qty_revenue")
     // the part filter must be pushed into the part scan feeding the broadcast
