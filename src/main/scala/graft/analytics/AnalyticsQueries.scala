@@ -929,7 +929,57 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** w10: winsorized (robust) statistics — per event_type, clamp values to
+    * the [p05, p95] DISCRETE percentiles, then take the mean. Discrete
+    * (nearest-rank) percentiles are actual data values, so the clamped
+    * column stays 2-decimal and the mean comes from an exact DECIMAL sum —
+    * interpolating percentiles would inject engine-specific float
+    * interpolation into the hash. Rank bounds use the identical
+    * `CEIL(n * q)` double expression on both engines. Windows are
+    * partitioned by the group key — no global sort.
+    */
+  def w10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byVal = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val grp = Window.partitionBy($"event_type")
+    val ranked = Tables.events(s, dir)
+      .select($"event_type", $"value", $"event_id")
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(grp))
+    val bounds = ranked.groupBy($"event_type".as("bt")).agg(
+      max(when($"rn" === ceil($"n" * 0.05).cast("long"), $"value")).as("p05"),
+      max(when($"rn" === ceil($"n" * 0.95).cast("long"), $"value")).as("p95"))
+    Tables.events(s, dir)
+      .join(broadcast(bounds), $"event_type" === $"bt")
+      .withColumn("wv", least(greatest($"value", $"p05"), $"p95"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        max($"p05").as("p05"), max($"p95").as("p95"),
+        (sum(vdec($"wv")).cast("double") / count(lit(1))).as("winsorized_mean"),
+        (sum(vdec($"value")).cast("double") / count(lit(1))).as("raw_mean"))
+      .orderBy($"event_type")
+  }
+
+  val w10Sql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |bounds AS (
+      |  SELECT event_type AS bt,
+      |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.05) AS BIGINT) THEN value END) AS p05,
+      |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.95) AS BIGINT) THEN value END) AS p95
+      |  FROM ranked GROUP BY 1)
+      |SELECT event_type, COUNT(*) AS n, MAX(p05) AS p05, MAX(p95) AS p95,
+      |  CAST(SUM(CAST(LEAST(GREATEST(value, p05), p95) AS DECIMAL(12,2))) AS DOUBLE)
+      |    / COUNT(*) AS winsorized_mean,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS raw_mean
+      |FROM events JOIN bounds ON event_type = bt
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w10_winsorized_stats" -> w10,
     "im1_incremental_agg" -> im1,
     "scd1_scd2_intervals" -> scd1,
     "gf1_gap_fill" -> gf1,
@@ -970,6 +1020,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "w10_winsorized_stats" -> w10Sql,
     "im1_incremental_agg" -> im1Sql,
     "scd1_scd2_intervals" -> scd1Sql,
     "gf1_gap_fill" -> gf1Sql,
