@@ -940,15 +940,20 @@ object AnalyticsQueries extends graft.core.QueryModule {
     */
   def w10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val byVal = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    // Counting-sort percentile: aggregate to (group, value) COUNTS first
+    // (map-side combinable), then window over the distinct-value table —
+    // orders of magnitude fewer rows through the per-group sort than
+    // ranking every raw event (and the only full-data pass is a groupBy).
+    // value at rank r = smallest value whose running count reaches r.
+    val byVal = Window.partitionBy($"event_type").orderBy($"value")
     val grp = Window.partitionBy($"event_type")
-    val ranked = Tables.events(s, dir)
-      .select($"event_type", $"value", $"event_id")
-      .withColumn("rn", row_number().over(byVal))
-      .withColumn("n", count(lit(1)).over(grp))
-    val bounds = ranked.groupBy($"event_type".as("bt")).agg(
-      max(when($"rn" === ceil($"n" * 0.05).cast("long"), $"value")).as("p05"),
-      max(when($"rn" === ceil($"n" * 0.95).cast("long"), $"value")).as("p95"))
+    val counts = Tables.events(s, dir)
+      .groupBy($"event_type", $"value").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(byVal))
+      .withColumn("n", sum($"c").over(grp))
+    val bounds = counts.groupBy($"event_type".as("bt")).agg(
+      min(when($"cum" >= ceil($"n" * 0.05).cast("long"), $"value")).as("p05"),
+      min(when($"cum" >= ceil($"n" * 0.95).cast("long"), $"value")).as("p95"))
     Tables.events(s, dir)
       .join(broadcast(bounds), $"event_type" === $"bt")
       .withColumn("wv", least(greatest($"value", $"p05"), $"p95"))
@@ -961,16 +966,20 @@ object AnalyticsQueries extends graft.core.QueryModule {
   }
 
   val w10Sql: String =
-    """WITH ranked AS (
-      |  SELECT event_type, value, event_id,
-      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
-      |    COUNT(*) OVER (PARTITION BY event_type) AS n
-      |  FROM events),
+    """WITH counts AS (
+      |  SELECT event_type, value, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, value,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY value
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM counts),
       |bounds AS (
       |  SELECT event_type AS bt,
-      |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.05) AS BIGINT) THEN value END) AS p05,
-      |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.95) AS BIGINT) THEN value END) AS p95
-      |  FROM ranked GROUP BY 1)
+      |    MIN(CASE WHEN cum >= CAST(CEIL(n * 0.05) AS BIGINT) THEN value END) AS p05,
+      |    MIN(CASE WHEN cum >= CAST(CEIL(n * 0.95) AS BIGINT) THEN value END) AS p95
+      |  FROM cum GROUP BY 1)
       |SELECT event_type, COUNT(*) AS n, MAX(p05) AS p05, MAX(p95) AS p95,
       |  CAST(SUM(CAST(LEAST(GREATEST(value, p05), p95) AS DECIMAL(12,2))) AS DOUBLE)
       |    / COUNT(*) AS winsorized_mean,
