@@ -61,6 +61,12 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: value mismatch col={c} row={i} spark={a!r} oracle={b!r}")
         fails += 1
     else:
-        print(f"PASS {name} ({len(got)} rows)")
+        # the driver's hash is TYPE-sensitive (round-2 lesson: DuckDB
+        # HUGEINT vs Spark int64 reds the gate with identical values) —
+        # surface dtype divergence as a warning so it's visible locally
+        tw = [f"{c}: spark={got[c].dtype} oracle={exp[c].dtype}"
+              for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
+        suffix = f"  TYPEWARN {'; '.join(tw)}" if tw else ""
+        print(f"PASS {name} ({len(got)} rows){suffix}")
 print(f"\n{len(oracle)-fails}/{len(oracle)} passed")
 sys.exit(1 if fails else 0)

@@ -28,17 +28,33 @@ object Bench {
     // Three runs, not two: this host shows sporadic multi-second external
     // stalls (CPU steal) that can hit both of two runs back-to-back.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      def run(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      var times = (1 to 3).map(_ => run())
+      // spread-triggered extra iterations: a single host CPU-steal stall
+      // can poison even best-of-3 when it spans runs; a max/min ratio > 5
+      // is the stall signature (engine variance is far tighter), so rerun
+      // up to twice more and let min() discard the stalled samples.
+      var extra = 0
+      while (extra < 2 && times.max / math.max(times.min, 1e-9) > 5.0) {
+        times = times :+ run()
+        extra += 1
+      }
+      (name, times.min, times.max)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val spreads = results.map { case (k, mn, mx) =>
+      "\"" + k + "\":" + f"${mx / math.max(mn, 1e-9)}%.1f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The long per-query lines go FIRST; the driver tail-truncates long
+    // output, so the machine-read line must be the SHORT final one.
+    println(f"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"spread_max_over_min","spreads":$spreads}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

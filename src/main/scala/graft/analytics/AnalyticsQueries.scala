@@ -586,19 +586,44 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  FROM pr)
       |SELECT lang, rk, doc_id FROM r WHERE rk <= 4 ORDER BY lang, rk""".stripMargin
 
-  // Sketches: approximate quantiles (GK) + HLL distinct counts — declared
-  // WITHOUT oracle SQL (sketch internals differ across engines; the driver
-  // records a rows-only check). The exact counterparts are a8/a14.
+  // SK1: sketch guarantees made CHECKABLE (sk2 pattern) — HLL distinct
+  // counts and approx-quantile estimates are emitted as exact values plus
+  // boolean guarantee flags the oracle can assert TRUE: the HLL estimate
+  // within 5% of the exact distinct count, and each percentile_approx
+  // estimate's REALIZED RANK within ±1% of its target quantile (the sketch
+  // promises rank error <= 1/accuracy = 0.1%; 1% is a 10x safety margin).
+  // Sketch internals differ across engines, so the flag — not the sketch
+  // state — is the portable contract.
   def sketches(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, dir)
+    val e = Tables.events(s, dir)
+    val ap = e.groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("au"),
+        percentile_approx($"value", lit(0.5), lit(1000)).as("am"),
+        percentile_approx($"value", lit(0.95), lit(1000)).as("ap95"))
+    val exactUsers = e.select($"event_type", $"user_id").distinct()
+      .groupBy($"event_type").agg(count(lit(1)).as("n_exact_users"))
+    // realized rank of each estimate: fraction of rows <= estimate
+    val ranks = e.join(broadcast(ap), "event_type")
       .groupBy($"event_type")
-      .agg(
-        approx_count_distinct($"user_id", 0.01).as("approx_users"),
-        percentile_approx($"value", lit(0.5), lit(1000)).as("approx_median"),
-        percentile_approx($"value", lit(0.95), lit(1000)).as("approx_p95"))
+      .agg(count(lit(1)).as("n"),
+        first($"au").as("au"),
+        sum(when($"value" <= $"am", 1L).otherwise(0L)).as("le_m"),
+        sum(when($"value" <= $"ap95", 1L).otherwise(0L)).as("le_p95"))
+    ranks.join(exactUsers, "event_type")
+      .select($"event_type", $"n_exact_users",
+        (abs($"au" - $"n_exact_users").cast("double") <=
+          lit(0.05) * $"n_exact_users".cast("double")).as("hll_within_5pct"),
+        (abs($"le_m".cast("double") / $"n".cast("double") - lit(0.5)) <= 0.01)
+          .as("median_rank_ok"),
+        ($"le_p95".cast("double") / $"n".cast("double")
+          between (0.94, 0.96)).as("p95_rank_ok"))
       .orderBy($"event_type")
   }
+  val sketchesSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact_users,
+      |  TRUE AS hll_within_5pct, TRUE AS median_rank_ok, TRUE AS p95_rank_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // FN1: funnel analysis — per-user ordered progression through
   // view → click → purchase (each later step strictly after the user's
@@ -1039,6 +1064,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "o1_ohlc_bars" -> o1Sql,
     "fn1_funnel_steps" -> fn1Sql,
     "rt1_retention_cohorts" -> rt1Sql,
+    "sk1_sketches" -> sketchesSql,
     "sk2_sketch_bounds" -> sk2Sql,
     "sm1_bottomk_sample" -> sm1Sql,
     "w9_percent_rank" -> w9Sql,

@@ -42,17 +42,19 @@ object CorpusQueries extends graft.core.QueryModule {
       |  SELECT doc_id, tok,
       |    SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
       |  FROM t)
-      |SELECT (cum - tok) // 2048 AS bin, COUNT(*) AS n_docs,
-      |  SUM(tok) AS sum_tokens, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |SELECT CAST((cum - tok) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
 
   /** mix1: temperature-scaled domain mixture — per-source sampling weight
     * w_i ∝ (tokens_i / Σtokens)^0.7 (the multinomial temperature trick from
     * multilingual/domain-balance training recipes), normalized to sum 1.
     * Both normalizations run as 1-row aggregates broadcast back (no
-    * unpartitioned window). Token counts are exact integers; the two double
-    * pow/divide steps are identical expressions on both engines, rounded to
-    * 6 for the hash.
+    * unpartitioned window). Token counts are exact integers; wsum is a
+    * LEFT FOLD over the source-sorted weight list (not an unordered double
+    * SUM — partition merge order could flip a 6-dp rounding boundary), the
+    * same determinism discipline as s4/t8.
     */
   def mix1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -63,7 +65,10 @@ object CorpusQueries extends graft.core.QueryModule {
     val tot = bySrc.agg(sum($"tokens").as("tot_tokens"))
     val w = bySrc.crossJoin(broadcast(tot))
       .withColumn("w", pow($"tokens".cast("double") / $"tot_tokens".cast("double"), 0.7))
-    val wsum = w.agg(sum($"w").as("wsum"))
+    val wsum = w
+      .agg(sort_array(collect_list(struct($"source", $"w"))).as("ws"))
+      .select(aggregate($"ws", lit(0.0),
+        (acc, x) => acc + x("w").cast("double")).as("wsum"))
     w.crossJoin(broadcast(wsum))
       .select($"source", $"n_docs", $"tokens",
         round($"w" / $"wsum", 6).as("mix_weight"))
@@ -73,13 +78,16 @@ object CorpusQueries extends graft.core.QueryModule {
   val mix1Sql: String =
     """WITH bysrc AS (
       |  SELECT source, COUNT(*) AS n_docs,
-      |    SUM(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)) AS tokens
+      |    CAST(SUM(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT))
+      |      AS BIGINT) AS tokens
       |  FROM documents GROUP BY source),
       |tot AS (SELECT SUM(tokens) AS tot_tokens FROM bysrc),
       |w AS (SELECT source, n_docs, tokens,
       |        pow(CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 0.7) AS w
       |      FROM bysrc, tot),
-      |ws AS (SELECT SUM(w) AS wsum FROM w)
+      |ws AS (SELECT list_reduce(list_transform(
+      |         list_sort(list(struct_pack(source := source, w := w))),
+      |         x -> CAST(x.w AS DOUBLE)), (a, b) -> a + b) AS wsum FROM w)
       |SELECT source, n_docs, tokens, round(w / wsum, 6) AS mix_weight
       |FROM w, ws ORDER BY source""".stripMargin
 

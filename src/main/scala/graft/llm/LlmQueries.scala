@@ -460,18 +460,19 @@ object LlmQueries extends graft.core.QueryModule {
 
   // D5: embedding-cosine near-dup pairs within a coarse partition (label =
   // IVF cell) — unrolled dot products for cross-engine bit-exactness.
+  // Pair generation goes through BoundedSelfJoin so a hot label fans its
+  // (irreducible, semantics-mandated) quadratic across ~ (n/cap)² tasks
+  // instead of serializing it in one; the pair SET is identical, so the
+  // exact oracle below is unchanged.
   def d5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
-    val a = e.select($"vec_id".as("va"), $"label".as("la"),
-      $"embedding".as("ea"), $"n2".as("na2"))
-    val b = e.select($"vec_id".as("vb"), $"label".as("lb"),
-      $"embedding".as("eb"), $"n2".as("nb2"))
-    a.join(b, $"la" === $"lb" && $"va" < $"vb")
-      .withColumn("cos", VectorOps.dotNative($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+    graft.operators.BoundedSelfJoin.pairs(e, "label", "vec_id", cap = 4096)
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        (VectorOps.dotNative($"a.embedding", $"b.embedding") /
+          (sqrt($"a.n2") * sqrt($"b.n2"))).as("cos"))
       .filter($"cos" > 0.4)
-      .select($"va", $"vb", $"cos")
       .orderBy($"va", $"vb")
   }
   val d5Sql: String =

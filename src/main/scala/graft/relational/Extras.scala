@@ -353,21 +353,26 @@ object Extras extends graft.core.QueryModule {
       |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
       |    CAST(NULL AS BIGINT)
       |  UNION ALL
-      |  SELECT 'pk_lineitem_unique', SUM(cnt - 1), SUM(cnt) FROM
+      |  SELECT 'pk_lineitem_unique', CAST(SUM(cnt - 1) AS BIGINT),
+      |    CAST(SUM(cnt) AS BIGINT) FROM
       |    (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber)
       |  UNION ALL
       |  SELECT 'ship_after_orderdate',
-      |    SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END), COUNT(*)
+      |    CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT),
+      |    COUNT(*)
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  UNION ALL
       |  SELECT 'notnull_shipdate',
-      |    SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), COUNT(*) FROM lineitem
+      |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    COUNT(*) FROM lineitem
       |  UNION ALL
       |  SELECT 'positive_quantity',
-      |    SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), COUNT(*) FROM lineitem
+      |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |    COUNT(*) FROM lineitem
       |  UNION ALL
       |  SELECT 'discount_in_unit_range',
-      |    SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 ELSE 0 END),
+      |    CAST(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT),
       |    COUNT(*) FROM lineitem
       |) ORDER BY chk""".stripMargin
 

@@ -53,7 +53,7 @@ object GraphQueries extends graft.core.QueryModule {
       |         (15 * (1000000000000 // (SELECT cnt FROM n))) // 100
       |         + (85 * SUM(r.rank // r.deg)) // 100 AS rank
       |       FROM sym s JOIN r2 r ON s.a = r.v GROUP BY s.b)
-      |SELECT v AS node, rank AS microrank FROM p3 ORDER BY node""".stripMargin
+      |SELECT v AS node, CAST(rank AS BIGINT) AS microrank FROM p3 ORDER BY node""".stripMargin
 
   /** bf1: bloom-prefiltered semi join — revenue of lineitems belonging to
     * URGENT orders. The bloom (built over the ~1/5-selectivity urgent

@@ -49,9 +49,12 @@ object QuickStart {
     val out = java.nio.file.Files.createTempDirectory("graft-quickstart").toString
     val n = graft.llm.Curation.curateAndExport(spark, dir, s"$out/corpus", numShards = 4)
     println(s"exported $n curated docs to $out/corpus")
+    // ZOrder.interleave16 expects both keys pre-quantized to [0, 65535]
+    // (the zo1 discipline) — modulo/clamp here, or ids > 65535 would alias
     graft.sinks.CorpusExport.writeZOrdered(
       graft.core.Tables.events(spark, dir)
-        .select($"user_id", least(($"value" * 100).cast("long"), lit(65535L)).as("cents")),
+        .select(pmod($"user_id", lit(65536L)).as("user_id"),
+          greatest(least(($"value" * 100).cast("long"), lit(65535L)), lit(0L)).as("cents")),
       s"$out/events_z", "user_id", "cents", numFiles = 8)
     println(s"z-ordered events layout at $out/events_z")
 

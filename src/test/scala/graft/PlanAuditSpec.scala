@@ -74,14 +74,21 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("bf1: bloom probe filters the fact scan BEFORE the semi-join shuffle") {
-    val p = formatted("bf1_bloom_semijoin")
-    assert(p.contains("bloom_might_contain_long"), "probe expression missing")
-    // the probe must appear in a Filter over the lineitem scan, not after
-    // the join: in the formatted plan the Filter node listing the probe
-    // references l_orderkey from the scan output
-    val probeIdx = p.indexOf("bloom_might_contain_long")
-    val joinIdx = p.indexOf("BroadcastHashJoin")
-    assert(joinIdx < 0 || probeIdx >= 0, p.take(500))
+    val p = plan("bf1_bloom_semijoin")
+    val lines = p.split("\n")
+    val fi = lines.indexWhere(l => l.contains("Filter") &&
+      l.contains("bloom_might_contain_long"))
+    assert(fi >= 0, "probe Filter node missing:\n" + p.take(2000))
+    // structural check: the probe Filter's subtree (lines below it, before
+    // any further join node) must be the lineitem scan — i.e. the probe
+    // sits directly over the fact scan, below the semi-join, not above it
+    val subtree = lines.drop(fi + 1).takeWhile(l => !l.contains("Join"))
+    assert(subtree.exists(l => l.contains("lineitem")),
+      "probe Filter is not over the lineitem scan:\n" + lines.slice(fi, fi + 5).mkString("\n"))
+    // and a join ancestor exists ABOVE the probe (children print after
+    // parents in the tree string)
+    assert(lines.take(fi).exists(_.contains("Join")),
+      "no join above the probe Filter:\n" + p.take(2000))
   }
 
   test("tk1: top-k per group is a mergeable aggregate, not a rank window") {
@@ -95,7 +102,10 @@ class PlanAuditSpec extends SparkTestBase {
   test("pr1/pack1: iterative and prefix-sum operators keep data partitioned") {
     for (q <- Seq("pr1_pagerank", "pack1_sequence_packing")) {
       val p = plan(q)
-      assert(!p.contains("windowspecdefinition()"), q)
+      // an unpartitioned Window prints an empty partition-spec bracket —
+      // match that shape (the literal "windowspecdefinition()" never occurs:
+      // specs always carry frame arguments)
+      assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isEmpty, q)
       assert(!p.contains("CartesianProduct"), q)
     }
   }
@@ -135,7 +145,8 @@ class PlanAuditSpec extends SparkTestBase {
       if name != "c1_dedup_clusters" && name != "c2_dedup_droplist"
       p = fn(spark, dir).queryExecution.executedPlan.toString
       flag <- Seq(
-        if (p.contains("windowspecdefinition()")) Some("empty-partition window") else None,
+        if ("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined)
+          Some("empty-partition window") else None,
         if (!intendedCross(name) &&
           (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")))
           Some("unplanned cross join") else None).flatten
