@@ -15,6 +15,7 @@ object SparkEntry {
     graft.analytics.AnalyticsQueries,
     graft.llm.LlmQueries,
     graft.llm.CorpusQueries,
+    graft.llm.IndexQueries,
     graft.relational.Extras,
     graft.relational.GraphQueries,
   )

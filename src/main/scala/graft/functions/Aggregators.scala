@@ -152,6 +152,39 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** K smallest DISTINCT long values per group, as a mergeable aggregate —
+    * the posting-list cap of an inverted-index build: the shuffle carries
+    * ≤ k longs per term where `slice(sort_array(collect_set(id)), 1, k)`
+    * would drag every posting of every term through the shuffle first and
+    * sort it after. Buffer = ascending array, capped at k; duplicates
+    * ignored (idempotent insert), so pre-distincting the input is a
+    * correctness no-op and merely a size optimization. Merge laws
+    * property-tested in AggregatorsSpec.
+    */
+  class MinK(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k > 0)
+    def zero: Array[Long] = Array.empty
+    private def insert(b: Array[Long], v: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(b, v)
+      if (pos >= 0) return b // duplicate
+      val ins = -pos - 1
+      if (ins >= k) return b // larger than the current k-th smallest
+      val n = math.min(b.length + 1, k)
+      val out = new Array[Long](n)
+      java.lang.System.arraycopy(b, 0, out, 0, ins)
+      out(ins) = v
+      java.lang.System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+      out
+    }
+    def reduce(b: Array[Long], v: Long): Array[Long] = insert(b, v)
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = y.foldLeft(x)(insert)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** Top-k rows per group by a long score, as a mergeable aggregate —
     * the shuffle carries ≤ k (score, id) pairs per group, where the
     * equivalent `ROW_NUMBER() OVER (PARTITION BY g ORDER BY score DESC)`

@@ -1,0 +1,184 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.text.TextOps
+
+/** Tokenizer-training, indexing, and change-data queries — the remaining
+  * infrastructure a training-data platform runs beside curation (north-star
+  * widening; the reference stops at analysis outputs).
+  */
+object IndexQueries extends graft.core.QueryModule {
+
+  /** bpe1: one statistics pass of BPE tokenizer training — adjacent
+    * character-pair frequencies weighted by word frequency, top 20 (the
+    * pair a merge step would fuse). The word-frequency table is the classic
+    * BPE compaction: pair counting runs over the VOCABULARY (dictionary-
+    * sized) with an integer weight, not over the corpus token stream — at
+    * 100 TB the word count is one map-side-combined shuffle and the pair
+    * explode touches |vocab| × avg_len rows. Exact integer counts; ties
+    * broken by pair text for a deterministic top-20.
+    */
+  def bpe1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+    wf.filter(length($"w") >= 2)
+      .select($"w", $"f", explode(sequence(lit(1), length($"w") - 1)).as("i"))
+      .select($"w".substr($"i", lit(2)).as("pair"), $"f")
+      .groupBy($"pair").agg(sum($"f").as("freq"))
+      .orderBy($"freq".desc, $"pair")
+      .limit(20)
+  }
+
+  val bpe1Sql: String =
+    """WITH words AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),
+      |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, f
+      |      FROM (SELECT w, f, unnest(range(1, length(w))) AS i
+      |            FROM wf WHERE length(w) >= 2) t)
+      |SELECT pair, CAST(SUM(f) AS BIGINT) AS freq
+      |FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 20""".stripMargin
+
+  /** ii1: inverted-index build — per term: document frequency and the
+    * first 10 postings (smallest doc ids). The posting cap rides the
+    * shuffle as a MERGEABLE aggregate ([[graft.functions.Aggregators.MinK]]:
+    * ≤ k longs per term) instead of collect_set-then-slice dragging every
+    * posting through the shuffle. Emitted exploded (term, df, rk, doc_id)
+    * so the compare is row-shaped.
+    */
+  def ii1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val minK = udaf(new graft.functions.Aggregators.MinK(10))
+    val pairs = TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text")
+      .select($"tok", $"doc_id").distinct()
+    pairs.groupBy($"tok")
+      .agg(count(lit(1)).as("df"), minK($"doc_id").as("postings"))
+      .filter($"df" >= 50)
+      .select($"tok".as("term"), $"df", posexplode($"postings").as(Seq("pos", "doc_id")))
+      .select($"term", $"df", ($"pos" + 1).cast("long").as("rk"), $"doc_id")
+      .orderBy($"term", $"rk")
+  }
+
+  val ii1Sql: String =
+    """WITH pt AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |idx AS (
+      |  SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+      |    (list_sort(list(DISTINCT doc_id)))[1:10] AS postings
+      |  FROM pt GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 50)
+      |SELECT term, df, s.rk AS rk, s.doc_id AS doc_id
+      |FROM (SELECT term, df,
+      |        unnest(list_transform(postings,
+      |          (x, i) -> struct_pack(rk := CAST(i AS BIGINT), doc_id := x))) AS s
+      |      FROM idx) t
+      |ORDER BY term, rk""".stripMargin
+
+  private val CdcCutUs = 1705363200000000L // 2024-01-16T00:00:00Z in epoch µs
+
+  /** cdc1: change-data-capture MERGE — events before the cut build a
+    * row-level base snapshot (last state per user), events after are the
+    * change batch; the merge is `base FULL OUTER changes` with
+    * changes-win/delete-drop semantics (`purchase` plays the delete op).
+    * This is the Delta/Iceberg MERGE INTO shape as a plain shuffle join:
+    * each side is one groupBy(user_id) argmax (max_by on the unique
+    * (us, event_id) order — no window over the event stream), and the
+    * merge shuffles only the two snapshots, never the raw log. Distinct
+    * from im1 (aggregate maintenance): state here is per-ROW last-writer-
+    * wins with deletes, not a re-aggregable sum.
+    */
+  def cdc1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"value",
+        when($"event_type" === "purchase", "D").otherwise("U").as("op"))
+    def lastState(df: DataFrame): DataFrame = df.groupBy($"user_id")
+      .agg(max_by(struct($"op", $"value", $"us"), struct($"us", $"event_id")).as("st"))
+      .select($"user_id", $"st.op".as("op"), $"st.value".as("value"), $"st.us".as("us"))
+    val base = lastState(e.filter($"us" < CdcCutUs))
+      .select($"user_id".as("b_user"), $"op".as("b_op"), $"value".as("b_value"))
+    val chg = lastState(e.filter($"us" >= CdcCutUs))
+      .select($"user_id".as("c_user"), $"op".as("c_op"), $"value".as("c_value"))
+    base.join(chg, $"b_user" === $"c_user", "full_outer")
+      .filter(coalesce($"c_op", $"b_op") =!= "D")
+      .select(coalesce($"b_user", $"c_user").as("user_id"),
+        coalesce($"c_value", $"b_value").as("value"),
+        when($"b_user".isNull, "inserted")
+          .when($"c_user".isNull, "carried").otherwise("updated").as("row_status"))
+      .orderBy($"user_id")
+  }
+
+  val cdc1Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+       |    CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+       |  FROM events),
+       |base AS (
+       |  SELECT user_id AS b_user, op AS b_op, value AS b_value FROM (
+       |    SELECT *, ROW_NUMBER() OVER
+       |      (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+       |    FROM e WHERE us < $CdcCutUs) t WHERE rn = 1),
+       |chg AS (
+       |  SELECT user_id AS c_user, op AS c_op, value AS c_value FROM (
+       |    SELECT *, ROW_NUMBER() OVER
+       |      (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+       |    FROM e WHERE us >= $CdcCutUs) t WHERE rn = 1)
+       |SELECT COALESCE(b_user, c_user) AS user_id,
+       |  COALESCE(c_value, b_value) AS value,
+       |  CASE WHEN b_user IS NULL THEN 'inserted'
+       |       WHEN c_user IS NULL THEN 'carried' ELSE 'updated' END AS row_status
+       |FROM base FULL OUTER JOIN chg ON b_user = c_user
+       |WHERE COALESCE(c_op, b_op) <> 'D'
+       |ORDER BY user_id""".stripMargin
+
+  /** spl1: deterministic train/val/test assignment — split by the Knuth
+    * multiplicative hash of doc_id (reproducible across runs, retries, and
+    * engines — `rand()` is none of those), audited as doc/token counts per
+    * (split, source). The assignment is a pure column expression on the
+    * scan (no shuffle); the audit is one map-side-combined groupBy. 80/10/10
+    * by hash bucket, the standard leakage-free split discipline: membership
+    * is a function of the stable id, so re-runs and incremental appends
+    * never migrate a document across splits.
+    */
+  def spl1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = (($"doc_id" * 2654435761L) % 4294967296L) % 100
+    Tables.documents(s, dir)
+      .select($"source", size(TextOps.tokens($"text")).cast("long").as("tok"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      .groupBy($"split", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("tokens"))
+      .orderBy($"split", $"source")
+  }
+
+  val spl1Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tok,
+      |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+      |         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens
+      |FROM d GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe1_pair_counts" -> bpe1,
+    "ii1_inverted_index" -> ii1,
+    "cdc1_merge_snapshot" -> cdc1,
+    "spl1_hash_split" -> spl1,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "bpe1_pair_counts" -> bpe1Sql,
+    "ii1_inverted_index" -> ii1Sql,
+    "cdc1_merge_snapshot" -> cdc1Sql,
+    "spl1_hash_split" -> spl1Sql,
+  )
+}

@@ -994,6 +994,60 @@ object LlmQueries extends graft.core.QueryModule {
        |  round(lp / CAST(n_tokens AS DOUBLE), 6) >= -3.5 AS keep
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // T10: bigram language-model score with add-1 smoothing — the next rung
+  // above t8's unigram filter: per-doc mean ln P(w2|w1) where
+  // P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V). The bigram and unigram count
+  // tables are dictionary²-sized (broadcast); the doc side is one shuffle
+  // on doc_id. Same determinism discipline as t8: exact integer counts
+  // into one double division + ln, per-doc sum as a LEFT FOLD over the
+  // (w1,w2)-sorted term list, round(...,6) at the end.
+  def t10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pt = docTokens(s, dir)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val bg = pt.select($"doc_id", $"tok".as("w1"), lead($"tok", 1).over(w).as("w2"))
+      .filter($"w2".isNotNull)
+    val bc = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val uc = bc.groupBy($"w1").agg(sum($"cb").as("cu"))
+    val vv = pt.agg(countDistinct($"tok").as("v"))
+    bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("c"))
+      .join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(uc), Seq("w1"))
+      .crossJoin(broadcast(vv))
+      .withColumn("term", $"c".cast("double") *
+        log(($"cb" + 1).cast("double") / ($"cu" + $"v").cast("double")))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bigrams"),
+        sort_array(collect_list(struct($"w1", $"w2", $"term"))).as("ts"))
+      .withColumn("lp", aggregate($"ts", lit(0.0), (acc, x) => acc + x("term")))
+      .select($"doc_id", $"n_bigrams",
+        round($"lp" / $"n_bigrams".cast("double"), 6).as("bigram_logprob"))
+      .orderBy($"doc_id")
+  }
+  val t10Sql: String =
+    s"""$duckTokCtes,
+       |bg0 AS (SELECT doc_id, tok AS w1,
+       |          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |        FROM pt),
+       |bg AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+       |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+       |uc AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM bc GROUP BY 1),
+       |vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM pt),
+       |dc AS (SELECT doc_id, d0.w1, d0.w2, c,
+       |         CAST(c AS DOUBLE) *
+       |           ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE)) AS term
+       |       FROM (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3) d0
+       |       JOIN bc ON d0.w1 = bc.w1 AND d0.w2 = bc.w2
+       |       JOIN uc ON d0.w1 = uc.w1 CROSS JOIN vv),
+       |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |          list_reduce(list_transform(
+       |            list_sort(list(struct_pack(w1 := w1, w2 := w2, term := term))),
+       |            x -> x.term), (a, b) -> a + b) AS lp
+       |        FROM dc GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  round(lp / CAST(n_bigrams AS DOUBLE), 6) AS bigram_logprob
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   // T9: TF-IDF top terms per document — the classic relevance weighting,
   // top-3 by score with deterministic tok tiebreak. df table is
   // vocabulary-sized → broadcast; ranking is a doc-partitioned window.
@@ -1157,6 +1211,7 @@ object LlmQueries extends graft.core.QueryModule {
     "t7_repetition_filter" -> t7,
     "t8_unigram_logprob" -> t8,
     "t9_tfidf_topterms" -> t9,
+    "t10_bigram_logprob" -> t10,
     "s4_kmeans_update" -> s4,
     "hh1_heavy_hitters" -> hh1,
     "d7_decontaminate" -> d7,
@@ -1189,6 +1244,7 @@ object LlmQueries extends graft.core.QueryModule {
     "t7_repetition_filter" -> t7Sql,
     "t8_unigram_logprob" -> t8Sql,
     "t9_tfidf_topterms" -> t9Sql,
+    "t10_bigram_logprob" -> t10Sql,
     "s4_kmeans_update" -> s4Sql,
     "hh1_heavy_hitters" -> hh1Sql,
     "d7_decontaminate" -> d7Sql,

@@ -160,15 +160,23 @@ object Tpch2 extends graft.core.QueryModule {
       .join(fOrders, $"l_orderkey" === $"o_orderkey")
       .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAY"))
       .select($"l_orderkey", $"l_suppkey")
-    val all = Tables.lineitem(s, dir)
-      .select($"l_orderkey".as("ok2"), $"l_suppkey".as("sk2"))
-    val lateOthers = late.select($"l_orderkey".as("ok3"), $"l_suppkey".as("sk3"))
-    late
-      .join(all, $"l_orderkey" === $"ok2" && $"l_suppkey" =!= $"sk2", "left_semi")
-      .join(lateOthers, $"l_orderkey" === $"ok3" && $"l_suppkey" =!= $"sk3", "left_anti")
+    // EXISTS/NOT-EXISTS as distinct-supplier COUNTS per order: the semi +
+    // anti formulation joins the FULL fact table twice; this one shuffles
+    // distinct (orderkey, suppkey) pairs with map-side partial dedup once
+    // and joins only order-sized aggregates. exists-other-supplier ⇔
+    // n_supp > 1; not-exists-other-LATE-supplier ⇔ n_late_supp == 1.
+    val lateBy = late.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(count(lit(1)).as("nrows"))
+    val lateOrd = lateBy.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_late_supp"))
+    val allOrd = Tables.lineitem(s, dir).groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("n_supp"))
+    lateBy
+      .join(lateOrd.filter($"n_late_supp" === 1).select($"l_orderkey"), "l_orderkey")
+      .join(allOrd.filter($"n_supp" > 1).select($"l_orderkey"), "l_orderkey")
       .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
       .groupBy($"s_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum($"nrows").as("numwait"))
       .orderBy($"numwait".desc, $"s_name")
       .limit(20)
   }

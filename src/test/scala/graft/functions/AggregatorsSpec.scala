@@ -119,6 +119,30 @@ class AggregatorsSpec extends SparkTestBase {
     assert(r.passed, r.status.toString)
   }
 
+  test("MinK equals distinct-sort-take-k on a DataFrame") {
+    import spark.implicits._
+    val ids = (0L until 500L).map(i => i * 7919L % 1000L) // duplicates by design
+    val agg = udaf(new Aggregators.MinK(8))
+    val got = ids.toDF("id").select(agg($"id")).head().getSeq[Long](0)
+    assert(got.toSeq === ids.distinct.sorted.take(8))
+  }
+
+  test("MinK merge is associative, commutative, duplicate-idempotent") {
+    val a = new Aggregators.MinK(5)
+    val gen = Gen.listOf(Gen.choose(0L, 100L)) // tight range → many duplicates
+    val prop = forAll(gen, gen, gen) { (xs, ys, zs) =>
+      def buf(l: List[Long]) = l.foldLeft(a.zero)(a.reduce)
+      val left = a.merge(a.merge(buf(xs), buf(ys)), buf(zs)).toSeq
+      val right = a.merge(buf(xs), a.merge(buf(ys), buf(zs))).toSeq
+      val swap = a.merge(buf(ys), buf(xs)).toSeq
+      val all = a.finish(buf(xs ++ ys ++ zs)).toSeq
+      left == right && a.merge(buf(xs), buf(ys)).toSeq == swap &&
+        left == all && all == (xs ++ ys ++ zs).distinct.sorted.take(5)
+    }
+    val r = SCTest.check(prop)(_.withMinSuccessfulTests(100))
+    assert(r.passed, r.status.toString)
+  }
+
   private def topKRef(k: Int, pairs: Seq[(Long, Long)]): Seq[Long] =
     pairs.sortBy { case (s, id) => (-s, id) }.take(k).map(_._2)
 
