@@ -168,11 +168,55 @@ object IndexQueries extends graft.core.QueryModule {
       |SELECT split, source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens
       |FROM d GROUP BY 1, 2 ORDER BY split, source""".stripMargin
 
+  /** diff1: corpus snapshot diff — the dataset-version audit between two
+    * corpus releases: added / removed / changed / unchanged doc counts by
+    * content fingerprint (md5), via one FULL OUTER join on doc_id. At
+    * scale the two sides are different corpus versions read from their own
+    * roots; here both snapshots derive deterministically from the one test
+    * table (era A drops doc_id%10==3, era B drops %10==7 and edits %11==0)
+    * so the oracle can replay them exactly.
+    */
+  def diff1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+    val a = d.filter($"doc_id" % 10 =!= 3)
+      .select($"doc_id", md5($"text").as("fp_a"))
+    val b = d.filter($"doc_id" % 10 =!= 7)
+      .select($"doc_id", md5(when($"doc_id" % 11 === 0,
+        concat($"text", lit(" edited"))).otherwise($"text")).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"fp_a".isNull, "added").when($"fp_b".isNull, "removed")
+          .when($"fp_a" =!= $"fp_b", "changed").otherwise("unchanged").as("status"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"status")
+  }
+
+  val diff1Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS fp_a FROM documents WHERE doc_id % 10 <> 3),
+      |b AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END) AS fp_b
+      |  FROM documents WHERE doc_id % 10 <> 7),
+      |j AS (
+      |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN fp_a IS NULL THEN 'added'
+      |         WHEN fp_b IS NULL THEN 'removed'
+      |         WHEN fp_a <> fp_b THEN 'changed' ELSE 'unchanged' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT status, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe1_pair_counts" -> bpe1,
     "ii1_inverted_index" -> ii1,
     "cdc1_merge_snapshot" -> cdc1,
     "spl1_hash_split" -> spl1,
+    "diff1_snapshot_diff" -> diff1,
   )
 
   def oracles: Map[String, String] = Map(
@@ -180,5 +224,6 @@ object IndexQueries extends graft.core.QueryModule {
     "ii1_inverted_index" -> ii1Sql,
     "cdc1_merge_snapshot" -> cdc1Sql,
     "spl1_hash_split" -> spl1Sql,
+    "diff1_snapshot_diff" -> diff1Sql,
   )
 }

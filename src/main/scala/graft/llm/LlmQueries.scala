@@ -585,6 +585,48 @@ object LlmQueries extends graft.core.QueryModule {
        |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin
   }
 
+  // R1: ANN recall audit — the LSH bucket route (s2) measured against the
+  // brute-force ground truth (s1) in ONE query: recall@10 as a checkable
+  // number instead of a claim. Both rankings share one scored frame
+  // (broadcast query vector, native codegen dot); the audit join is
+  // 10×10. This is the eval harness every production ANN deployment runs
+  // after (re)bucketing — at scale brute-force runs on a sampled query
+  // set, the bucket route on all of it.
+  def r1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bk", expr(VectorOps.bucketSqlSpark("embedding", 8)))
+      .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), $"bk".as("qbk"), $"n2".as("qn2"))
+    val scored = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .withColumn("cos", VectorOps.dotNative($"embedding", $"qe") /
+        (sqrt($"n2") * sqrt($"qn2")))
+    val brute = scored.orderBy($"cos".desc, $"vec_id").limit(10).select($"vec_id")
+    val lsh = scored.filter($"bk" === $"qbk")
+      .orderBy($"cos".desc, $"vec_id").limit(10).select($"vec_id".as("lv"))
+    brute.join(lsh, $"vec_id" === $"lv", "left")
+      .agg(count(lit(1)).as("n_brute"), count($"lv").as("n_hit"))
+      .select($"n_brute", $"n_hit",
+        round($"n_hit".cast("double") / $"n_brute".cast("double"), 6)
+          .as("recall_at_10"))
+  }
+  val r1Sql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${VectorOps.bucketSqlDuck("embedding", 8)} AS bk
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qe, bk AS qbk FROM b WHERE vec_id = 0),
+       |sc AS (SELECT a.vec_id, a.bk, q.qbk,
+       |         ${VectorOps.cosineSqlDuck("a.embedding", "q.qe", 64)} AS cos
+       |       FROM b a, q WHERE a.vec_id <> 0),
+       |brute AS (SELECT vec_id FROM sc ORDER BY cos DESC, vec_id LIMIT 10),
+       |lsh AS (SELECT vec_id FROM sc WHERE bk = qbk
+       |        ORDER BY cos DESC, vec_id LIMIT 10)
+       |SELECT COUNT(*) AS n_brute, COUNT(l.vec_id) AS n_hit,
+       |  round(CAST(COUNT(l.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS recall_at_10
+       |FROM brute br LEFT JOIN lsh l ON br.vec_id = l.vec_id""".stripMargin
+
   // T5: BPE-ish regex tokenization (letter runs / digit runs / single
   // punctuation) — corpus stats per language.
   private val BpeRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -1201,6 +1243,7 @@ object LlmQueries extends graft.core.QueryModule {
     "s1_ann_brute_topk" -> s1,
     "s2_ann_lsh_topk" -> s2,
     "s3_ann_ivf_topk" -> s3,
+    "r1_ann_recall" -> r1,
     "t5_regex_tokens" -> t5,
     "hof1_array_stats" -> hof1,
     "t1_langid" -> t1,
@@ -1234,6 +1277,7 @@ object LlmQueries extends graft.core.QueryModule {
     "s1_ann_brute_topk" -> s1Sql,
     "s2_ann_lsh_topk" -> s2Sql,
     "s3_ann_ivf_topk" -> s3Sql,
+    "r1_ann_recall" -> r1Sql,
     "t5_regex_tokens" -> t5Sql,
     "hof1_array_stats" -> hof1Sql,
     "t1_langid" -> t1Sql,

@@ -127,6 +127,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q22_idle_customers",  // scalar avg(acctbal) subquery (1 row, broadcast)
       "s1_ann_brute_topk",   // 1-row query vector
       "s2_ann_lsh_topk",
+      "r1_ann_recall",      // 1-row query vector + 10x10 audit join
       "s3_ann_ivf_topk",     // fixed centroid list
       "sk2_sketch_bounds",   // 1-row exact-vs-sketch comparison
       "a15_marginalised_stat", // 1-row marginalisation constant
