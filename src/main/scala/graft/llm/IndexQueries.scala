@@ -211,12 +211,47 @@ object IndexQueries extends graft.core.QueryModule {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  /** wsm1: weighted sample without replacement (Efraimidis–Spirakis A-Res)
+    * — k docs per language with inclusion probability ∝ n_chars, via the
+    * priority p = -ln(u)/w over a DETERMINISTIC uniform u from the Knuth
+    * hash (reproducible across runs/retries/engines, unlike rand(); sm1's
+    * discipline). Smallest-k by p ≡ largest-k by u^(1/w), the A-Res rule.
+    * Per-language rank windows (partitioned; the lang-skew note of sm2
+    * applies — at extreme group sizes the MinK/BottomK aggregator family
+    * is the shuffle-bounded route).
+    */
+  def wsm1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = (($"doc_id" * 2654435761L) % 4294967296L + 1).cast("double") / 4294967297.0
+    val d = Tables.documents(s, dir)
+      .select($"lang", $"doc_id",
+        (-log(u) / $"n_chars".cast("double")).as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"p", $"doc_id")
+    d.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 4)
+      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
+  val wsm1Sql: String =
+    """WITH d AS (
+      |  SELECT lang, doc_id,
+      |    -ln(CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE) / 4294967297.0)
+      |      / CAST(n_chars AS DOUBLE) AS p
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id,
+      |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY p, doc_id) AS rk
+      |      FROM d)
+      |SELECT lang, rk, doc_id FROM r WHERE rk <= 4 ORDER BY lang, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe1_pair_counts" -> bpe1,
     "ii1_inverted_index" -> ii1,
     "cdc1_merge_snapshot" -> cdc1,
     "spl1_hash_split" -> spl1,
     "diff1_snapshot_diff" -> diff1,
+    "wsm1_weighted_sample" -> wsm1,
   )
 
   def oracles: Map[String, String] = Map(
@@ -225,5 +260,6 @@ object IndexQueries extends graft.core.QueryModule {
     "cdc1_merge_snapshot" -> cdc1Sql,
     "spl1_hash_split" -> spl1Sql,
     "diff1_snapshot_diff" -> diff1Sql,
+    "wsm1_weighted_sample" -> wsm1Sql,
   )
 }

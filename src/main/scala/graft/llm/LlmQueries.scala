@@ -627,6 +627,60 @@ object LlmQueries extends graft.core.QueryModule {
        |    AS recall_at_10
        |FROM brute br LEFT JOIN lsh l ON br.vec_id = l.vec_id""".stripMargin
 
+  // S5: multi-probe IVF ANN — same cell layout as s3, but the QUERY probes
+  // its top-2 centroids' cells instead of one. The standard recall lever
+  // when the true neighbor falls just across a cell boundary: data stays
+  // single-assigned (build cost unchanged), probe cost doubles to 2/k of
+  // the data, recall strictly dominates s3's.
+  def s5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val cells = ivfCells(s, dir)
+    val cents = e.filter($"vec_id".between(1, 4))
+      .select($"vec_id".cast("long").as("cid"), $"embedding".as("ce"),
+        VectorOps.dotNative($"embedding", $"embedding").as("cn2"))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), VectorOps.dotNative($"embedding", $"embedding").as("qn2"))
+    // query-side assignment, top-2 cells (k rows through TakeOrdered — not
+    // a window: even a 4-row unpartitioned window is a plan shape the
+    // audit bans, and limit-after-sort plans as TakeOrderedAndProject)
+    val qcells = cents.crossJoin(broadcast(q))
+      .withColumn("ccos", VectorOps.dotNative($"ce", $"qe") /
+        (sqrt($"cn2") * sqrt($"qn2")))
+      .orderBy($"ccos".desc, $"cid").limit(2)
+      .select($"cid".as("qcell"))
+    e.join(cells, "vec_id")
+      .join(broadcast(qcells), $"cell" === $"qcell")
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", (VectorOps.dotNative($"embedding", $"qe") /
+        (sqrt(VectorOps.dotNative($"embedding", $"embedding")) * sqrt($"qn2"))).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(5)
+  }
+  val s5Sql: String = {
+    val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
+    val qcCos = VectorOps.cosineSqlDuck("c.ce", "q.qe", 64)
+    val qCos = VectorOps.cosineSqlDuck("e.embedding", "q.qe", 64)
+    s"""WITH c AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+       |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
+       |        FROM embeddings e CROSS JOIN c),
+       |cells AS (SELECT vec_id, cid AS cell FROM (
+       |            SELECT vec_id, cid,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
+       |            FROM asg) r WHERE rk = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qc AS (SELECT cid AS qcell FROM (
+       |         SELECT c.cid, ROW_NUMBER() OVER (ORDER BY $qcCos DESC, c.cid) AS rk
+       |         FROM c, q) r WHERE rk <= 2)
+       |SELECT e.vec_id, $qCos AS cos
+       |FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id
+       |     JOIN qc ON cells.cell = qc.qcell, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin
+  }
+
   // T5: BPE-ish regex tokenization (letter runs / digit runs / single
   // punctuation) — corpus stats per language.
   private val BpeRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -1244,6 +1298,7 @@ object LlmQueries extends graft.core.QueryModule {
     "s2_ann_lsh_topk" -> s2,
     "s3_ann_ivf_topk" -> s3,
     "r1_ann_recall" -> r1,
+    "s5_ann_ivf_multiprobe" -> s5,
     "t5_regex_tokens" -> t5,
     "hof1_array_stats" -> hof1,
     "t1_langid" -> t1,
@@ -1278,6 +1333,7 @@ object LlmQueries extends graft.core.QueryModule {
     "s2_ann_lsh_topk" -> s2Sql,
     "s3_ann_ivf_topk" -> s3Sql,
     "r1_ann_recall" -> r1Sql,
+    "s5_ann_ivf_multiprobe" -> s5Sql,
     "t5_regex_tokens" -> t5Sql,
     "hof1_array_stats" -> hof1Sql,
     "t1_langid" -> t1Sql,

@@ -46,39 +46,43 @@ object PageRank {
     */
   def run(edges: DataFrame, iters: Int = 3, reliable: Boolean = false,
       checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
     val bidir = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-    // Edges annotated ONCE with the receiving node's degree, so each
-    // iteration's aggregation yields (v, deg, rank) directly — without
-    // this, every iteration pays a second node-table join to re-attach deg
-    // for the next round's contributions (and broadcasting deg instead
-    // would cap the node count at broadcast size — not a 100 TB posture).
-    // deg derives from bidir INSIDE the same plan: Spark's ReuseExchange
-    // dedupes the distinct shuffle between the join's two sides, so the
-    // whole build phase is ONE materialized intermediate, which every
-    // iteration then reads — hence the checkpoint. (A window count over b
-    // was tried instead of the join: the per-partition sort made it ~3×
-    // slower than hash join + hash agg.)
+    // Edges annotated ONCE with the CONTRIBUTOR-side degree: in the
+    // symmetric edge set, grouping by `a` over contributors `b` visits
+    // exactly the same (receiver, contributor) multiset as grouping by `b`
+    // over `a` — so each iteration needs only rank(b), and contrib
+    // rank(b) div deg_b is computed at join time from the edge column.
+    // The ranks table is therefore bare (v, rank): no deg re-attach join,
+    // no node table (and broadcasting deg instead would cap the node
+    // count at broadcast size — not a 100 TB posture). deg derives from
+    // bidir INSIDE the same plan: ReuseExchange dedupes the distinct
+    // shuffle between the join's two sides, so the build phase is ONE
+    // materialized intermediate — hence the checkpoint. (A window count
+    // over b was tried instead of the join: the per-partition sort made
+    // it ~3× slower than hash join + hash agg.)
     val deg = bidir.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
     val symDeg0 = bidir
       .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
       .select(col("a"), col("b"), col("deg_b"))
       .repartition(col("a"))
     val symDeg = if (reliable) symDeg0.checkpoint() else symDeg0.localCheckpoint()
-    // Node table from the checkpointed edges (each node owns its deg on
-    // every incident edge). n is one scalar — an O(1) driver value.
-    val nodes = symDeg.select(col("b").as("v"), col("deg_b").as("deg")).distinct()
-    val n = nodes.count()
+    // map-side-combined distinct over the materialized edges; an O(1)
+    // driver scalar (the old node-table distinct shuffled (v, deg) pairs)
+    val n = symDeg.agg(countDistinct(col("b"))).head().getLong(0)
     val base = (15L * (Scale / n)) / 100L
-    var ranks = nodes.select(col("v"), col("deg"), lit(Scale / n).as("rank"))
-    var it = 0
+    // Iteration 1 joins nothing: the uniform initial rank is a constant,
+    // so the first round is a single aggregation over the edges.
+    var ranks: DataFrame = symDeg
+      .groupBy(col("a").as("v"))
+      .agg(expr(s"$base + (85 * sum(${Scale / n} div deg_b)) div 100").as("rank"))
+    var it = 1
     while (it < iters) {
-      val contrib = ranks.select(col("v"), expr("rank div deg").as("c"))
-      val next = symDeg.join(contrib, symDeg("a") === contrib("v"))
-        .groupBy(symDeg("b").as("v"), symDeg("deg_b").as("deg"))
-        .agg(expr(s"$base + (85 * sum(c)) div 100").as("rank"))
-        .select(col("v"), col("deg"), col("rank"))
+      val next = symDeg.join(ranks, symDeg("b") === ranks("v"))
+        .groupBy(symDeg("a").as("v"))
+        .agg(expr(s"$base + (85 * sum(rank div deg_b)) div 100").as("rank"))
       it += 1
       ranks =
         if (it < iters && it % checkpointEvery == 0) {

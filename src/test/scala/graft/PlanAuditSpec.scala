@@ -129,6 +129,7 @@ class PlanAuditSpec extends SparkTestBase {
       "s2_ann_lsh_topk",
       "r1_ann_recall",      // 1-row query vector + 10x10 audit join
       "s3_ann_ivf_topk",     // fixed centroid list
+      "s5_ann_ivf_multiprobe", // fixed centroid list + 2-cell probe
       "sk2_sketch_bounds",   // 1-row exact-vs-sketch comparison
       "a15_marginalised_stat", // 1-row marginalisation constant
       "t6_bm25_score",       // 1-row corpus stats (N, df_i, avgdl) broadcast
