@@ -17,6 +17,7 @@ object SparkEntry {
     graft.llm.CorpusQueries,
     graft.llm.IndexQueries,
     graft.relational.Extras,
+    graft.relational.Temporal,
     graft.relational.GraphQueries,
   )
 

@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -402,7 +402,50 @@ object Extras extends graft.core.QueryModule {
       |WHERE levenshtein(a.p_name, c.p_name) <= 3
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** ka1: k-anonymity audit at two generalization levels — the
+    * release-safety check a training-data pipeline runs before shipping a
+    * table keyed by quasi-identifiers. Level `nation_segment` groups by
+    * (c_nationkey, c_mktsegment); level `segment` is its generalization
+    * (drop the nation). Per level: group count, groups under k=5, the
+    * smallest group, and how many ROWS sit in violating groups (what
+    * suppression would delete). Two hash aggregations + a 2-row union —
+    * no window, no join; at 100 TB this is one map-side-combined shuffle
+    * per level. Integer counts only: hash-exact.
+    */
+  def ka1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def level(name: String, cols: Column*): DataFrame =
+      Tables.customer(s, dir)
+        .groupBy(cols: _*).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when($"n" < 5, 1L).otherwise(0L)).as("groups_at_risk"),
+          min($"n").as("min_group"),
+          sum(when($"n" < 5, $"n").otherwise(0L)).as("rows_at_risk"))
+        .select(lit(name).as("level"), $"n_groups", $"groups_at_risk",
+          $"min_group", $"rows_at_risk")
+    level("nation_segment", $"c_nationkey", $"c_mktsegment")
+      .union(level("segment", $"c_mktsegment"))
+      .orderBy($"level")
+  }
+  val ka1Sql: String =
+    """WITH g1 AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      |            FROM customer GROUP BY 1, 2),
+      |g2 AS (SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1)
+      |SELECT 'nation_segment' AS level, COUNT(*) AS n_groups,
+      |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_at_risk,
+      |  MIN(n) AS min_group,
+      |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
+      |FROM g1
+      |UNION ALL
+      |SELECT 'segment' AS level, COUNT(*) AS n_groups,
+      |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_at_risk,
+      |  MIN(n) AS min_group,
+      |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
+      |FROM g2
+      |ORDER BY level""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ka1_k_anonymity" -> ka1,
     "dq1_quality_audit" -> dq1,
     "fz1_fuzzy_match" -> fz1,
     "tk1_topk_per_group" -> tk1,
@@ -419,6 +462,7 @@ object Extras extends graft.core.QueryModule {
     "g3_grouping_sets" -> g3,
   )
   val oracles: Map[String, String] = Map(
+    "ka1_k_anonymity" -> ka1Sql,
     "dq1_quality_audit" -> dq1Sql,
     "fz1_fuzzy_match" -> fz1Sql,
     "tk1_topk_per_group" -> tk1Sql,
