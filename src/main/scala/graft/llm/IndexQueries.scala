@@ -44,6 +44,88 @@ object IndexQueries extends graft.core.QueryModule {
       |SELECT pair, CAST(SUM(f) AS BIGINT) AS freq
       |FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 20""".stripMargin
 
+  /** bpe2: the BPE merge LOOP — three actual merge steps, not just one
+    * statistics pass (bpe1). Classic trainer shape: pair counting and
+    * merging run over the WORD-FREQUENCY DICT (vocabulary-sized, weighted
+    * by freq), never over the corpus token stream — the corpus is read
+    * once for word counts, then each iteration is one explode+groupBy over
+    * the dict plus a map-side merge. The per-step argmax is a 1-row
+    * driver scalar (TakeOrdered), like PageRank's node count.
+    *
+    * Token state is a space-joined string with sentinel spaces
+    * (" h e l l o "); merging pair (a,b) is `replace(toks, " a b ", " ab ")`
+    * — leftmost non-overlapping replacement IS BPE's greedy left-to-right
+    * merge, and Spark and DuckDB `replace` share that contract, so the
+    * engines stay bit-identical through all three steps. Ties in the
+    * argmax break by (count DESC, left, right). Integer counts: exact.
+    */
+  def bpe2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .withColumn("toks",
+        concat(lit(" "), array_join(split($"w", ""), " "), lit(" ")))
+      .localCheckpoint() // dict is small by construction; don't re-read the corpus per step
+    var wk = words.select($"freq", $"toks")
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (step <- 1L to 3L) {
+      val best = wk
+        .select($"freq", split(trim($"toks"), " ").as("t"))
+        // single-token words have no pairs — and sequence(1, 0) DESCENDS
+        // in Spark, which would send element_at out of bounds under ANSI
+        .filter(size($"t") >= 2)
+        .select($"freq", explode(expr(
+          "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS a, element_at(t, i+1) AS b))")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b")
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step, a, b, a + b, cnt))
+      wk = wk.withColumn("toks",
+        replace($"toks", lit(s" $a $b "), lit(s" $a$b ")))
+    }
+    merges.result().toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .orderBy($"step")
+  }
+
+  val bpe2Sql: String = {
+    def pairs(w: String, p: String): String =
+      s"""$p AS (SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |      FROM (SELECT freq, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |            FROM (SELECT freq, string_split(trim(toks), ' ') AS t FROM $w))
+         |      GROUP BY 1, 2)""".stripMargin
+    def top(p: String, m: String): String =
+      s"$m AS (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1)"
+    def merge(w: String, m: String, w2: String): String =
+      s"""$w2 AS (SELECT freq,
+         |  replace(toks, ' ' || (SELECT a FROM $m) || ' ' || (SELECT b FROM $m) || ' ',
+         |                ' ' || (SELECT a FROM $m) || (SELECT b FROM $m) || ' ') AS toks
+         |  FROM $w)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents),
+       |w0 AS (
+       |  SELECT COUNT(*) AS freq,
+       |    ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS toks
+       |  FROM words GROUP BY w),
+       |${pairs("w0", "p1")},
+       |${top("p1", "m1")},
+       |${merge("w0", "m1", "w1")},
+       |${pairs("w1", "p2")},
+       |${top("p2", "m2")},
+       |${merge("w1", "m2", "w2")},
+       |${pairs("w2", "p3")},
+       |${top("p3", "m3")}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs, a || b AS merged,
+       |    cnt AS pair_count FROM m1
+       |  UNION ALL SELECT CAST(2 AS BIGINT), a, b, a || b, cnt FROM m2
+       |  UNION ALL SELECT CAST(3 AS BIGINT), a, b, a || b, cnt FROM m3)
+       |ORDER BY step""".stripMargin
+  }
+
   /** ii1: inverted-index build — per term: document frequency and the
     * first 10 postings (smallest doc ids). The posting cap rides the
     * shuffle as a MERGEABLE aggregate ([[graft.functions.Aggregators.MinK]]:
@@ -247,6 +329,7 @@ object IndexQueries extends graft.core.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe1_pair_counts" -> bpe1,
+    "bpe2_merge_train" -> bpe2,
     "ii1_inverted_index" -> ii1,
     "cdc1_merge_snapshot" -> cdc1,
     "spl1_hash_split" -> spl1,
@@ -256,6 +339,7 @@ object IndexQueries extends graft.core.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "bpe1_pair_counts" -> bpe1Sql,
+    "bpe2_merge_train" -> bpe2Sql,
     "ii1_inverted_index" -> ii1Sql,
     "cdc1_merge_snapshot" -> cdc1Sql,
     "spl1_hash_split" -> spl1Sql,

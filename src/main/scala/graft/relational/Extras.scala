@@ -444,8 +444,56 @@ object Extras extends graft.core.QueryModule {
       |FROM g2
       |ORDER BY level""".stripMargin
 
+  /** pf1: column-statistics profiler — per profiled column: row count,
+    * nulls, exact distinct count, and the exact top value with its count
+    * (the stats a cost-based optimizer or data-quality dashboard feeds
+    * on). ONE pass over the fact table: values pivot long via a 4-wide
+    * explode, then two hash aggregations — (col, value) counts, then
+    * per-col stats with the argmax folded into the same aggregate as
+    * `max(struct(cnt, v))` (ties: larger value string; the oracle's
+    * ROW_NUMBER mirrors it) — no window, no per-column rescan. Discrete
+    * columns only: double/timestamp rendering is not portable across
+    * engines, integer/varchar casts are.
+    */
+  def pf1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_returnflag", "l_linestatus", "l_linenumber", "l_suppkey")
+    Tables.lineitem(s, dir)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("x"))
+      .groupBy($"x.c".as("col_name"), $"x.v".as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"col_name")
+      .agg(sum($"cnt").as("n"),
+        coalesce(sum(when($"v".isNull, $"cnt")), lit(0L)).as("n_null"),
+        count(when($"v".isNotNull, lit(1))).as("n_distinct"),
+        max(when($"v".isNotNull, struct($"cnt", $"v"))).as("top"))
+      .select($"col_name", $"n", $"n_null", $"n_distinct",
+        $"top.v".as("top_value"), $"top.cnt".as("top_n"))
+      .orderBy($"col_name")
+  }
+  val pf1Sql: String =
+    """WITH vals AS (
+      |  SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS v FROM lineitem
+      |  UNION ALL SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+      |  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem),
+      |c AS (SELECT col_name, v, COUNT(*) AS cnt FROM vals GROUP BY 1, 2),
+      |agg AS (SELECT col_name, CAST(SUM(cnt) AS BIGINT) AS n,
+      |    CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_null,
+      |    COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct
+      |  FROM c GROUP BY 1),
+      |top AS (SELECT col_name, v AS top_value, cnt AS top_n FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY col_name
+      |                                 ORDER BY cnt DESC, v DESC) AS rk
+      |    FROM c WHERE v IS NOT NULL) r WHERE rk = 1)
+      |SELECT a.col_name AS col_name, n, n_null, n_distinct, top_value, top_n
+      |FROM agg a JOIN top t ON a.col_name = t.col_name
+      |ORDER BY col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ka1_k_anonymity" -> ka1,
+    "pf1_column_profile" -> pf1,
     "dq1_quality_audit" -> dq1,
     "fz1_fuzzy_match" -> fz1,
     "tk1_topk_per_group" -> tk1,
@@ -463,6 +511,7 @@ object Extras extends graft.core.QueryModule {
   )
   val oracles: Map[String, String] = Map(
     "ka1_k_anonymity" -> ka1Sql,
+    "pf1_column_profile" -> pf1Sql,
     "dq1_quality_audit" -> dq1Sql,
     "fz1_fuzzy_match" -> fz1Sql,
     "tk1_topk_per_group" -> tk1Sql,

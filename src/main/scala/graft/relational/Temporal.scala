@@ -75,11 +75,67 @@ object Temporal extends graft.core.QueryModule {
       |  value IS NULL AS is_gap
       |FROM j ORDER BY user_id, day""".stripMargin
 
+  /** ol1: peak session concurrency per day by sweep line — sessions
+    * (w_sessionize's 30-min-gap definition) become ±1 boundary events,
+    * and the running sum over all boundaries ordered by time IS the live
+    * session count. The global running sum is the classic single-partition
+    * window trap; [[graft.operators.GlobalRank.withPrefixSum]] computes it
+    * as one range shuffle + a per-partition-sums metadata job instead, so
+    * the sweep stays distributed at any scale (boundary rows = 2×sessions,
+    * far smaller than events). Sort (us, delta DESC, user_id, sess) is a
+    * total order with starts (+1) before ends (-1) at the same µs —
+    * intervals closed at both ends, so a single-event session still
+    * counts as 1 live session and the count never goes negative. Integer
+    * arithmetic only: hash-exact.
+    */
+  def ol1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wEv = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val sess = Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+      .withColumn("prev", lag($"us", 1).over(wEv))
+      .withColumn("new_sess",
+        when($"prev".isNull || $"us" - $"prev" > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sess", sum($"new_sess").over(wEv))
+      .groupBy($"user_id", $"sess")
+      .agg(min($"us").as("s0"), max($"us").as("s1"))
+    val bounds = sess.select($"user_id", $"sess", $"s0".as("us"), lit(1L).as("delta"))
+      .union(sess.select($"user_id", $"sess", $"s1".as("us"), lit(-1L).as("delta")))
+    graft.operators.GlobalRank
+      .withPrefixSum(bounds, Seq($"us", $"delta".desc, $"user_id", $"sess"),
+        $"delta", "conc")
+      .groupBy(date_format(timestamp_micros($"us"), "yyyy-MM-dd").as("day"))
+      .agg(max($"conc").as("max_concurrent"), count(lit(1)).as("n_boundaries"))
+      .orderBy($"day")
+  }
+
+  val ol1Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |m AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      |      FROM e),
+      |f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+      |                THEN 1 ELSE 0 END AS new_sess FROM m),
+      |g AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |                     AS BIGINT) AS sess FROM f),
+      |iv AS (SELECT user_id, sess, MIN(us) AS s0, MAX(us) AS s1
+      |       FROM g GROUP BY 1, 2),
+      |b AS (SELECT user_id, sess, s0 AS us, CAST(1 AS BIGINT) AS delta FROM iv
+      |      UNION ALL
+      |      SELECT user_id, sess, s1 AS us, CAST(-1 AS BIGINT) AS delta FROM iv),
+      |c AS (SELECT *, CAST(SUM(delta) OVER (ORDER BY us, delta DESC, user_id, sess
+      |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+      |      FROM b)
+      |SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+      |  MAX(conc) AS max_concurrent, COUNT(*) AS n_boundaries
+      |FROM c GROUP BY 1 ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts1_gapfill_locf" -> ts1,
+    "ol1_max_concurrency" -> ol1,
   )
 
   def oracles: Map[String, String] = Map(
     "ts1_gapfill_locf" -> ts1Sql,
+    "ol1_max_concurrency" -> ol1Sql,
   )
 }
