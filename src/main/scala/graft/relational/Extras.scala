@@ -455,11 +455,12 @@ object Extras extends graft.core.QueryModule {
     * columns only: double/timestamp rendering is not portable across
     * engines, integer/varchar casts are.
     */
-  def pf1(s: SparkSession, dir: String): DataFrame = {
+  /** One-pass profile of `cols` over any frame (pf1's engine; top value
+    * NULL when a column is all-null). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
-    val cols = Seq("l_returnflag", "l_linestatus", "l_linenumber", "l_suppkey")
-    Tables.lineitem(s, dir)
-      .select(explode(array(cols.map(c =>
+    df.select(explode(array(cols.map(c =>
         struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("x"))
       .groupBy($"x.c".as("col_name"), $"x.v".as("v"))
       .agg(count(lit(1)).as("cnt"))
@@ -472,6 +473,10 @@ object Extras extends graft.core.QueryModule {
         $"top.v".as("top_value"), $"top.cnt".as("top_n"))
       .orderBy($"col_name")
   }
+
+  def pf1(s: SparkSession, dir: String): DataFrame =
+    profile(Tables.lineitem(s, dir),
+      Seq("l_returnflag", "l_linestatus", "l_linenumber", "l_suppkey"))
   val pf1Sql: String =
     """WITH vals AS (
       |  SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS v FROM lineitem
