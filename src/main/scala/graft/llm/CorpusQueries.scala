@@ -6,9 +6,10 @@ import graft.core.Tables
 import graft.operators.GlobalRank
 import graft.text.TextOps
 
-/** Training-batch assembly queries: sequence packing and domain-mixture
-  * weighting — the step between a curated corpus and a training run
-  * (north-star widening; the reference stops at analysis outputs).
+/** Training-batch assembly queries: sequence packing, domain-mixture
+  * weighting, and within-doc context windowing — the step between a
+  * curated corpus and a training run (north-star widening; the reference
+  * stops at analysis outputs).
   */
 object CorpusQueries extends graft.core.QueryModule {
 
@@ -91,13 +92,53 @@ object CorpusQueries extends graft.core.QueryModule {
       |SELECT source, n_docs, tokens, round(w / wsum, 6) AS mix_weight
       |FROM w, ws ORDER BY source""".stripMargin
 
+  /** ch1: within-doc token windowing — every doc becomes overlapping
+    * training windows of 8 tokens at stride 4 (the chunking step BEFORE
+    * cross-doc packing: pack1 lays whole docs head-to-tail; ch1 splits
+    * long docs into stride-overlapped context windows, the long-document
+    * recipe). Window starts come from `sequence(1, n, stride)` exploded
+    * per doc — no join, no window function, rows ∝ Σ ceil(n/stride).
+    * The tail window is clipped to the doc end (standard; a sub-stride
+    * tail still trains). Pure integer arithmetic: exact.
+    */
+  def ch1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", size(TextOps.tokens($"text")).as("n"))
+      .filter($"n" >= 1)
+      .select($"doc_id", $"n",
+        explode(sequence(lit(1L), $"n".cast("long"), lit(4L))).as("start_pos"))
+      .select($"doc_id",
+        expr("(start_pos - 1) div 4 + 1").cast("long").as("win_id"),
+        $"start_pos",
+        least($"start_pos" + 7L, $"n".cast("long")).as("end_pos"))
+      .withColumn("win_toks", $"end_pos" - $"start_pos" + 1L)
+      .orderBy($"doc_id", $"win_id")
+  }
+
+  val ch1Sql: String =
+    """WITH nt AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents),
+      |st AS (SELECT doc_id, n, UNNEST(range(1, n + 1, 4)) AS start_pos
+      |       FROM nt WHERE n >= 1)
+      |SELECT doc_id,
+      |  CAST((start_pos - 1) // 4 + 1 AS BIGINT) AS win_id,
+      |  CAST(start_pos AS BIGINT) AS start_pos,
+      |  CAST(LEAST(start_pos + 7, n) AS BIGINT) AS end_pos,
+      |  CAST(LEAST(start_pos + 7, n) - start_pos + 1 AS BIGINT) AS win_toks
+      |FROM st ORDER BY doc_id, win_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack1_sequence_packing" -> pack1,
     "mix1_domain_mixture" -> mix1,
+    "ch1_token_windows" -> ch1,
   )
 
   def oracles: Map[String, String] = Map(
     "pack1_sequence_packing" -> pack1Sql,
     "mix1_domain_mixture" -> mix1Sql,
+    "ch1_token_windows" -> ch1Sql,
   )
 }
