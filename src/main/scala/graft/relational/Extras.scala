@@ -477,6 +477,45 @@ object Extras extends graft.core.QueryModule {
   def pf1(s: SparkSession, dir: String): DataFrame =
     profile(Tables.lineitem(s, dir),
       Seq("l_returnflag", "l_linestatus", "l_linenumber", "l_suppkey"))
+
+  /** pf2: numeric column profile — count/nulls/min/max/sum/mean for the
+    * measure columns, same one-pass explode shape as pf1. The sum
+    * accumulates in DECIMAL(12,2) (exact, order-independent) and only the
+    * FINAL value casts to double; the mean divides the two final scalars
+    * as doubles (identical operands → identical IEEE result on both
+    * engines). min/max are comparisons — exact by construction.
+    */
+  def pf2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Tables.lineitem(s, dir)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).as("v"))): _*)).as("x"))
+      .groupBy($"x.c".as("col_name"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when($"x.v".isNull, 1L)), lit(0L)).as("n_null"),
+        min($"x.v").as("min_v"), max($"x.v").as("max_v"),
+        sum(vdec($"x.v")).cast("double").as("sum_v"),
+        count($"x.v").as("nv"))
+      .select($"col_name", $"n", $"n_null", $"min_v", $"max_v", $"sum_v",
+        ($"sum_v" / $"nv".cast("double")).as("mean_v"))
+      .orderBy($"col_name")
+  }
+  val pf2Sql: String =
+    """WITH vals AS (
+      |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem),
+      |a AS (SELECT col_name, COUNT(*) AS n,
+      |    CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN 1 END), 0) AS BIGINT) AS n_null,
+      |    MIN(v) AS min_v, MAX(v) AS max_v,
+      |    CAST(SUM(CAST(v AS DECIMAL(12, 2))) AS DOUBLE) AS sum_v,
+      |    COUNT(v) AS nv
+      |  FROM vals GROUP BY 1)
+      |SELECT col_name, n, n_null, min_v, max_v, sum_v,
+      |  sum_v / CAST(nv AS DOUBLE) AS mean_v
+      |FROM a ORDER BY col_name""".stripMargin
   val pf1Sql: String =
     """WITH vals AS (
       |  SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS v FROM lineitem
@@ -499,6 +538,7 @@ object Extras extends graft.core.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ka1_k_anonymity" -> ka1,
     "pf1_column_profile" -> pf1,
+    "pf2_numeric_profile" -> pf2,
     "dq1_quality_audit" -> dq1,
     "fz1_fuzzy_match" -> fz1,
     "tk1_topk_per_group" -> tk1,
@@ -517,6 +557,7 @@ object Extras extends graft.core.QueryModule {
   val oracles: Map[String, String] = Map(
     "ka1_k_anonymity" -> ka1Sql,
     "pf1_column_profile" -> pf1Sql,
+    "pf2_numeric_profile" -> pf2Sql,
     "dq1_quality_audit" -> dq1Sql,
     "fz1_fuzzy_match" -> fz1Sql,
     "tk1_topk_per_group" -> tk1Sql,
