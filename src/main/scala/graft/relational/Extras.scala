@@ -535,8 +535,65 @@ object Extras extends graft.core.QueryModule {
       |FROM agg a JOIN top t ON a.col_name = t.col_name
       |ORDER BY col_name""".stripMargin
 
+  /** w12: time-RANGE window frame — trailing 30-minute spend per user
+    * (`RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW` over event-time
+    * µs). The frame is VALUE-bounded, not row-bounded (w5's ROWS frame):
+    * same-timestamp peers enter together on both engines, and the window
+    * stays partitioned per user. Decimal-exact sum, count is integral.
+    */
+  def w12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-1800000000L, 0L)
+    Tables.events(s, dir)
+      .filter($"user_id" < 10)
+      .withColumn("us", unix_micros($"ts"))
+      .select($"user_id", $"event_id", $"us",
+        sum(vdec($"value")).over(w).cast("double").as("spend_30m"),
+        count(lit(1)).over(w).as("n_30m"))
+      .orderBy($"user_id", $"us", $"event_id")
+  }
+  val w12Sql: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS us,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS spend_30m,
+      |  COUNT(*) OVER w AS n_30m
+      |FROM events WHERE user_id < 10
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, us, event_id""".stripMargin
+
+  /** w11: the ranking-function family under TIES — rank (gaps),
+    * dense_rank (no gaps) and cume_dist over docs ordered by n_chars
+    * within language. Tie groups make the three functions genuinely
+    * diverge; each function's value is well-defined under ties regardless
+    * of intra-peer order, so the output is deterministic without a
+    * tiebreak in the window sort. cume_dist is an integer ratio of
+    * identical longs — bit-exact on both engines.
+    */
+  def w11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"n_chars".desc)
+    Tables.documents(s, dir)
+      .filter($"doc_id" < 300)
+      .select($"lang", $"doc_id", $"n_chars",
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        cume_dist().over(w).as("cd"))
+      .orderBy($"lang", $"rk", $"doc_id")
+  }
+  val w11Sql: String =
+    """SELECT lang, doc_id, n_chars,
+      |  CAST(RANK() OVER w AS BIGINT) AS rk,
+      |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+      |  CUME_DIST() OVER w AS cd
+      |FROM documents WHERE doc_id < 300
+      |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC)
+      |ORDER BY lang, rk, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ka1_k_anonymity" -> ka1,
+    "w12_range_frame" -> w12,
+    "w11_rank_family" -> w11,
     "pf1_column_profile" -> pf1,
     "pf2_numeric_profile" -> pf2,
     "dq1_quality_audit" -> dq1,
@@ -556,6 +613,8 @@ object Extras extends graft.core.QueryModule {
   )
   val oracles: Map[String, String] = Map(
     "ka1_k_anonymity" -> ka1Sql,
+    "w12_range_frame" -> w12Sql,
+    "w11_rank_family" -> w11Sql,
     "pf1_column_profile" -> pf1Sql,
     "pf2_numeric_profile" -> pf2Sql,
     "dq1_quality_audit" -> dq1Sql,
