@@ -1097,6 +1097,51 @@ object LlmQueries extends graft.core.QueryModule {
   // on doc_id. Same determinism discipline as t8: exact integer counts
   // into one double division + ln, per-doc sum as a LEFT FOLD over the
   // (w1,w2)-sorted term list, round(...,6) at the end.
+  /** t11: PMI collocations — the classic "which word pairs belong
+    * together" statistic: PMI(a,b) = ln(p(ab) / (p(a)·p(b))) over adjacent
+    * bigrams, min support 5, top 20. Unigram/total counts are vocabulary-
+    * sized broadcasts; the bigram table is the only shuffle. The ln
+    * argument is assembled as ONE left-associated double product on both
+    * engines (cab·Nt·Nt / (Nb·ca·cb)) — identical operand order gives the
+    * bit-identical IEEE result t8/t10 already rely on.
+    */
+  def t11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pt = docTokens(s, dir)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val bg = pt.select($"tok".as("w1"), lead($"tok", 1).over(w).as("w2"))
+      .filter($"w2".isNotNull)
+    val bc = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cab"))
+    val ug = pt.groupBy($"tok").agg(count(lit(1)).as("cu"))
+    val nt = pt.agg(count(lit(1)).as("nt"))
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    bc.filter($"cab" >= 5)
+      .join(broadcast(ug.select($"tok".as("w1"), $"cu".as("ca"))), "w1")
+      .join(broadcast(ug.select($"tok".as("w2"), $"cu".as("cb"))), "w2")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+      .select($"w1", $"w2", $"cab",
+        round(log($"cab".cast("double") * $"nt".cast("double") * $"nt".cast("double") /
+          ($"nb".cast("double") * $"ca".cast("double") * $"cb".cast("double"))), 6)
+          .as("pmi"))
+      .orderBy($"pmi".desc, $"w1", $"w2").limit(20)
+  }
+  val t11Sql: String =
+    s"""$duckTokCtes,
+       |bg0 AS (SELECT doc_id, tok AS w1,
+       |          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |        FROM pt),
+       |bg AS (SELECT w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+       |bc AS (SELECT w1, w2, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
+       |ug AS (SELECT tok, COUNT(*) AS cu FROM pt GROUP BY 1),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM pt),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg)
+       |SELECT bc.w1, bc.w2, cab,
+       |  round(ln(CAST(cab AS DOUBLE) * CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE) /
+       |    (CAST(nb AS DOUBLE) * CAST(ca.cu AS DOUBLE) * CAST(cb.cu AS DOUBLE))), 6) AS pmi
+       |FROM bc JOIN ug ca ON bc.w1 = ca.tok JOIN ug cb ON bc.w2 = cb.tok, nt, nb
+       |WHERE cab >= 5
+       |ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 20""".stripMargin
+
   def t10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pt = docTokens(s, dir)
@@ -1310,6 +1355,7 @@ object LlmQueries extends graft.core.QueryModule {
     "t8_unigram_logprob" -> t8,
     "t9_tfidf_topterms" -> t9,
     "t10_bigram_logprob" -> t10,
+    "t11_pmi_collocations" -> t11,
     "s4_kmeans_update" -> s4,
     "hh1_heavy_hitters" -> hh1,
     "d7_decontaminate" -> d7,
@@ -1345,6 +1391,7 @@ object LlmQueries extends graft.core.QueryModule {
     "t8_unigram_logprob" -> t8Sql,
     "t9_tfidf_topterms" -> t9Sql,
     "t10_bigram_logprob" -> t10Sql,
+    "t11_pmi_collocations" -> t11Sql,
     "s4_kmeans_update" -> s4Sql,
     "hh1_heavy_hitters" -> hh1Sql,
     "d7_decontaminate" -> d7Sql,

@@ -135,6 +135,7 @@ class PlanAuditSpec extends SparkTestBase {
       "t6_bm25_score",       // 1-row corpus stats (N, df_i, avgdl) broadcast
       "t8_unigram_logprob",  // 1-row corpus-total broadcast
       "t10_bigram_logprob",  // 1-row vocabulary-size broadcast
+      "t11_pmi_collocations", // 1-row Nt/Nb broadcasts
       "t9_tfidf_topterms",   // 1-row n_docs broadcast
       "s4_kmeans_update",    // k-centroid broadcast (assignment pass, as s3)
       "a5_log_bayes_factors",  // model×model pairs over a handful of models
