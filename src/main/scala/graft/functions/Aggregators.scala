@@ -234,4 +234,107 @@ object Aggregators {
     def outputEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
+
+  /** K rows per group with the smallest DOUBLE priority (ties → smaller
+    * id), as a mergeable aggregate — the weighted-sampling (Efraimidis–
+    * Spirakis A-Res) rank step without a rank window: the shuffle carries
+    * ≤ k (priority, id) pairs per group, where `ROW_NUMBER() OVER
+    * (PARTITION BY g ORDER BY p)` sorts every row of the group in one
+    * task. With ~5 language groups over a 100 TB corpus the window form
+    * funnels ~20 TB through a single task; this buffer stays at k entries
+    * regardless. Output: ids in rank order (p asc, id asc).
+    */
+  class BottomKByPriority(k: Int)
+      extends Aggregator[(Double, Long), (Array[Double], Array[Long]), Array[Long]] {
+    require(k > 0)
+    private def before(p1: Double, i1: Long, p2: Double, i2: Long): Boolean =
+      p1 < p2 || (p1 == p2 && i1 < i2)
+    def zero: (Array[Double], Array[Long]) = (Array.empty, Array.empty)
+    private def insert(b: (Array[Double], Array[Long]), p: Double, id: Long):
+        (Array[Double], Array[Long]) = {
+      val (ps, ids) = b
+      val n = ps.length
+      if (n == k && !before(p, id, ps(n - 1), ids(n - 1))) return b
+      val m = math.min(n + 1, k)
+      val op = new Array[Double](m); val oi = new Array[Long](m)
+      java.lang.System.arraycopy(ps, 0, op, 0, math.min(n, m))
+      java.lang.System.arraycopy(ids, 0, oi, 0, math.min(n, m))
+      op(m - 1) = p; oi(m - 1) = id
+      var i = m - 1
+      while (i > 0 && before(op(i), oi(i), op(i - 1), oi(i - 1))) {
+        val tp = op(i); val ti = oi(i)
+        op(i) = op(i - 1); oi(i) = oi(i - 1)
+        op(i - 1) = tp; oi(i - 1) = ti
+        i -= 1
+      }
+      (op, oi)
+    }
+    def reduce(b: (Array[Double], Array[Long]), v: (Double, Long)) =
+      insert(b, v._1, v._2)
+    def merge(x: (Array[Double], Array[Long]), y: (Array[Double], Array[Long])) = {
+      var out = x
+      var i = 0
+      while (i < y._1.length) { out = insert(out, y._1(i), y._2(i)); i += 1 }
+      out
+    }
+    def finish(b: (Array[Double], Array[Long])): Array[Long] = b._2
+    def bufferEncoder: Encoder[(Array[Double], Array[Long])] =
+      Encoders.tuple(
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]](),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** K rows per group with the smallest STRING sort key (ties → smaller
+    * id) — the deterministic stratified-sample rank (order by md5(text))
+    * as a mergeable aggregate. Same shuffle bound as
+    * [[BottomKByPriority]]: ≤ k (key, id) pairs per group ride the
+    * shuffle; the stratum never sorts. String compare is Java
+    * lexicographic — identical to DuckDB's binary collation on the ASCII
+    * hex md5 digest. Output: ids in rank order (key asc, id asc).
+    */
+  class BottomKByStringKey(k: Int)
+      extends Aggregator[(String, Long), (Array[String], Array[Long]), Array[Long]] {
+    require(k > 0)
+    private def before(k1: String, i1: Long, k2: String, i2: Long): Boolean = {
+      val c = k1.compareTo(k2)
+      c < 0 || (c == 0 && i1 < i2)
+    }
+    def zero: (Array[String], Array[Long]) = (Array.empty, Array.empty)
+    private def insert(b: (Array[String], Array[Long]), key: String, id: Long):
+        (Array[String], Array[Long]) = {
+      val (ks, ids) = b
+      val n = ks.length
+      if (n == k && !before(key, id, ks(n - 1), ids(n - 1))) return b
+      val m = math.min(n + 1, k)
+      val ok = new Array[String](m); val oi = new Array[Long](m)
+      java.lang.System.arraycopy(ks, 0, ok, 0, math.min(n, m))
+      java.lang.System.arraycopy(ids, 0, oi, 0, math.min(n, m))
+      ok(m - 1) = key; oi(m - 1) = id
+      var i = m - 1
+      while (i > 0 && before(ok(i), oi(i), ok(i - 1), oi(i - 1))) {
+        val tk = ok(i); val ti = oi(i)
+        ok(i) = ok(i - 1); oi(i) = oi(i - 1)
+        ok(i - 1) = tk; oi(i - 1) = ti
+        i -= 1
+      }
+      (ok, oi)
+    }
+    def reduce(b: (Array[String], Array[Long]), v: (String, Long)) =
+      insert(b, v._1, v._2)
+    def merge(x: (Array[String], Array[Long]), y: (Array[String], Array[Long])) = {
+      var out = x
+      var i = 0
+      while (i < y._1.length) { out = insert(out, y._1(i), y._2(i)); i += 1 }
+      out
+    }
+    def finish(b: (Array[String], Array[Long])): Array[Long] = b._2
+    def bufferEncoder: Encoder[(Array[String], Array[Long])] =
+      Encoders.tuple(
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]](),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
 }

@@ -298,21 +298,23 @@ object IndexQueries extends graft.core.QueryModule {
     * priority p = -ln(u)/w over a DETERMINISTIC uniform u from the Knuth
     * hash (reproducible across runs/retries/engines, unlike rand(); sm1's
     * discipline). Smallest-k by p ≡ largest-k by u^(1/w), the A-Res rule.
-    * Per-language rank windows (partitioned; the lang-skew note of sm2
-    * applies — at extreme group sizes the MinK/BottomK aggregator family
-    * is the shuffle-bounded route).
+    * The rank is a MERGEABLE bottom-k aggregate
+    * ([[graft.functions.Aggregators.BottomKByPriority]]) — lang has ~5
+    * distinct values, so a `row_number` window partitioned by lang would
+    * funnel the whole corpus into ~5 tasks at 100 TB; the aggregator's
+    * map-side partial keeps ≤ k (p, id) pairs per group on the shuffle.
     */
   def wsm1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val u = (($"doc_id" * 2654435761L) % 4294967296L + 1).cast("double") / 4294967297.0
-    val d = Tables.documents(s, dir)
+    val bk = udaf(new graft.functions.Aggregators.BottomKByPriority(4))
+    Tables.documents(s, dir)
       .select($"lang", $"doc_id",
         (-log(u) / $"n_chars".cast("double")).as("p"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"lang").orderBy($"p", $"doc_id")
-    d.withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 4)
-      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id")
+      .groupBy($"lang")
+      .agg(bk($"p", $"doc_id").as("ids"))
+      .select($"lang", posexplode($"ids").as(Seq("pos", "doc_id")))
+      .select($"lang", ($"pos" + 1).cast("long").as("rk"), $"doc_id")
       .orderBy($"lang", $"rk")
   }
 

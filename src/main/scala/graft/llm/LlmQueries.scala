@@ -1311,15 +1311,24 @@ object LlmQueries extends graft.core.QueryModule {
 
   // SM2: deterministic stratified sample — k docs per (lang, source)
   // stratum, ordered by md5(text) (a uniform, engine-reproducible pseudo
-  // random key) with doc_id tiebreak. The per-stratum window is
-  // partitioned — no global sort; at 100 TB each stratum ranks locally
-  // after one shuffle on the stratum key.
+  // random key) with doc_id tiebreak. The rank is a MERGEABLE bottom-k
+  // aggregate (Aggregators.BottomKByStringKey): (lang, source) has ≤ ~25
+  // strata, so a row_number window partitioned by them would sort the
+  // whole corpus in ≤ 25 tasks at 100 TB; the aggregator keeps ≤ k
+  // (md5, id) pairs per stratum on the shuffle. Payload columns come
+  // back via a broadcast join of the ~75-row sample against a pruned
+  // (doc_id, n_chars) scan — the standard sample-then-fetch shape.
   def sm2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"lang", $"source").orderBy(md5($"text"), $"doc_id")
-    Tables.documents(s, dir)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= 3)
+    val bk = udaf(new graft.functions.Aggregators.BottomKByStringKey(3))
+    val docs = Tables.documents(s, dir)
+    val picked = docs
+      .groupBy($"lang", $"source")
+      .agg(bk(md5($"text"), $"doc_id").as("ids"))
+      .select($"lang", $"source", posexplode($"ids").as(Seq("pos", "doc_id")))
+      .select($"lang", $"source", ($"pos" + 1).cast("long").as("rk"), $"doc_id")
+    docs.select($"doc_id", $"n_chars")
+      .join(broadcast(picked), Seq("doc_id"))
       .select($"lang", $"source", $"rk", $"doc_id", $"n_chars")
       .orderBy($"lang", $"source", $"rk")
   }

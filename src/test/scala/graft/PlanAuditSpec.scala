@@ -158,6 +158,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(violations.isEmpty, violations.mkString("; "))
   }
 
+  test("wsm1/sm2: per-group sampling is a mergeable aggregate, not a rank window") {
+    // the round-3 weak rows: lang has ~5 values, (lang, source) ≤ ~25 —
+    // a row_number window partitioned by them funnels the corpus into a
+    // handful of tasks at 100 TB. The fix is the BottomK* aggregator
+    // family; assert the window never comes back.
+    for (q <- Seq("wsm1_weighted_sample", "sm2_stratified_sample")) {
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition"),
+        s"$q plans a rank window:\n" + p.take(2000))
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+        p.contains("HashAggregate"), q)
+    }
+  }
+
   test("sj1: the salted join widens the key — hot keys split across salts") {
     val p = plan("sj1_salted_join")
     assert(p.contains("__salt") || p.contains("pmod"), p.take(2000))

@@ -154,6 +154,64 @@ class AggregatorsSpec extends SparkTestBase {
     assert(got.toSeq === topKRef(5, pairs))
   }
 
+  private def bkpRef(k: Int, pairs: Seq[(Double, Long)]): Seq[Long] =
+    pairs.sortBy(identity).take(k).map(_._2)
+
+  test("BottomKByPriority equals sort-by-(p,id)-take-k on a DataFrame") {
+    import spark.implicits._
+    val pairs = (0L until 400L).map(i => (((i * 2654435761L) % 997L).toDouble / 997.0, i))
+    val agg = udaf(new Aggregators.BottomKByPriority(5))
+    val got = pairs.toDF("p", "id").select(agg($"p", $"id")).head().getSeq[Long](0)
+    assert(got.toSeq === bkpRef(5, pairs))
+  }
+
+  test("BottomKByPriority merge is associative, commutative, matches single-pass") {
+    val a = new Aggregators.BottomKByPriority(4)
+    val gen = Gen.listOf(Gen.zip(
+      Gen.choose(0, 50).map(_ / 50.0), Gen.choose(0L, 10000L))) // tight p range → ties
+    val prop = forAll(gen, gen, gen) { (xs, ys, zs) =>
+      def buf(l: List[(Double, Long)]) = l.foldLeft(a.zero)(a.reduce)
+      def v(b: (Array[Double], Array[Long])) = (b._1.toSeq, b._2.toSeq)
+      val left = v(a.merge(a.merge(buf(xs), buf(ys)), buf(zs)))
+      val right = v(a.merge(buf(xs), a.merge(buf(ys), buf(zs))))
+      val swap = v(a.merge(buf(ys), buf(xs)))
+      val all = a.finish(buf(xs ++ ys ++ zs)).toSeq
+      left == right && v(a.merge(buf(xs), buf(ys))) == swap &&
+        all == bkpRef(4, xs ++ ys ++ zs)
+    }
+    val r = SCTest.check(prop)(_.withMinSuccessfulTests(100))
+    assert(r.passed, r.status.toString)
+  }
+
+  private def bksRef(k: Int, pairs: Seq[(String, Long)]): Seq[Long] =
+    pairs.sortBy(identity).take(k).map(_._2)
+
+  test("BottomKByStringKey equals sort-by-(key,id)-take-k on a DataFrame") {
+    import spark.implicits._
+    val pairs = (0L until 300L).map(i => (f"${(i * 7919L) % 64L}%02x", i))
+    val agg = udaf(new Aggregators.BottomKByStringKey(5))
+    val got = pairs.toDF("k", "id").select(agg($"k", $"id")).head().getSeq[Long](0)
+    assert(got.toSeq === bksRef(5, pairs))
+  }
+
+  test("BottomKByStringKey merge is associative, commutative, matches single-pass") {
+    val a = new Aggregators.BottomKByStringKey(3)
+    val gen = Gen.listOf(Gen.zip(
+      Gen.choose(0, 20).map(i => f"$i%02d"), Gen.choose(0L, 10000L))) // ties by design
+    val prop = forAll(gen, gen, gen) { (xs, ys, zs) =>
+      def buf(l: List[(String, Long)]) = l.foldLeft(a.zero)(a.reduce)
+      def v(b: (Array[String], Array[Long])) = (b._1.toSeq, b._2.toSeq)
+      val left = v(a.merge(a.merge(buf(xs), buf(ys)), buf(zs)))
+      val right = v(a.merge(buf(xs), a.merge(buf(ys), buf(zs))))
+      val swap = v(a.merge(buf(ys), buf(xs)))
+      val all = a.finish(buf(xs ++ ys ++ zs)).toSeq
+      left == right && v(a.merge(buf(xs), buf(ys))) == swap &&
+        all == bksRef(3, xs ++ ys ++ zs)
+    }
+    val r = SCTest.check(prop)(_.withMinSuccessfulTests(100))
+    assert(r.passed, r.status.toString)
+  }
+
   test("TopKByScore merge is associative, commutative, and matches single-pass") {
     val a = new Aggregators.TopKByScore(4)
     val gen = Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 10000L)))
