@@ -49,48 +49,44 @@ object IndexQueries extends graft.core.QueryModule {
     * merging run over the WORD-FREQUENCY DICT (vocabulary-sized, weighted
     * by freq), never over the corpus token stream — the corpus is read
     * once for word counts, then each iteration is one explode+groupBy over
-    * the dict plus a map-side merge. The per-step argmax is a 1-row
-    * driver scalar (TakeOrdered), like PageRank's node count.
+    * the dict plus a map-side merge ([[BpeTrainer]] with batch size 1:
+    * the per-step argmax is a 2-row driver scalar, like PageRank's node
+    * count).
     *
-    * Token state is a space-joined string with sentinel spaces
-    * (" h e l l o "); merging pair (a,b) is `replace(toks, " a b ", " ab ")`
-    * — leftmost non-overlapping replacement IS BPE's greedy left-to-right
-    * merge, and Spark and DuckDB `replace` share that contract, so the
-    * engines stay bit-identical through all three steps. Ties in the
-    * argmax break by (count DESC, left, right). Integer counts: exact.
+    * Merging pair (a,b) is a left FOLD over the token sequence
+    * ([[BpeTrainer.mergeBatch]]) — greedy left-to-right non-overlapping,
+    * including consecutive occurrences, with a token just produced by a
+    * merge never re-merging in the same step. (The earlier
+    * `replace(' a b ', ' ab ')` string form silently skipped every second
+    * adjacent occurrence because the two matches share a separator space,
+    * and for a==b diverged from greedy merge positions.) The oracle
+    * replays the identical fold via DuckDB `list_reduce`, deriving the
+    * fold's `last` token from the accumulator's tail. Ties in the argmax
+    * break by (count DESC, left, right). Integer counts: exact.
     */
-  def bpe2(s: SparkSession, dir: String): DataFrame = {
+  def bpe2(s: SparkSession, dir: String): DataFrame =
+    bpeTrainDf(s, dir, n = 3, maxBatch = 1)
+
+  private[llm] def bpeTrainDf(s: SparkSession, dir: String, n: Int,
+                              maxBatch: Int): DataFrame = {
     import s.implicits._
-    val words = Tables.documents(s, dir)
-      .select(explode(TextOps.tokens($"text")).as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("freq"))
-      .withColumn("toks",
-        concat(lit(" "), array_join(split($"w", ""), " "), lit(" ")))
+    val words = BpeTrainer.wordDict(s, dir)
       .localCheckpoint() // dict is small by construction; don't re-read the corpus per step
-    var wk = words.select($"freq", $"toks")
-    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (step <- 1L to 3L) {
-      val best = wk
-        .select($"freq", split(trim($"toks"), " ").as("t"))
-        // single-token words have no pairs — and sequence(1, 0) DESCENDS
-        // in Spark, which would send element_at out of bounds under ANSI
-        .filter(size($"t") >= 2)
-        .select($"freq", explode(expr(
-          "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS a, element_at(t, i+1) AS b))")).as("p"))
-        .groupBy($"p.a".as("a"), $"p.b".as("b"))
-        .agg(sum($"freq").as("cnt"))
-        .orderBy($"cnt".desc, $"a", $"b")
-        .limit(1).collect()(0)
-      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((step, a, b, a + b, cnt))
-      wk = wk.withColumn("toks",
-        replace($"toks", lit(s" $a $b "), lit(s" $a$b ")))
-    }
-    merges.result().toDF("step", "lhs", "rhs", "merged", "pair_count")
+    val (merges, _) = BpeTrainer.trainBatched(words, n, maxBatch)
+    merges.map(m => (m.step, m.lhs, m.rhs, m.merged, m.pairCount))
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
       .orderBy($"step")
   }
 
-  val bpe2Sql: String = {
+  /** Generates the n-step sequential-BPE oracle: a chain of
+    * (pair-count, argmax, fold-merge) CTE triples. The fold-merge is
+    * DuckDB `list_reduce` with the accumulated output string doubling as
+    * state — the fold's `last` token is the accumulator's tail
+    * (`ends_with(' '||acc, ' '||a)`), which is exactly [[BpeTrainer
+    * .mergeBatch]]'s semantics: a merge fuses x onto the last token, and
+    * the fused token (a||b, strictly longer than a) can never re-match a.
+    */
+  private[llm] def bpeSequentialSql(n: Int): String = {
     def pairs(w: String, p: String): String =
       s"""$p AS (SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
          |      FROM (SELECT freq, t, unnest(generate_series(1, len(t) - 1)) AS i
@@ -100,31 +96,48 @@ object IndexQueries extends graft.core.QueryModule {
       s"$m AS (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1)"
     def merge(w: String, m: String, w2: String): String =
       s"""$w2 AS (SELECT freq,
-         |  replace(toks, ' ' || (SELECT a FROM $m) || ' ' || (SELECT b FROM $m) || ' ',
-         |                ' ' || (SELECT a FROM $m) || (SELECT b FROM $m) || ' ') AS toks
-         |  FROM $w)""".stripMargin
+         |  list_reduce(string_split(trim(toks), ' '),
+         |    (acc, x) -> CASE WHEN ends_with(' ' || acc, ' ' || $m.a) AND x = $m.b
+         |                THEN acc || x ELSE acc || ' ' || x END) AS toks
+         |  FROM $w, $m)""".stripMargin
+    val steps = (1 to n).map { i =>
+      val chain = Seq(pairs(s"w${i - 1}", s"p$i"), top(s"p$i", s"m$i")) ++
+        (if (i < n) Seq(merge(s"w${i - 1}", s"m$i", s"w$i")) else Nil)
+      chain.mkString(",\n")
+    }.mkString(",\n")
+    val out = (1 to n).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM m$i")
+      .mkString("\n  UNION ALL ")
     s"""WITH words AS (
        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
        |  FROM documents),
        |w0 AS (
        |  SELECT COUNT(*) AS freq,
-       |    ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS toks
+       |    array_to_string(string_split(w, ''), ' ') AS toks
        |  FROM words GROUP BY w),
-       |${pairs("w0", "p1")},
-       |${top("p1", "m1")},
-       |${merge("w0", "m1", "w1")},
-       |${pairs("w1", "p2")},
-       |${top("p2", "m2")},
-       |${merge("w1", "m2", "w2")},
-       |${pairs("w2", "p3")},
-       |${top("p3", "m3")}
+       |$steps
        |SELECT * FROM (
-       |  SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs, a || b AS merged,
-       |    cnt AS pair_count FROM m1
-       |  UNION ALL SELECT CAST(2 AS BIGINT), a, b, a || b, cnt FROM m2
-       |  UNION ALL SELECT CAST(3 AS BIGINT), a, b, a || b, cnt FROM m3)
+       |  $out)
        |ORDER BY step""".stripMargin
   }
+
+  val bpe2Sql: String = bpeSequentialSql(3)
+
+  /** bpe3: BATCHED BPE training — 8 merges via [[BpeTrainer.trainBatched]]
+    * in strict mode, which applies a mutually-disjoint PREFIX of each
+    * pass's pair ranking so the result is bit-identical to sequential
+    * greedy training (proof sketch in the BpeTrainer scaladoc). The oracle
+    * replays 8 strictly sequential steps — the equality IS the assertion.
+    * The wide-batch production config (strict=false with a sequential
+    * warmup, ~n/batch pair-count jobs for a ~30k-merge train instead of
+    * 30k driver round-trips) is a driver-side selection loop with no
+    * SQL-expressible oracle; BpeTrainSpec covers it against the pure-Scala
+    * sequential gold.
+    */
+  def bpe3(s: SparkSession, dir: String): DataFrame =
+    bpeTrainDf(s, dir, n = 8, maxBatch = 8)
+
+  val bpe3Sql: String = bpeSequentialSql(8)
 
   /** ii1: inverted-index build — per term: document frequency and the
     * first 10 postings (smallest doc ids). The posting cap rides the
@@ -332,6 +345,7 @@ object IndexQueries extends graft.core.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe1_pair_counts" -> bpe1,
     "bpe2_merge_train" -> bpe2,
+    "bpe3_batched_train" -> bpe3,
     "ii1_inverted_index" -> ii1,
     "cdc1_merge_snapshot" -> cdc1,
     "spl1_hash_split" -> spl1,
@@ -342,6 +356,7 @@ object IndexQueries extends graft.core.QueryModule {
   def oracles: Map[String, String] = Map(
     "bpe1_pair_counts" -> bpe1Sql,
     "bpe2_merge_train" -> bpe2Sql,
+    "bpe3_batched_train" -> bpe3Sql,
     "ii1_inverted_index" -> ii1Sql,
     "cdc1_merge_snapshot" -> cdc1Sql,
     "spl1_hash_split" -> spl1Sql,

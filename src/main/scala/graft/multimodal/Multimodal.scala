@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * with typed metadata; decode/feature-extraction runs per partition in
   * batches (the Scala analogue of `mapInPandas` batch processing).
   *
-  * The codec itself is STUBBED (no media libraries in this environment):
-  * [[StubDecoder]] produces deterministic features from raw bytes. The
-  * Spark-side contract — schema, batch iteration, partition-local decoder
-  * reuse, feature array shape — is real and tested.
+  * The IMAGE codec is real: [[ImageIoDecoder]] decodes PNG/BMP/GIF/JPEG
+  * through the JDK's built-in `javax.imageio` (no external library) into
+  * pixel-derived grid-luminance features. Audio/video stay STUBBED (no
+  * media libraries in this environment): [[StubDecoder]] produces
+  * deterministic features from raw bytes. The Spark-side contract —
+  * schema, batch iteration, partition-local decoder reuse, feature array
+  * shape — is real and tested either way.
   */
 object Multimodal {
 
@@ -49,6 +52,49 @@ object Multimodal {
           i += 1
         }
       }
+      out
+    }
+  }
+
+  /** Real image decode via the JDK's built-in ImageIO (PNG/BMP/GIF/JPEG
+    * — zero external dependencies): features are the g×g mean-luminance
+    * grid of the decoded pixels, each cell normalized to [0,1]. Non-image
+    * kinds (audio/video — the JDK ships no codec) and undecodable
+    * payloads fall back to [[StubDecoder]]'s byte-window features, so a
+    * mixed-kind table streams through one decoder. ImageIO readers are
+    * not thread-safe; instances are built once per partition (the
+    * [[extractFeatures]] contract), never shared.
+    */
+  class ImageIoDecoder(grid: Int = 4) extends Decoder {
+    val dim: Int = grid * grid
+    private val fallback = new StubDecoder(dim)
+    def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
+      if (kind != "image" || bytes == null || bytes.isEmpty)
+        return fallback.decode(kind, bytes)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return fallback.decode(kind, bytes) // not an image ImageIO knows
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Float](dim)
+      val cnt = new Array[Int](dim)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(grid - 1, y * grid / h)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(grid - 1, x * grid / w)
+          val rgb = img.getRGB(x, y)
+          val lum = (0.299f * ((rgb >> 16) & 0xff) + 0.587f * ((rgb >> 8) & 0xff) +
+            0.114f * (rgb & 0xff)) / 255f
+          out(gy * grid + gx) += lum
+          cnt(gy * grid + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < dim) { if (cnt(i) > 0) out(i) /= cnt(i); i += 1 }
       out
     }
   }

@@ -532,7 +532,7 @@ object Extras extends graft.core.QueryModule {
       |                                 ORDER BY cnt DESC, v DESC) AS rk
       |    FROM c WHERE v IS NOT NULL) r WHERE rk = 1)
       |SELECT a.col_name AS col_name, n, n_null, n_distinct, top_value, top_n
-      |FROM agg a JOIN top t ON a.col_name = t.col_name
+      |FROM agg a LEFT JOIN top t ON a.col_name = t.col_name
       |ORDER BY col_name""".stripMargin
 
   /** w12: time-RANGE window frame — trailing 30-minute spend per user

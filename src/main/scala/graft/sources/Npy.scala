@@ -50,7 +50,14 @@ object Npy {
       case Seq(r, c) => (r, c)
       case other     => sys.error(s"npy: only 1-D/2-D supported, got $other")
     }
-    val data = ByteBuffer.wrap(bytes, hoff + hlen, rows * cols * 8)
+    // Long arithmetic: 2^28 f64 elements overflow an Int byte length to
+    // negative (opaque wrap error) and near-misses would silently truncate
+    val payload = rows.toLong * cols.toLong * 8L
+    require(payload <= Int.MaxValue.toLong - hoff - hlen,
+      s"npy payload too large for one in-memory array: ${rows}x$cols f64 = $payload bytes")
+    require(bytes.length.toLong >= hoff + hlen + payload,
+      s"npy truncated: need ${hoff + hlen + payload} bytes, have ${bytes.length}")
+    val data = ByteBuffer.wrap(bytes, hoff + hlen, payload.toInt)
       .order(ByteOrder.LITTLE_ENDIAN).asDoubleBuffer()
     DenseMatrix.tabulate[Double](rows, cols) { (i, j) =>
       data.get(if (fortran) j * rows + i else i * cols + j)

@@ -29,6 +29,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.map(_.features.toSeq) === again.map(_.features.toSeq))
   }
 
+  test("ImageIoDecoder decodes a real PNG to pixel-derived grid features") {
+    import spark.implicits._
+    // 8×8 PNG, left half black, right half white — built with the same JDK
+    // ImageIO the decoder uses, so the fixture is real encoded bytes
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val media = Seq(
+      (1L, "image", png, Map.empty[String, String]),
+      (2L, "image", "not an image".getBytes, Map.empty[String, String]),
+      (3L, "audio", Array.tabulate(64)(_.toByte), Map.empty[String, String]))
+      .toDF("media_id", "kind", "content", "meta")
+    val rows = Multimodal.extractFeatures(media, () => new Multimodal.ImageIoDecoder(4))
+      .collect().sortBy(_.media_id)
+    // real decode: 4×4 luminance grid — left two columns 0.0, right two 1.0
+    val f = rows(0).features
+    assert(f.length == 16)
+    for (r <- 0 until 4; c <- 0 until 4)
+      assert(math.abs(f(r * 4 + c) - (if (c < 2) 0f else 1f)) < 1e-3,
+        s"cell ($r,$c) = ${f(r * 4 + c)}")
+    // undecodable image payload and audio kind fall back to the stub
+    val stub = new Multimodal.StubDecoder(16)
+    assert(rows(1).features.toSeq == stub.decode("image", "not an image".getBytes).toSeq)
+    assert(rows(2).features.toSeq == stub.decode("audio", Array.tabulate(64)(_.toByte)).toSeq)
+  }
+
   test("chunk sampling keeps every k-th fixed-size chunk") {
     val chunks = Multimodal.sampleChunks(media.filter(col("media_id") === 2), 1000, 2)
     // 5000 bytes → 5 chunks → keep idx 0, 2, 4
