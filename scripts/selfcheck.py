@@ -6,7 +6,7 @@ compares each query's Spark parquet output: schema (column names), row
 count, and exact values after sorting columns by name and rows by all
 columns. Usage: selfcheck.py <sfDir> <verifyOutDir>
 """
-import json, sys, glob, math
+import json, sys, glob, math, os
 import duckdb
 import pandas as pd
 
@@ -31,11 +31,25 @@ def cell_eq(a, b):
         return a == b or (math.isnan(a) and math.isnan(b))
     return a == b
 
+def error_marker(name):
+    """Verify writes <name>/_ERROR.json when the query threw (round-4
+    lesson: a failed query must red a row, never shrink the report)."""
+    p = f"{outdir}/{name}/_ERROR.json"
+    if os.path.exists(p):
+        try:
+            return json.load(open(p)).get("err", "unknown error")
+        except Exception:
+            return "unreadable _ERROR.json"
+    return None
+
 fails = 0
 for name, sql in sorted(oracle.items()):
+    err = error_marker(name)
+    if err is not None:
+        print(f"FAIL {name}: spark query threw: {err}"); fails += 1; continue
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
-        print(f"FAIL {name}: no spark output"); fails += 1; continue
+        print(f"FAIL {name}: no spark output (query silently absent)"); fails += 1; continue
     try:
         got = canon(pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))
         exp = canon(con.sql(sql).df())
@@ -68,5 +82,23 @@ for name, sql in sorted(oracle.items()):
               for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
         suffix = f"  TYPEWARN {'; '.join(tw)}" if tw else ""
         print(f"PASS {name} ({len(got)} rows){suffix}")
-print(f"\n{len(oracle)-fails}/{len(oracle)} passed")
+# Queries declared in SparkEntry.queries but WITHOUT an oracle get the
+# driver's weaker rows-only check; here we at least require non-thrown
+# output so a broken non-oracle query cannot hide.
+total = len(oracle)
+qlist = f"{outdir}/queries.json"
+if os.path.exists(qlist):
+    for name in json.load(open(qlist)):
+        if name in oracle:
+            continue
+        total += 1
+        err = error_marker(name)
+        if err is not None:
+            print(f"FAIL {name}: (no oracle) spark query threw: {err}"); fails += 1
+        elif not glob.glob(f"{outdir}/{name}/*.parquet"):
+            print(f"FAIL {name}: (no oracle) no spark output"); fails += 1
+        else:
+            print(f"PASS {name} (rows-only: no oracle)")
+
+print(f"\n{total-fails}/{total} passed")
 sys.exit(1 if fails else 0)

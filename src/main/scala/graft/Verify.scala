@@ -10,6 +10,19 @@ import scala.concurrent.duration.Duration
   * a time — the Spark scheduler is thread-safe and the local cluster is
   * otherwise underutilized by small single-query jobs. */
 object Verify {
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  def jsonQ(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = graft.core.GraftSession.local()
@@ -21,27 +34,27 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          // A failed query must produce a RED row, never a missing one
+          // (round-4 lesson: 41 analysis failures read as "84/84 green").
+          // The marker survives in the query's output dir where both
+          // selfcheck.py and a human will look first.
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val d = new java.io.File(s"$outDir/$name"); d.mkdirs()
+          val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}"
+          Files.writeString(Paths.get(s"$outDir/$name/_ERROR.json"),
+            s"""{"query": ${jsonQ(name)}, "err": ${jsonQ(msg)}}""")
         }
       }
     }
     Await.result(Future.sequence(work), Duration.Inf)
     pool.shutdown()
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jsonQ(k)}: ${jsonQ(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full declared-query inventory, so a checker can distinguish "query
+    // has no oracle (rows-only check)" from "query silently vanished".
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(jsonQ).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's synthetic star schema (TESTDATA.md).
   *
@@ -37,14 +37,24 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events` with its TIMESTAMP(NANOS) column normalised.
+  /** `events` with its timestamp column normalised to a stable contract:
+    * `ts` = TimestampType (µs precision, UTC instant), `ts_ns` = epoch
+    * nanoseconds as a long. The physical file has shipped in three
+    * encodings across driver regenerations, so we branch on the scanned
+    * type instead of assuming one:
     *
-    * The raw file stores `ts` as INT64 nanos; with
-    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a long. We keep the
-    * exact nanos as `ts_ns` and add a microsecond-truncated proper timestamp
-    * `ts` (integer `div` — a double division would lose precision above
-    * 2^53 ns). DuckDB's `epoch_us(ts)` truncates the same way, so µs-level
-    * comparisons against the oracle are exact.
+    *  - INT64 TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong`
+    *    it arrives as a long. Exact nanos become `ts_ns`; `ts` is the
+    *    µs-truncated timestamp (integer `div` — a double division would
+    *    lose precision above 2^53 ns).
+    *  - timestamp[us] without UTC adjustment → TIMESTAMP_NTZ. The session
+    *    time zone is pinned UTC ([[GraftSession]]), so `cast(ts as
+    *    timestamp)` is an exact wall-clock→instant relabeling and
+    *    `ts_ns = unix_micros(ts) * 1000`.
+    *  - timestamp[us] UTC-adjusted → TimestampType, same derivation.
+    *
+    * DuckDB's `epoch_us(ts)` truncates nanos the same way, so µs-level
+    * comparisons against the oracle are exact in every case.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
@@ -52,6 +62,9 @@ object Tables {
       case LongType =>
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
     }
   }

@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Raw parquet schema of the events table (ts = INT64 nanos; see
-    * Tables.events for the nanosAsLong contract). */
+  /** Raw parquet schema of the events table. The current driver files
+    * store `ts` as timestamp[us] without UTC adjustment → TIMESTAMP_NTZ
+    * (earlier generations used INT64 nanos; [[normalize]] still accepts
+    * that shape for batch parity with Tables.events). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -37,10 +39,19 @@ object EventsStream {
     normalize(r2.parquet(dir))
   }
 
-  /** ns-long → proper µs timestamp (same conversion as Tables.events). */
-  def normalize(raw: DataFrame): DataFrame =
-    raw.withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Normalise `ts` to (TimestampType, ts_ns long) — the same contract and
+    * branches as Tables.events, so a batch DataFrame and a readStream over
+    * the same files produce identical downstream plans. */
+  def normalize(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType => // legacy INT64-nanos files under nanosAsLong
+      raw.withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => // session TZ pinned UTC → exact relabeling
+      raw.withColumn("ts", col("ts").cast(TimestampType))
+        .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    case _ =>
+      raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+  }
 
   /** Tumbling-window counts/sums with a watermark: state is bounded by
     * (watermark / slide) windows per key. */

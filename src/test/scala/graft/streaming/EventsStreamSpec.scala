@@ -87,7 +87,9 @@ class EventsStreamSpec extends SparkTestBase {
     // early signups. Trailing signups stay pending forever (no batch 3) —
     // that asymmetry is the semantics under test.
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    val cutNs = 1706140800000000000L // 2024-01-25T00:00:00Z (span is Jan 1-30)
+    // raw `ts` is TIMESTAMP_NTZ; compare in epoch-µs space (UTC session)
+    val rawTsUs = unix_micros(col("ts").cast("timestamp"))
+    val cutUs = 1706140800000000L // 2024-01-25T00:00:00Z (span is Jan 1-30)
     val d = tmpDir("events-loj")
     def writeSlice(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
       val tmp = tmpDir(s"slice-$name")
@@ -98,8 +100,8 @@ class EventsStreamSpec extends SparkTestBase {
       Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
       dst.toFile.setLastModified(mtime)
     }
-    writeSlice(raw.filter(col("ts") < cutNs), "a.parquet", 1000000L)
-    writeSlice(raw.filter(col("ts") >= cutNs), "b.parquet", 2000000L)
+    writeSlice(raw.filter(rawTsUs < cutUs), "a.parquet", 1000000L)
+    writeSlice(raw.filter(rawTsUs >= cutUs), "b.parquet", 2000000L)
 
     val stream = EventsStream.fromDirectory(spark, d.toString, maxFilesPerTrigger = 1)
     val q = EventsStream.signupClickLeftJoin(stream).writeStream
@@ -125,7 +127,7 @@ class EventsStreamSpec extends SparkTestBase {
       //    MUST have been evicted and emitted (1s slack on the boundary)
       val sliceA = spark.read.parquet(d.resolve("a.parquet").toString)
       def maxUs(tpe: String) = sliceA.filter(col("event_type") === tpe)
-        .agg(max(expr("ts div 1000"))).head().getLong(0)
+        .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
       val wmUs = math.min(maxUs("signup"), maxUs("click")) - 2L * 3600 * 1000000
       val signupUs = ev.filter(col("event_type") === "signup")
         .select(col("event_id"), expr("unix_micros(ts)"))
@@ -144,7 +146,8 @@ class EventsStreamSpec extends SparkTestBase {
     // dropped — either way each event counts once); the downstream window
     // counts must equal the batch counts over distinct events.
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    val cutNs = 1706140800000000000L // 2024-01-25T00:00:00Z
+    val rawTsUs = unix_micros(col("ts").cast("timestamp"))
+    val cutUs = 1706140800000000L // 2024-01-25T00:00:00Z
     val d = tmpDir("events-chain")
     def writeSlice(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
       val tmp = tmpDir(s"chain-$name")
@@ -155,8 +158,8 @@ class EventsStreamSpec extends SparkTestBase {
       Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
       dst.toFile.setLastModified(mtime)
     }
-    val a = raw.filter(col("ts") < cutNs)
-    val b = raw.filter(col("ts") >= cutNs)
+    val a = raw.filter(rawTsUs < cutUs)
+    val b = raw.filter(rawTsUs >= cutUs)
     writeSlice(a, "a1.parquet", 1000000L)
     writeSlice(a, "a2.parquet", 2000000L)
     writeSlice(b, "b1.parquet", 3000000L)
@@ -181,7 +184,7 @@ class EventsStreamSpec extends SparkTestBase {
       assert(got.nonEmpty)
       for ((k, cnt) <- got) assert(batch(k) === cnt, s"window $k")
       // every window that closed before the post-slice-A watermark emitted
-      val maxAUs = a.agg(max(expr("ts div 1000"))).head().getLong(0)
+      val maxAUs = a.agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
       val wmMs = maxAUs / 1000 - 3600 * 1000
       val mustEmit = batch.keys.filter(_._1 + 6L * 3600 * 1000 < wmMs - 1000)
       val missing = mustEmit.filterNot(got.contains)
