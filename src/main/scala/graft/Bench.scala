@@ -28,9 +28,12 @@ object Bench {
     // Three runs, not two: this host shows sporadic multi-second external
     // stalls (CPU steal) that can hit both of two runs back-to-back.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
       def run(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).collect() } catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       var times = (1 to 3).map(_ => run())
@@ -43,11 +46,11 @@ object Bench {
         times = times :+ run()
         extra += 1
       }
-      (name, times.min, times.max)
+      (name, times.min, times.max, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, mn, mx) =>
+    val spreads = results.map { case (k, mn, mx, _) =>
       "\"" + k + "\":" + f"${mx / math.max(mn, 1e-9)}%.1f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // The long per-query lines go FIRST; the driver tail-truncates long
@@ -55,6 +58,23 @@ object Bench {
     println(f"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(f"""{"metric":"spread_max_over_min","spreads":$spreads}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+
+    // Full per-query artifact, persisted to the repo so driver stdout
+    // tail-truncation can never lose entries (round-3/4 lesson: the
+    // per_query map survived only partially in BENCH_r{N}.json). One row
+    // per query with best/worst seconds and error status; the round
+    // number is inferred from the highest committed BENCH_r*.json.
+    val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toInt))
+      .foldLeft(0)(math.max) + 1
+    val detail = results.map { case (k, mn, mx, err) =>
+      val e = err.map(m => Verify.jsonQ(m)).getOrElse("null")
+      f"""  "$k": {"best_sec": $mn%.3f, "worst_sec": $mx%.3f, "err": $e}"""
+    }.mkString("{\n", ",\n", "\n}")
+    val payload = f"""{"sf": "$sfDir", "n_queries": ${results.size}, "total_best_sec": $total%.3f, "queries": $detail}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"BENCH_DETAIL_r$round%02d.json"), payload)
     spark.stop()
   }
 }
