@@ -338,21 +338,25 @@ object LlmQueries extends graft.core.QueryModule {
 
   private def simhashPairs0(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // per-doc simhash feeds FOUR join sides (two bands × two sides) —
-    // materialize once via localCheckpoint (not persist: CacheManager leak)
-    val sh = TextOps.simhash(docTids(s, dir))
-      .withColumn("b0", $"simhash".bitwiseAND(255))
-      .withColumn("b1", shiftright($"simhash", 8))
-      .localCheckpoint()
-    def side(p: String) = sh.select($"doc_id".as(s"d$p"), $"simhash".as(s"h$p"),
-      $"b0".as(s"b0$p"), $"b1".as(s"b1$p"))
-    val cand = side("a").join(side("b"), $"b0a" === $"b0b" && $"da" < $"db")
-      .select($"da", $"db", $"ha", $"hb")
-      .unionByName(side("a").join(side("b"), $"b1a" === $"b1b" && $"da" < $"db")
-        .select($"da", $"db", $"ha", $"hb"))
-      .distinct()
-    cand.withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
-      .filter($"hamming" <= 1)
+    // 64-bit simhash as four 16-bit chunks, banded whole: hamming ≤ 3 over
+    // the virtual 64-bit hash guarantees (pigeonhole) at least one chunk
+    // is EQUAL, so four chunk-equality joins are exact — and a random
+    // collision costs n²/65536 per band, not the n²/256 a 16-bit hash's
+    // 8-bit bands cost (the sf1 probe measured that superlinear).
+    // The per-doc hash feeds EIGHT join sides — materialize once via
+    // localCheckpoint (not persist: CacheManager leak).
+    val sh = TextOps.simhashChunks(docTids(s, dir)).localCheckpoint()
+    def side(p: String) = sh.select(($"doc_id".as(s"d$p") +:
+      TextOps.ChunkParams.indices.map(c => col(s"sh$c").as(s"sh$c$p"))): _*)
+    val cand = TextOps.ChunkParams.indices.map { c =>
+      side("a").join(side("b"), col(s"sh${c}a") === col(s"sh${c}b") && $"da" < $"db")
+        .select(($"da" +: $"db" +: TextOps.ChunkParams.indices.flatMap(k =>
+          Seq(col(s"sh${k}a"), col(s"sh${k}b")))): _*)
+    }.reduce(_ unionByName _).distinct()
+    val hamming = TextOps.ChunkParams.indices.map(c =>
+      bit_count(col(s"sh${c}a").bitwiseXOR(col(s"sh${c}b")))).reduce(_ + _).cast("long")
+    cand.withColumn("hamming", hamming)
+      .filter($"hamming" <= 3)
       .select($"da", $"db", $"hamming")
   }
 
@@ -385,26 +389,40 @@ object LlmQueries extends graft.core.QueryModule {
       .filter($"n_docs" >= 2)
       .orderBy($"cluster_id")
   }
-  val d6Sql: String = {
-    val sums = (0 until 16).map(j =>
-      s"CAST(SUM((((tid*2654435761) >> $j) & 1)*2-1) AS BIGINT) AS s$j").mkString(", ")
-    val hash = (0 until 16).map(j =>
-      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    s"""$duckTokCtes,
-       |dids AS (SELECT DISTINCT doc_id, tid FROM ids),
+  /** Shared SQL for the chunked-simhash pair table (d6 + the c1/c2
+    * closure): mirrors [[TextOps.simhashChunks]] + [[simhashPairs0]]
+    * mixer-for-mixer so DuckDB reproduces the Spark pairs bit-exactly. */
+  private def chunkPairCtes: String = {
+    val sums = graft.text.TextOps.ChunkParams.zipWithIndex.flatMap { case ((a, b), c) =>
+      (0 until 16).map(j =>
+        s"CAST(SUM(((((tid*$a+$b) % ${graft.text.TextOps.ChunkPrime}) >> $j) & 1)*2-1) AS BIGINT) AS s${c}_$j")
+    }.mkString(", ")
+    val chunks = graft.text.TextOps.ChunkParams.indices.map { c =>
+      (0 until 16).map(j => s"(CASE WHEN s${c}_$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString("CAST(", " + ", s" AS BIGINT) AS sh$c")
+    }.mkString(", ")
+    val bandJoins = graft.text.TextOps.ChunkParams.indices.map { c =>
+      s"""  SELECT a.doc_id AS da, b2.doc_id AS db,
+         |    ${graft.text.TextOps.ChunkParams.indices.map(k => s"a.sh$k AS sh${k}a, b2.sh$k AS sh${k}b").mkString(", ")}
+         |  FROM sh a JOIN sh b2 ON a.sh$c = b2.sh$c AND a.doc_id < b2.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    val ham = graft.text.TextOps.ChunkParams.indices
+      .map(c => s"bit_count(xor(sh${c}a, sh${c}b))").mkString(" + ")
+    s"""dids AS (SELECT DISTINCT doc_id, tid FROM ids),
        |sums AS (SELECT doc_id, $sums FROM dids GROUP BY doc_id),
-       |sh AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums),
-       |b AS (SELECT doc_id, simhash, simhash & 255 AS b0, simhash >> 8 AS b1 FROM sh),
+       |sh AS (SELECT doc_id, $chunks FROM sums),
        |cand AS (
-       |  SELECT a.doc_id AS da, b2.doc_id AS db, a.simhash AS ha, b2.simhash AS hb
-       |  FROM b a JOIN b b2 ON a.b0 = b2.b0 AND a.doc_id < b2.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b2.doc_id, a.simhash, b2.simhash
-       |  FROM b a JOIN b b2 ON a.b1 = b2.b1 AND a.doc_id < b2.doc_id)
-       |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(ha, hb)) <= 1
-       |ORDER BY da, db""".stripMargin
+       |$bandJoins),
+       |pairs AS (
+       |  SELECT da, db, CAST($ham AS BIGINT) AS hamming FROM cand
+       |  WHERE $ham <= 3)""".stripMargin
   }
+
+  val d6Sql: String =
+    s"""$duckTokCtes,
+       |$chunkPairCtes
+       |SELECT da, db, hamming FROM pairs
+       |ORDER BY da, db""".stripMargin
 
   // C2: the dedup DROP LIST — every doc that loses to its cluster's
   // canonical keeper (min doc_id), via ConnectedComponents.clusters over
@@ -421,23 +439,9 @@ object LlmQueries extends graft.core.QueryModule {
 
   // Oracle for C1/C2: same simhash-pair CTEs, then transitive closure by
   // recursive CTE (reach = every (node, reachable) pair; root = min reach).
-  private val ccCompCtes: String = {
-    val sums = (0 until 16).map(j =>
-      s"CAST(SUM((((tid*2654435761) >> $j) & 1)*2-1) AS BIGINT) AS s$j").mkString(", ")
-    val hash = (0 until 16).map(j =>
-      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+  private val ccCompCtes: String =
     s"""${duckTokCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-       |dids AS (SELECT DISTINCT doc_id, tid FROM ids),
-       |sums AS (SELECT doc_id, $sums FROM dids GROUP BY doc_id),
-       |sh AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums),
-       |b AS (SELECT doc_id, simhash, simhash & 255 AS b0, simhash >> 8 AS b1 FROM sh),
-       |cand AS (
-       |  SELECT a.doc_id AS da, b2.doc_id AS db, a.simhash AS ha, b2.simhash AS hb
-       |  FROM b a JOIN b b2 ON a.b0 = b2.b0 AND a.doc_id < b2.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b2.doc_id, a.simhash, b2.simhash
-       |  FROM b a JOIN b b2 ON a.b1 = b2.b1 AND a.doc_id < b2.doc_id),
-       |pairs AS (SELECT da, db FROM cand WHERE bit_count(xor(ha, hb)) <= 1),
+       |$chunkPairCtes,
        |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
        |nodes AS (SELECT DISTINCT a AS v FROM edges),
        |reach(v, u) AS (
@@ -445,7 +449,6 @@ object LlmQueries extends graft.core.QueryModule {
        |  UNION
        |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
        |comp AS (SELECT v, MIN(u) AS root FROM reach GROUP BY v)""".stripMargin
-  }
 
   val c1Sql: String =
     s"""$ccCompCtes

@@ -78,6 +78,38 @@ object TextOps {
     agg.select(col("doc_id"), hash.as("simhash"))
   }
 
+  /** Mixer constants for the 4×16-bit chunked simhash: h_c(t) =
+    * (t·a_c + b_c) mod (2^20 − 3). Products stay < 2^63 for any realistic
+    * vocab id, so the SAME arithmetic runs overflow-free in DuckDB BIGINT
+    * (which errors on wrap) — cross-engine bit-exactness by construction. */
+  val ChunkPrime = 1048573L // 2^20 − 3, prime
+  val ChunkParams: Seq[(Long, Long)] =
+    Seq((2654435761L, 3L), (2246822519L, 5L), (3266489917L, 7L), (668265263L, 11L))
+
+  /** 64-bit SimHash as four independent 16-bit chunks sh0..sh3 — the
+    * scale-correct near-dup representation. A single 16-bit hash collides
+    * on 8-bit bands at rate n²/256 (measured superlinear at the sf1 probe);
+    * four 16-bit chunks banded whole give pigeonhole-exact recall for
+    * hamming ≤ 3 over the virtual 64-bit hash with random-collision rate
+    * n²/65536 per band. Same ±1 bit-vote rule as [[simhash]], over the
+    * distinct token set. */
+  def simhashChunks(docTids: DataFrame): DataFrame = {
+    val sums = ChunkParams.zipWithIndex.flatMap { case ((a, b), c) =>
+      val h = (col("tid") * lit(a) + lit(b)) % lit(ChunkPrime)
+      (0 until 16).map { j =>
+        sum(shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s${c}_$j")
+      }
+    }
+    val agg = docTids.select(col("doc_id"), col("tid")).distinct()
+      .groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val chunks = ChunkParams.indices.map { c =>
+      (0 until 16).map { j =>
+        when(col(s"s${c}_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"sh$c")
+    }
+    agg.select(col("doc_id") +: chunks: _*)
+  }
+
   /** Token 3-gram shingles as an array column (docs with <3 tokens excluded
     * by the caller). 1-based `element_at`. */
   def shingles3(toks: Column): Column =
