@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE codec is real: [[ImageIoDecoder]] decodes PNG/BMP/GIF/JPEG
   * through the JDK's built-in `javax.imageio` (no external library) into
-  * pixel-derived grid-luminance features. Audio/video stay STUBBED (no
-  * media libraries in this environment): [[StubDecoder]] produces
-  * deterministic features from raw bytes. The Spark-side contract —
-  * schema, batch iteration, partition-local decoder reuse, feature array
-  * shape — is real and tested either way.
+  * pixel-derived grid-luminance features. The AUDIO codec is real too:
+  * [[AudioDecoder]] decodes WAV/AIFF/AU through `javax.sound.sampled`
+  * into per-segment PCM RMS energy. VIDEO stays STUBBED (the JDK ships
+  * no video codec and this environment has no media libraries):
+  * [[StubDecoder]] produces deterministic features from raw bytes. The
+  * Spark-side contract — schema, batch iteration, partition-local
+  * decoder reuse, feature array shape — is real and tested either way.
   */
 object Multimodal {
 
@@ -96,6 +98,82 @@ object Multimodal {
       var i = 0
       while (i < dim) { if (cnt(i) > 0) out(i) /= cnt(i); i += 1 }
       out
+    }
+  }
+
+  /** Real audio decode via the JDK's built-in `javax.sound.sampled`
+    * (WAV/AIFF/AU — zero external dependencies): payload → PCM samples
+    * (converted to 16-bit signed if stored otherwise, channels averaged)
+    * → per-segment RMS energy over `dim` equal time slices, each in
+    * [0,1]. The frame-derived analogue of [[ImageIoDecoder]]'s
+    * grid-luminance. Non-audio kinds and undecodable payloads fall back
+    * to [[StubDecoder]] byte-window features, same contract as the image
+    * path. AudioInputStreams are stateful; one decoder per partition. */
+  class AudioDecoder(val dim: Int = 16) extends Decoder {
+    private val fallback = new StubDecoder(dim)
+    def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
+      import javax.sound.sampled._
+      if (kind != "audio" || bytes == null || bytes.isEmpty)
+        return fallback.decode(kind, bytes)
+      val samples: Array[Float] =
+        try {
+          val raw = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val f = raw.getFormat
+          val pcm16 = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, f.getChannels,
+            2 * f.getChannels, f.getSampleRate, false)
+          val ais =
+            if (f.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+              f.getSampleSizeInBits == 16 && !f.isBigEndian) raw
+            else AudioSystem.getAudioInputStream(pcm16, raw)
+          val data = ais.readAllBytes()
+          val ch = ais.getFormat.getChannels
+          val n = data.length / (2 * ch)
+          Array.tabulate(n) { i =>
+            var s = 0f
+            var c = 0
+            while (c < ch) {
+              val o = (i * ch + c) * 2
+              s += (((data(o) & 0xff) | (data(o + 1) << 8)).toShort / 32768f)
+              c += 1
+            }
+            s / ch
+          }
+        } catch {
+          case _: UnsupportedAudioFileException | _: java.io.IOException |
+               _: IllegalArgumentException => null
+        }
+      if (samples == null || samples.isEmpty) return fallback.decode(kind, bytes)
+      val out = new Array[Float](dim)
+      val seg = math.max(1, samples.length / dim)
+      var i = 0
+      while (i < dim) {
+        var sq = 0.0
+        var j = i * seg
+        val end = math.min(samples.length, j + seg)
+        while (j < end) { sq += samples(j) * samples(j); j += 1 }
+        out(i) = math.sqrt(sq / math.max(1, end - i * seg)).toFloat
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Kind-dispatching decoder: image → ImageIO pixels, audio → sampled
+    * PCM RMS, everything else (video: the JDK ships no codec — the one
+    * remaining declared stub) → byte-window features. All three paths
+    * share `dim`, so a mixed-kind table yields one uniform feature
+    * column. */
+  class CompositeDecoder(grid: Int = 4) extends Decoder {
+    val dim: Int = grid * grid
+    private val image = new ImageIoDecoder(grid)
+    private val audio = new AudioDecoder(dim)
+    private val stub = new StubDecoder(dim)
+    def decode(kind: String, bytes: Array[Byte]): Array[Float] = kind match {
+      case "image" => image.decode(kind, bytes)
+      case "audio" => audio.decode(kind, bytes)
+      case _ => stub.decode(kind, bytes)
     }
   }
 

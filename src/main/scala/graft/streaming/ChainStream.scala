@@ -76,4 +76,30 @@ object ChainStream {
         avg(col("value")).as("mean"),
         min(col("value")).as("lo"),
         max(col("value")).as("hi"))
+
+  /** Summary → the K2 noise-file shape (psr, param, value): parameter key
+    * `<psr>_<par>` (PAL2 naming, results.py:236-248), value = running
+    * posterior mean. One row per parameter — aggregate-sized. */
+  def summaryToNoise(summary: DataFrame, psr: String): DataFrame =
+    summary.select(lit(psr).as("psr"),
+      concat(lit(psr + "_"), col("par")).as("param"),
+      col("mean").as("value"))
+
+  /** Resume-while-sampling K2 sink: every micro-batch re-renders the
+    * CURRENT summary into the same sorted indent-4 noise JSON the batch
+    * path writes ([[graft.sinks.NoiseFileWriter.writeNoiseFiles]]) via
+    * atomic rename, so a tempo2-side consumer polling the file never sees
+    * a torn write and — once the stream drains — sees bytes IDENTICAL to
+    * a batch run over the full chain (parity asserted in ChainStreamSpec). */
+  def noiseFileSink(chainLong: DataFrame, psr: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    runningSummary(chainLong).writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.NoiseFileWriter.writeNoiseFiles(
+          summaryToNoise(batch, psr), outDir)
+        ()
+      }
+      .start()
 }

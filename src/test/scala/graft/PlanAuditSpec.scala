@@ -172,6 +172,34 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("d2: checkpointed minhash signatures are ONE RDD reused by all consumers") {
+    // d2 localCheckpoints the tokenize→shingle→dict→minhash subtree once;
+    // the banding pass and BOTH signature-lookup sides must scan that same
+    // materialized RDD — three scans, one RDD id. If the checkpoint were
+    // dropped (or a consumer rebuilt the lineage), the corpus would be
+    // re-tokenized per consumer at 100 TB.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    val df = SparkEntry.queries("d2_minhash_lsh")(spark, dir)
+    df.collect() // settle AQE so query stages hold their final plans
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: exchange.ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(expand)
+    }
+    val sigScans = expand(df.queryExecution.executedPlan).collect {
+      case r: RDDScanExec if r.output.exists(_.name == "mh0") => r.rdd.id
+    }
+    assert(sigScans.size >= 3,
+      s"expected >=3 signature scans (bands + both lookup sides), got ${sigScans.size}")
+    assert(sigScans.distinct.size === 1,
+      s"signature consumers scan DIFFERENT RDDs: ${sigScans.distinct}")
+  }
+
   test("sj1: the salted join widens the key — hot keys split across salts") {
     val p = plan("sj1_salted_join")
     assert(p.contains("__salt") || p.contains("pmod"), p.take(2000))

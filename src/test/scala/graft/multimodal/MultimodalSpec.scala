@@ -60,6 +60,51 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows(2).features.toSeq == stub.decode("audio", Array.tabulate(64)(_.toByte)).toSeq)
   }
 
+  test("AudioDecoder decodes a real WAV to frame-derived RMS features") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // 16-bit mono WAV, 8 kHz, 4096 samples: first half a full-scale-ish
+    // 440 Hz sine (RMS ≈ 0.8/√2), second half silence — encoded with the
+    // same JDK AudioSystem the decoder reads, so the fixture is real bytes
+    val n = 4096
+    val amp = 0.8
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = if (i < n / 2)
+        (amp * math.sin(2 * math.Pi * 440 * i / 8000.0) * 32767).toInt
+      else 0
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    assert(new String(wav.take(4)) === "RIFF")
+
+    val media = Seq(
+      (1L, "audio", wav, Map.empty[String, String]),
+      (2L, "audio", "not audio at all".getBytes, Map.empty[String, String]),
+      (3L, "video", wav, Map.empty[String, String]))
+      .toDF("media_id", "kind", "content", "meta")
+    val rows = Multimodal.extractFeatures(media, () => new Multimodal.CompositeDecoder(4))
+      .collect().sortBy(_.media_id)
+    val f = rows(0).features
+    assert(f.length === 16)
+    val sineRms = amp / math.sqrt(2.0)
+    for (s <- 0 until 8)  // first half: sine RMS within 5%
+      assert(math.abs(f(s) - sineRms) < 0.05 * sineRms, s"segment $s = ${f(s)}")
+    for (s <- 8 until 16) // second half: silence
+      assert(f(s) === 0.0f, s"segment $s = ${f(s)}")
+    // undecodable audio falls back to byte-window stub features
+    val stub = new Multimodal.StubDecoder(16)
+    assert(rows(1).features.toSeq === stub.decode("audio", "not audio at all".getBytes).toSeq)
+    // video kind routes to the stub even when the payload IS decodable audio
+    assert(rows(2).features.toSeq === stub.decode("video", wav).toSeq)
+  }
+
   test("chunk sampling keeps every k-th fixed-size chunk") {
     val chunks = Multimodal.sampleChunks(media.filter(col("media_id") === 2), 1000, 2)
     // 5000 bytes → 5 chunks → keep idx 0, 2, 4

@@ -59,6 +59,34 @@ class ChainStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("K2 parity: streaming noise-file sink emits the same bytes as the batch path") {
+    val d = tmpDir("chain-k2")
+    write(d, "chain_20260101000000.txt",
+      pieceText(Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0))))
+    write(d, "chain_20260101000100.txt", pieceText(Seq((4.0, 40.0), (5.0, 50.0))))
+
+    // batch path: full read → summary → K2 writer
+    val batchDir = tmpDir("k2-batch")
+    graft.sinks.NoiseFileWriter.writeNoiseFiles(
+      ChainStream.summaryToNoise(
+        ChainStream.runningSummary(ChainStream.toLong(
+          ChainStream.fromDirectoryBatch(spark, d.toString), pars)), "J0001+0001"),
+      batchDir.toString)
+
+    // stream path: piece-at-a-time through the foreachBatch sink
+    val streamDir = tmpDir("k2-stream")
+    val q = ChainStream.noiseFileSink(
+      ChainStream.toLong(ChainStream.fromDirectory(spark, d.toString), pars),
+      "J0001+0001", streamDir.toString, tmpDir("k2-ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    val f = "J0001+0001_noise.json"
+    val batchBytes = Files.readString(batchDir.resolve(f))
+    val streamBytes = Files.readString(streamDir.resolve(f))
+    assert(streamBytes === batchBytes)
+    assert(batchBytes.contains("\"J0001+0001_alpha\": 3.0"))
+  }
+
   test("garbled lines are dropped, diagnostics columns survive to toLong's nDiag drop") {
     val d = tmpDir("chain-garbled")
     write(d, "chain_20260101000000.txt",
