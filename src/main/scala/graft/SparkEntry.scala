@@ -16,6 +16,7 @@ object SparkEntry {
     graft.llm.LlmQueries,
     graft.llm.CorpusQueries,
     graft.llm.IndexQueries,
+    graft.llm.QualityQueries,
     graft.relational.Extras,
     graft.relational.Temporal,
     graft.relational.GraphQueries,

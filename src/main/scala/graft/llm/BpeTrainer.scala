@@ -162,19 +162,35 @@ object BpeTrainer {
     (merges.result(), passes)
   }
 
+  /** One greedy left-to-right non-overlapping merge of (a, b) over a token
+    * sequence — the gold per-merge semantics shared by [[trainLocal]] and
+    * [[encode]]. */
+  def mergeOne(t: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < t.length) {
+      if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += t(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Tokenizer APPLICATION: encode a word with a trained merge table by
+    * replaying the merges in step order — exactly the state the trainer's
+    * dict reaches after those merges, so encode(train-corpus word) ≡ the
+    * word's final dict entry. O(|merges|·|word|) worst case; in production
+    * the per-word result is computed once per VOCABULARY entry and
+    * broadcast-joined back to the corpus (bpe4's shape). */
+  def encode(w: String, merges: Seq[(String, String)]): Vector[String] = {
+    var t = w.split("").filter(_.nonEmpty).toVector
+    for ((a, b) <- merges if t.length >= 2) t = mergeOne(t, a, b)
+    t
+  }
+
   /** Pure-Scala sequential reference trainer — the gold semantics the
     * batched/strict path must reproduce; used by BpeTrainSpec. */
   def trainLocal(wf: Seq[(String, Long)], n: Int): Vector[Merge] = {
-    def mergeOne(t: Vector[String], a: String, b: String): Vector[String] = {
-      val out = Vector.newBuilder[String]
-      var i = 0
-      while (i < t.length) {
-        if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
-          out += (a + b); i += 2
-        } else { out += t(i); i += 1 }
-      }
-      out.result()
-    }
     var words = wf.toVector.map { case (w, f) =>
       (w.split("").filter(_.nonEmpty).toVector, f)
     }

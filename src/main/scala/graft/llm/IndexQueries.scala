@@ -139,6 +139,82 @@ object IndexQueries extends graft.core.QueryModule {
 
   val bpe3Sql: String = bpeSequentialSql(8)
 
+  /** bpe4: tokenizer APPLICATION — train 8 merges (strict-batched, ≡
+    * sequential; bpe3's trainer) and ENCODE the corpus with them. The
+    * encode runs over the VOCABULARY (one [[BpeTrainer.encode]] replay per
+    * distinct word, merge table broadcast), then a broadcast join maps the
+    * word-level subtoken counts back onto the corpus word stream — at
+    * 100 TB the corpus-sized side is touched exactly once and never
+    * carries the encoder. Per doc: words, chars, subtokens after BPE, and
+    * the chars-per-subtoken compression ratio (the tokenizer-eval metric).
+    * The encode UDF is deliberately a UDF, not a column fold: it runs on
+    * |vocab| rows only, off the corpus hot path.
+    */
+  def bpe4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = BpeTrainer.wordDict(s, dir).localCheckpoint()
+    val (merges, _) = BpeTrainer.trainBatched(words, n = 8, maxBatch = 8)
+    val bms = s.sparkContext.broadcast(merges.map(m => (m.lhs, m.rhs)))
+    val encLen = udf { (w: String) => BpeTrainer.encode(w, bms.value).length.toLong }
+    val docw = Tables.documents(s, dir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
+    val vocab = docw.select($"w").distinct().withColumn("nsub", encLen($"w"))
+    docw.join(broadcast(vocab), "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length($"w").cast("long")).as("n_chars"),
+        sum($"nsub").as("n_subtokens"))
+      .withColumn("compression",
+        $"n_chars".cast("double") / $"n_subtokens".cast("double"))
+      .filter($"doc_id" < 200)
+      .select($"doc_id", $"n_words", $"n_chars", $"n_subtokens",
+        round($"compression", 6).as("compression"))
+      .orderBy($"doc_id")
+  }
+
+  /** Generates the bpe4 oracle: the same n-step sequential chain as
+    * [[bpeSequentialSql]] but carrying the source word through every merge
+    * (so the final dict state doubles as the word→encoding map), followed
+    * by the corpus fold: per-doc subtoken totals via a word-level join. */
+  private[llm] def bpeEncodeSql(n: Int): String = {
+    def pairs(w: String, p: String): String =
+      s"""$p AS (SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |      FROM (SELECT freq, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |            FROM (SELECT freq, string_split(trim(toks), ' ') AS t FROM $w))
+         |      GROUP BY 1, 2)""".stripMargin
+    def top(p: String, m: String): String =
+      s"$m AS (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1)"
+    def merge(w: String, m: String, w2: String): String =
+      s"""$w2 AS (SELECT w, freq,
+         |  list_reduce(string_split(trim(toks), ' '),
+         |    (acc, x) -> CASE WHEN ends_with(' ' || acc, ' ' || $m.a) AND x = $m.b
+         |                THEN acc || x ELSE acc || ' ' || x END) AS toks
+         |  FROM $w, $m)""".stripMargin
+    val steps = (1 to n).map { i =>
+      Seq(pairs(s"w${i - 1}", s"p$i"), top(s"p$i", s"m$i"),
+        merge(s"w${i - 1}", s"m$i", s"w$i")).mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH docw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents),
+       |w0 AS (
+       |  SELECT w, COUNT(*) AS freq,
+       |    array_to_string(string_split(w, ''), ' ') AS toks
+       |  FROM docw GROUP BY w),
+       |$steps,
+       |enc AS (SELECT w, CAST(len(string_split(trim(toks), ' ')) AS BIGINT) AS nsub
+       |        FROM w$n)
+       |SELECT d.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(e.nsub) AS BIGINT) AS n_subtokens,
+       |  round(CAST(SUM(length(d.w)) AS DOUBLE) / CAST(SUM(e.nsub) AS DOUBLE), 6)
+       |    AS compression
+       |FROM docw d JOIN enc e ON d.w = e.w
+       |WHERE d.doc_id < 200 GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
+  val bpe4Sql: String = bpeEncodeSql(8)
+
   /** ii1: inverted-index build — per term: document frequency and the
     * first 10 postings (smallest doc ids). The posting cap rides the
     * shuffle as a MERGEABLE aggregate ([[graft.functions.Aggregators.MinK]]:
@@ -346,6 +422,7 @@ object IndexQueries extends graft.core.QueryModule {
     "bpe1_pair_counts" -> bpe1,
     "bpe2_merge_train" -> bpe2,
     "bpe3_batched_train" -> bpe3,
+    "bpe4_encode" -> bpe4,
     "ii1_inverted_index" -> ii1,
     "cdc1_merge_snapshot" -> cdc1,
     "spl1_hash_split" -> spl1,
@@ -357,6 +434,7 @@ object IndexQueries extends graft.core.QueryModule {
     "bpe1_pair_counts" -> bpe1Sql,
     "bpe2_merge_train" -> bpe2Sql,
     "bpe3_batched_train" -> bpe3Sql,
+    "bpe4_encode" -> bpe4Sql,
     "ii1_inverted_index" -> ii1Sql,
     "cdc1_merge_snapshot" -> cdc1Sql,
     "spl1_hash_split" -> spl1Sql,

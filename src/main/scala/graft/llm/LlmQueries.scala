@@ -1341,7 +1341,56 @@ object LlmQueries extends graft.core.QueryModule {
       |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY md5(text), doc_id) AS rk
       |  FROM documents) q WHERE rk <= 3 ORDER BY lang, source, rk""".stripMargin
 
+  // SEM1: semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster
+  // the embedding space — here s3's IVF cells, the SAME memoized
+  // assignment the ANN/k-means stack shares — then near-dup ONLY within a
+  // cluster and drop every vector that has a higher-similarity lower-id
+  // neighbor there. The cluster bound is what makes semantic dedup
+  // tractable: pair candidates are |cell|²-sized, never corpus²-sized, and
+  // in production k grows ∝ corpus so the per-cell population stays
+  // constant. The within-cell join rides [[graft.operators.BoundedSelfJoin]]
+  // (cap 4096) — one oversized cell degrades to a capped scan instead of
+  // detonating a task. τ = 0.35 sits between this corpus's within-cell p99
+  // (~0.32) and max (~0.51) cosine, so the drop set is non-trivial.
+  def sem1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
+    val ec = e.join(ivfCells(s, dir), "vec_id")
+    graft.operators.BoundedSelfJoin.pairs(ec, "cell", "vec_id", cap = 4096)
+      .select($"a.cell".as("cell"), $"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        (VectorOps.dotNative($"a.embedding", $"b.embedding") /
+          (sqrt($"a.n2") * sqrt($"b.n2"))).as("cos"))
+      .filter($"cos" > 0.35)
+      .groupBy($"cell", $"vb")
+      .agg(count(lit(1)).as("n_dups"), min($"va").as("keeper"),
+        max($"cos").as("max_cos"))
+      .select($"cell", $"vb".as("dropped_id"), $"keeper", $"n_dups",
+        round($"max_cos", 6).as("max_cos"))
+      .orderBy($"cell", $"dropped_id")
+  }
+  val sem1Sql: String = {
+    val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
+    val pairCos = VectorOps.cosineSqlDuck("ea.embedding", "eb.embedding", 64)
+    s"""WITH c AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+       |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
+       |        FROM embeddings e CROSS JOIN c),
+       |cells AS (SELECT vec_id, cid AS cell FROM (
+       |            SELECT vec_id, cid,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
+       |            FROM asg) r WHERE rk = 1),
+       |p AS (SELECT ca.cell AS cell, ca.vec_id AS va, cb.vec_id AS vb, $pairCos AS cos
+       |      FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+       |      JOIN embeddings ea ON ea.vec_id = ca.vec_id
+       |      JOIN embeddings eb ON eb.vec_id = cb.vec_id)
+       |SELECT cell, vb AS dropped_id, min(va) AS keeper, COUNT(*) AS n_dups,
+       |  round(max(cos), 6) AS max_cos
+       |FROM p WHERE cos > 0.35 GROUP BY cell, vb ORDER BY cell, dropped_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sem1_semantic_dedup" -> sem1,
     "d1_exact_dedup" -> d1,
     "d2_minhash_lsh" -> d2,
     "d3_simhash" -> d3,
@@ -1378,6 +1427,7 @@ object LlmQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "sem1_semantic_dedup" -> sem1Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,

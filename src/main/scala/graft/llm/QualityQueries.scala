@@ -1,0 +1,233 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.text.TextOps
+
+/** Corpus-quality and data-selection operators — the filtering stage a
+  * training-data pipeline runs between ingestion and tokenization
+  * (north-star widening; the reference — enterprise_warp — stops at
+  * analysis outputs and has no corpus-curation surface).
+  *
+  *  - gq1: rule-based quality gating (the Gopher-rules shape: per-document
+  *    thresholds on word count, mean word length, stopword support, short-
+  *    word and symbol fractions — Rae et al. 2021, "Scaling Language
+  *    Models", App. A; same rule family as C4's heuristics).
+  *  - pii1: pattern redaction/profiling over a semi-structured column (the
+  *    scrub pass every pipeline runs before text ships to training).
+  *  - dsir1: data selection by importance resampling (the DSIR shape, Xie
+  *    et al. 2023: importance = target-vs-raw n-gram likelihood ratio,
+  *    sampled via Gumbel top-k).
+  *
+  * Scale design: every per-document statistic is one map-side pass over the
+  * token stream plus one doc_id-keyed aggregation; model tables
+  * (vocabulary counts) are dictionary-sized broadcasts; the only global
+  * selection (dsir1's top-k) is a TakeOrdered, never a single-partition
+  * window. Determinism discipline as t8/t10/t11: exact integer counts into
+  * identically-ordered double arithmetic, per-doc sums as LEFT FOLDS over
+  * tok-sorted lists, round(...,6) only at the output edge.
+  */
+object QualityQueries extends graft.core.QueryModule {
+
+  private val Stops =
+    Seq("the", "data", "query", "table", "scan", "join", "group", "order", "filter", "row")
+  private def stopsSqlList = Stops.map(s => s"'$s'").mkString(", ")
+
+  // ---------------------------------------------------------------- gq1
+  // Rule-based quality gate. Each rule is a checkable boolean; `pass` is
+  // their conjunction. Thresholds are set to discriminate on this corpus
+  // (word counts span 10..99, mean word length ~4.2..4.8): a gate where
+  // every rule is vacuously true verifies nothing.
+  def gq1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length($"tok").cast("long")).as("chars"),
+        sum(when($"tok".isin(Stops: _*), 1L).otherwise(0L)).as("n_stop"),
+        sum(when(length($"tok") <= 2, 1L).otherwise(0L)).as("n_short"),
+        sum(when($"tok".rlike("[^a-z]"), 1L).otherwise(0L)).as("n_sym"))
+      .withColumn("mean_wl", $"chars".cast("double") / $"n_words".cast("double"))
+      .withColumn("short_frac", $"n_short".cast("double") / $"n_words".cast("double"))
+      .withColumn("r_wordcount", $"n_words".between(30L, 80L))
+      .withColumn("r_meanlen", $"mean_wl".between(4.3, 4.7))
+      .withColumn("r_stopwords", $"n_stop" >= 12L)
+      .withColumn("r_shortwords", $"short_frac" <= 0.05)
+      .withColumn("r_symbols", $"n_sym" === 0L)
+      .withColumn("pass", $"r_wordcount" && $"r_meanlen" && $"r_stopwords" &&
+        $"r_shortwords" && $"r_symbols")
+      .filter($"doc_id" < 300)
+      .select($"doc_id", $"n_words", round($"mean_wl", 6).as("mean_wl"),
+        $"n_stop", round($"short_frac", 6).as("short_frac"),
+        $"r_wordcount", $"r_meanlen", $"r_stopwords", $"r_shortwords",
+        $"r_symbols", $"pass")
+      .orderBy($"doc_id")
+  }
+
+  val gq1Sql: String =
+    s"""WITH pt AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(length(tok)) AS BIGINT) AS chars,
+       |    CAST(SUM(CASE WHEN tok IN ($stopsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       |    CAST(SUM(CASE WHEN length(tok) <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       |    CAST(SUM(CASE WHEN regexp_matches(tok, '[^a-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_sym
+       |  FROM pt GROUP BY doc_id),
+       |r AS (
+       |  SELECT doc_id, n_words, n_stop,
+       |    CAST(chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_wl,
+       |    CAST(n_short AS DOUBLE) / CAST(n_words AS DOUBLE) AS short_frac,
+       |    n_words BETWEEN 30 AND 80 AS r_wordcount,
+       |    CAST(chars AS DOUBLE) / CAST(n_words AS DOUBLE) BETWEEN 4.3 AND 4.7 AS r_meanlen,
+       |    n_stop >= 12 AS r_stopwords,
+       |    CAST(n_short AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.05 AS r_shortwords,
+       |    n_sym = 0 AS r_symbols
+       |  FROM m)
+       |SELECT doc_id, n_words, round(mean_wl, 6) AS mean_wl, n_stop,
+       |  round(short_frac, 6) AS short_frac,
+       |  r_wordcount, r_meanlen, r_stopwords, r_shortwords, r_symbols,
+       |  (r_wordcount AND r_meanlen AND r_stopwords AND r_shortwords AND r_symbols) AS pass
+       |FROM r WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- pii1
+  // Pattern redaction + profile over the semi-structured `props` column:
+  // digit runs are the PII stand-in (the corpus carries no emails/phones —
+  // the machinery, regexp scan/replace/extract inside codegen, is what the
+  // operator verifies). Per event type: how many runs were found, how many
+  // characters a redaction would remove, how many DISTINCT redacted shapes
+  // remain (a cardinality collapse check — scrubbing `{"k": 69}` and
+  // `{"k": 89}` to the same `{"k": <NUM>}` shape), and the exact integer
+  // profile of the values that were scrubbed (what a reversibility audit
+  // stores out-of-band).
+  def pii1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", $"props",
+        regexp_replace($"props", "[0-9]+", "<NUM>").as("redacted"),
+        size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long").as("n_runs"),
+        (length($"props") - length(regexp_replace($"props", "[0-9]+", "")))
+          .cast("long").as("n_digit_chars"),
+        regexp_extract($"props", "[0-9]+", 0).cast("long").as("v"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"n_runs").as("n_runs"),
+        sum($"n_digit_chars").as("n_digit_chars"),
+        countDistinct($"redacted").as("n_shapes"),
+        min($"v").as("v_min"), max($"v").as("v_max"), sum($"v").as("v_sum"))
+      .orderBy($"event_type")
+  }
+
+  val pii1Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_runs,
+      |  CAST(SUM(length(props) - length(regexp_replace(props, '[0-9]+', '', 'g'))) AS BIGINT)
+      |    AS n_digit_chars,
+      |  COUNT(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS n_shapes,
+      |  min(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS v_min,
+      |  max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS v_max,
+      |  CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS v_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- dsir1
+  // Importance resampling: score every document by how much more likely its
+  // tokens are under the TARGET unigram model (lang='en' docs) than under
+  // the RAW corpus model, both add-1 smoothed over the shared vocabulary;
+  // select the global top-16 by Gumbel-perturbed TEMPERED log-weight
+  // (Gumbel top-k ≡ sampling without replacement ∝ exp(λ·lw); the
+  // perturbation uses the deterministic Knuth-hash uniform, wsm1's
+  // discipline, so runs/retries/engines agree). λ = 1/T = 8 is the
+  // standard sharpening knob: this corpus's languages share one ~31-word
+  // vocabulary, so untempered log-ratios (±1) would drown in Gumbel noise
+  // (spread ~6.7) and the "selection" would verify only the hash.
+  //
+  // Scale: both model tables are vocabulary-sized broadcasts; the document
+  // side is one doc_id-keyed aggregation; the final selection is a
+  // TakeOrdered over per-partition top-16s. Determinism: the per-token
+  // term is c · ln((ct·Dr)/(cr·Dt)) with every product left-associated the
+  // same way on both engines, folded in tok-sorted order (t8's discipline).
+  /** Per-document (doc_id, n_tokens, lw) under the target-vs-raw model —
+    * shared by [[dsir1]] and the spec's corpus-mean baseline. */
+  private[llm] def dsirScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pt = TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text",
+      keep = Seq($"lang"))
+    val rawC = pt.groupBy($"tok").agg(count(lit(1)).as("cr0"))
+    val tgtC = pt.filter($"lang" === "en").groupBy($"tok").agg(count(lit(1)).as("ct0"))
+    // shared vocab = raw vocab (target tokens are a subset of raw's); add-1
+    // smoothing keeps unseen-in-target tokens finite
+    val model = rawC.join(tgtC, Seq("tok"), "left")
+      .select($"tok", ($"cr0" + 1L).as("cr"), (coalesce($"ct0", lit(0L)) + 1L).as("ct"))
+    val totals = model.agg(sum($"cr").as("dr"), sum($"ct").as("dt"))
+    val scored = pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .join(broadcast(model), "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("term", $"c".cast("double") *
+        log(($"ct".cast("double") * $"dr".cast("double")) /
+            ($"cr".cast("double") * $"dt".cast("double"))))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        sort_array(collect_list(struct($"tok", $"term"))).as("ts"))
+      .withColumn("lw", aggregate($"ts", lit(0.0), (acc, x) => acc + x("term")))
+      .select($"doc_id", $"n_tokens", $"lw")
+    scored
+  }
+
+  /** Corpus mean log-weight (spec baseline). */
+  private[llm] def dsir1Stats(s: SparkSession, dir: String): Double =
+    dsirScored(s, dir).agg(avg(col("lw"))).head().getDouble(0)
+
+  def dsir1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = (($"doc_id" * 2654435761L) % 4294967296L + 1).cast("double") / 4294967297.0
+    dsirScored(s, dir)
+      .withColumn("key", lit(8.0) * $"lw" - log(-log(u)))
+      .orderBy($"key".desc, $"doc_id")
+      .limit(16)
+      .select($"doc_id", $"n_tokens", round($"lw", 6).as("log_weight"),
+        round($"key", 6).as("gumbel_key"))
+  }
+
+  val dsir1Sql: String =
+    """WITH pt AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |rawc AS (SELECT tok, COUNT(*) + 1 AS cr FROM pt GROUP BY tok),
+      |tgtc AS (SELECT tok, COUNT(*) AS ct0 FROM pt WHERE lang = 'en' GROUP BY tok),
+      |model AS (SELECT r.tok, r.cr, COALESCE(t.ct0, 0) + 1 AS ct
+      |          FROM rawc r LEFT JOIN tgtc t ON r.tok = t.tok),
+      |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS dr, CAST(SUM(ct) AS BIGINT) AS dt FROM model),
+      |dc AS (SELECT p.doc_id, p.tok, p.c,
+      |         CAST(p.c AS DOUBLE) *
+      |           ln((CAST(m.ct AS DOUBLE) * CAST(tot.dr AS DOUBLE)) /
+      |              (CAST(m.cr AS DOUBLE) * CAST(tot.dt AS DOUBLE))) AS term
+      |       FROM (SELECT doc_id, tok, COUNT(*) AS c FROM pt GROUP BY 1, 2) p
+      |       JOIN model m ON p.tok = m.tok CROSS JOIN tot),
+      |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |          list_reduce(list_transform(
+      |            list_sort(list(struct_pack(tok := tok, term := term))),
+      |            x -> x.term), (a, b) -> a + b) AS lw
+      |        FROM dc GROUP BY doc_id),
+      |keyed AS (SELECT doc_id, n_tokens, lw,
+      |            8.0 * lw - ln(-ln(CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE)
+      |                        / 4294967297.0)) AS key
+      |          FROM agg)
+      |SELECT doc_id, n_tokens, round(lw, 6) AS log_weight, round(key, 6) AS gumbel_key
+      |FROM keyed ORDER BY key DESC, doc_id LIMIT 16""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gq1_gopher_rules" -> gq1,
+    "pii1_redaction" -> pii1,
+    "dsir1_importance_resample" -> dsir1,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "gq1_gopher_rules" -> gq1Sql,
+    "pii1_redaction" -> pii1Sql,
+    "dsir1_importance_resample" -> dsir1Sql,
+  )
+}

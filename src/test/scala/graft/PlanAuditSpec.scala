@@ -141,7 +141,8 @@ class PlanAuditSpec extends SparkTestBase {
       "a5_log_bayes_factors",  // model×model pairs over a handful of models
       "j8_hd_pair_correlation", // pulsar-pair self-join: tens of pulsars
       "t3_token_stats",      // corpus-level scalar aggregates
-      "mix1_domain_mixture") // two 1-row normalization constants (Σtokens, Σw)
+      "mix1_domain_mixture", // two 1-row normalization constants (Σtokens, Σw)
+      "dsir1_importance_resample") // 1-row model-totals (Dr, Dt) broadcast
     // iterative operators run actions while BUILDING the frame — profile
     // their final stage only (loop internals are audited by their specs)
     val violations = for {
