@@ -44,12 +44,16 @@ object PageRank {
     * appearing in any edge is present (degree ≥ 1 after symmetrisation, so
     * there are no dangling nodes by construction).
     */
+  /** `assumeDistinct`: caller guarantees `edges` is already duplicate-free
+    * AND no pair can equal a swapped pair (e.g. disjoint id spaces on the
+    * two sides, as in a bipartite graph) — skips the symmetrisation
+    * `distinct()`, which is otherwise a full edge-wide dedup shuffle. */
   def run(edges: DataFrame, iters: Int = 3, reliable: Boolean = false,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4, assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val bidir = edges.select(col("a"), col("b"))
+    val doubled = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+    val bidir = if (assumeDistinct) doubled else doubled.distinct()
     // Edges annotated ONCE with the CONTRIBUTOR-side degree: in the
     // symmetric edge set, grouping by `a` over contributors `b` visits
     // exactly the same (receiver, contributor) multiset as grouping by `b`
@@ -64,10 +68,18 @@ object PageRank {
     // over b was tried instead of the join: the per-partition sort made
     // it ~3× slower than hash join + hash agg.)
     val deg = bidir.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    // Materialized pre-partitioned on the JOIN key `b`: LogicalRDD keeps
+    // the hash partitioning across the checkpoint, so the per-iteration
+    // join re-shuffles NEITHER side — symDeg is already on b, and ranks
+    // comes out of its groupBy hash-partitioned on v. Each iteration then
+    // pays exactly ONE edge-sized shuffle (the contribution agg on `a`),
+    // not three. (The previous repartition(a) optimized iteration 1's
+    // agg instead — backwards: it saved one shuffle once and paid two per
+    // iteration after.)
     val symDeg0 = bidir
       .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
       .select(col("a"), col("b"), col("deg_b"))
-      .repartition(col("a"))
+      .repartition(col("b"))
     val symDeg = if (reliable) symDeg0.checkpoint() else symDeg0.localCheckpoint()
     // map-side-combined distinct over the materialized edges; an O(1)
     // driver scalar (the old node-table distinct shuffled (v, deg) pairs)
@@ -80,7 +92,7 @@ object PageRank {
       .agg(expr(s"$base + (85 * sum(${Scale / n} div deg_b)) div 100").as("rank"))
     var it = 1
     while (it < iters) {
-      val next = symDeg.join(ranks, symDeg("b") === ranks("v"))
+      val next = symDeg.join(ranks.hint("shuffle_hash"), symDeg("b") === ranks("v"))
         .groupBy(symDeg("a").as("v"))
         .agg(expr(s"$base + (85 * sum(rank div deg_b)) div 100").as("rank"))
       it += 1

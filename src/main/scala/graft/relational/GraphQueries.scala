@@ -25,7 +25,10 @@ object GraphQueries extends graft.core.QueryModule {
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
       .distinct()
-    PageRank.run(edges, iters = 3)
+    // bipartite ids (even customers / odd suppliers): a swapped pair can
+    // never collide with an original, and `edges` is already distinct —
+    // the symmetrisation dedup shuffle would be pure waste
+    PageRank.run(edges, iters = 3, assumeDistinct = true)
       .select($"v".as("node"), $"rank".as("microrank"))
       .orderBy($"node")
   }
