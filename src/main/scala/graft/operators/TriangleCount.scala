@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting by DEGREE-ORIENTED wedge enumeration — the
+  * standard distributed algorithm: every undirected edge is directed from
+  * its (degree, id)-lexicographically smaller endpoint, which (a) makes the
+  * orientation acyclic so each triangle matches the wedge pattern
+  * x→y, y→z, x→z exactly once, and (b) bounds per-node wedge work by the
+  * ORIENTED out-degree — the O(|E|^1.5) total-work guarantee that holds on
+  * skewed (power-law) graphs where naive per-node enumeration detonates on
+  * the hub vertices.
+  *
+  * Everything is equijoins and hash aggregations on node ids — no
+  * cartesian, no driver-side adjacency. The oriented edge list is
+  * localCheckpoint'ed because the triangle join scans it three times; at
+  * cluster scale the same role is played by caching or a shuffle reuse.
+  */
+object TriangleCount {
+
+  /** One-row stats for the undirected simple graph `edges(u, v)` (callers
+    * guarantee u ≠ v and no duplicate edge in either direction):
+    * (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
+    * clustering = 3·triangles / wedges (the global transitivity). */
+  def run(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val keyed = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val smallerU = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val o = keyed.select(
+      when(smallerU, col("u")).otherwise(col("v")).as("src"),
+      when(smallerU, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint()
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(o.as("e3"),
+        col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    val ecnt = e.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(ecnt).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles").cast("double") /
+          col("n_wedges").cast("double"), 6).as("clustering"))
+  }
+}

@@ -89,13 +89,62 @@ object GraphQueries extends graft.core.QueryModule {
       |                     WHERE o_orderpriority = '1-URGENT')
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** tc1: triangle counting with DEGREE-ORIENTED wedge enumeration — the
+    * standard distributed algorithm (each undirected edge is directed from
+    * its (degree, id)-smaller endpoint, so every triangle is counted
+    * exactly once and wedge work per node is bounded by its ORIENTED
+    * out-degree, the O(|E|^1.5) guarantee that survives skewed graphs).
+    *
+    * Graph: the co-supply ADJACENCY graph — per part, consecutive
+    * suppliers by id are linked. Deliberately NOT "suppliers sharing any
+    * part": on this schema that projection is a complete graph (every
+    * supplier pair shares some part — C(n,2) edges, C(n,3) triangles, a
+    * quadratic degenerate), while the adjacency form keeps |E| ∝ |ps| and
+    * the window that builds it partitions by part (many parts, no
+    * single-partition funnel). All counts integer-exact; the clustering
+    * coefficient is one double division at the output edge.
+    */
+  def tc1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ps = Tables.lineitem(s, dir)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("sup")).distinct()
+    val w = Window.partitionBy($"p").orderBy($"sup")
+    val e = ps.withColumn("v", lead($"sup", 1).over(w))
+      .filter($"v".isNotNull)
+      .select($"sup".as("u"), $"v").distinct()
+    graft.operators.TriangleCount.run(e)
+  }
+
+  val tc1Sql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
+      |nxt AS (SELECT p, sup AS u, LEAD(sup) OVER (PARTITION BY p ORDER BY sup) AS v
+      |        FROM ps),
+      |e AS (SELECT DISTINCT u, v FROM nxt WHERE v IS NOT NULL),
+      |deg AS (SELECT x, COUNT(*) AS d
+      |        FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |o AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+      |             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+      |      FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x),
+      |tri AS (SELECT COUNT(*) AS n_triangles
+      |        FROM o e1 JOIN o e2 ON e1.dst = e2.src
+      |             JOIN o e3 ON e1.src = e3.src AND e2.dst = e3.dst),
+      |wed AS (SELECT COUNT(*) AS n_nodes,
+      |          CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+      |ecnt AS (SELECT COUNT(*) AS n_edges FROM e)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  round(3.0 * n_triangles / n_wedges, 6) AS clustering
+      |FROM wed, ecnt, tri""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr1_pagerank" -> pr1,
     "bf1_bloom_semijoin" -> bf1,
+    "tc1_triangle_count" -> tc1,
   )
 
   def oracles: Map[String, String] = Map(
     "pr1_pagerank" -> pr1Sql,
     "bf1_bloom_semijoin" -> bf1Sql,
+    "tc1_triangle_count" -> tc1Sql,
   )
 }

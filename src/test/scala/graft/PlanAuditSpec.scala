@@ -142,7 +142,8 @@ class PlanAuditSpec extends SparkTestBase {
       "j8_hd_pair_correlation", // pulsar-pair self-join: tens of pulsars
       "t3_token_stats",      // corpus-level scalar aggregates
       "mix1_domain_mixture", // two 1-row normalization constants (Σtokens, Σw)
-      "dsir1_importance_resample") // 1-row model-totals (Dr, Dt) broadcast
+      "dsir1_importance_resample", // 1-row model-totals (Dr, Dt) broadcast
+      "tc1_triangle_count")  // three 1-row global-count scalars combined
     // iterative operators run actions while BUILDING the frame — profile
     // their final stage only (loop internals are audited by their specs)
     val violations = for {
