@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Spark-vs-DuckDB per-query timing comparison.
+
+Times every oracle SQL (from a Verify outdir's oracle_sql.json) in DuckDB
+against the same parquet tables, best-of-3, and joins the numbers with the
+Spark side from a BENCH_DETAIL_r*.json. Writes ORACLE_BENCH.md.
+
+Queries whose DuckDB formulation is structurally pathological get a wall
+cap (con.interrupt() from a timer thread) and are reported as ">cap" —
+e.g. c1/c2's recursive-CTE transitive closure, which DuckDB runs for
+minutes where the Spark label-propagation loop takes a fraction of a
+second. The cap keeps the artifact reproducible in bounded time; capped
+queries are EXCLUDED from the matched-total ratio (both sides), so the
+headline never benefits from an opponent's timeout.
+
+Usage: oraclebench.py <sfDir> <verifyOutDir> <benchDetailJson> [capSec=30]
+"""
+import json, sys, threading, time
+
+import duckdb
+
+sfdir, outdir, benchjson = sys.argv[1], sys.argv[2], sys.argv[3]
+cap = float(sys.argv[4]) if len(sys.argv) > 4 else 30.0
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+bench = json.load(open(benchjson))
+spark_times = {k: v["best_sec"] for k, v in bench["queries"].items()
+               if v.get("err") is None}
+
+
+def timed(sql):
+    """Best-of-3 wall seconds, or None if the cap fired."""
+    best = None
+    for _ in range(3):
+        fired = []
+        timer = threading.Timer(cap, lambda: (fired.append(1), con.interrupt()))
+        timer.start()
+        t0 = time.time()
+        try:
+            con.sql(sql).fetchall()
+            dt = time.time() - t0
+        except duckdb.InterruptException:
+            return None
+        except Exception:
+            # any interrupt surfaces differently across versions
+            if fired:
+                return None
+            raise
+        finally:
+            timer.cancel()
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+rows = []
+for name in sorted(oracle):
+    if name not in spark_times:
+        continue
+    dt = timed(oracle[name])
+    rows.append((name, spark_times[name], dt))
+    d = f"{dt:.3f}" if dt is not None else f">{cap:.0f} (capped)"
+    print(f"[oraclebench] {name:32s} spark {spark_times[name]:7.3f}  duck {d}")
+
+matched = [(s, d) for _, s, d in rows if d is not None]
+ts, td = sum(s for s, _ in matched), sum(d for _, d in matched)
+
+lines = [
+    "# ORACLE_BENCH — Spark (local[32]) vs DuckDB, same parquet, sf0.1\n",
+    "Spark seconds = best-of-N from `BENCH_DETAIL` (graft.Bench protocol);",
+    "DuckDB seconds = best-of-3 of the oracle SQL via the python client.",
+    f"Capped queries (> {cap:.0f}s in DuckDB) are excluded from BOTH totals.\n",
+    f"**Matched total ({len(matched)} queries): Spark {ts:.1f}s vs DuckDB"
+    f" {td:.1f}s — ratio {ts / td:.2f}x**\n",
+    "| query | spark s | duckdb s | spark/duck |",
+    "|---|---|---|---|",
+]
+for name, s, d in rows:
+    if d is None:
+        lines.append(f"| {name} | {s:.3f} | >{cap:.0f} (capped) | — |")
+    else:
+        lines.append(f"| {name} | {s:.3f} | {d:.3f} | {s / d:.2f} |")
+open("ORACLE_BENCH.md", "w").write("\n".join(lines) + "\n")
+print(f"[oraclebench] wrote ORACLE_BENCH.md: {len(matched)} matched, "
+      f"spark {ts:.1f}s vs duckdb {td:.1f}s")

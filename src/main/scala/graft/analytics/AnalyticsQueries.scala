@@ -533,7 +533,11 @@ object AnalyticsQueries extends graft.core.QueryModule {
       .select($"event_type", $"user_id").distinct()
     pairs.groupBy($"event_type")
       .agg(count(lit(1)).as("n_exact"),
-        approx_count_distinct($"user_id", 0.01).as("n_approx"))
+        // rsd 0.02, not 0.01: the flag's corridor is 5%, so 2% stddev is
+        // a 2.5 sigma margin — and halving rsd QUADRUPLES the HLL register
+        // array each partial task allocates per group (rsd 0.01 measured
+        // ~4x the whole query's runtime vs 0.02; flags true at sf0.001-1)
+        approx_count_distinct($"user_id", 0.02).as("n_approx"))
       .select($"event_type", $"n_exact",
         (abs($"n_approx" - $"n_exact").cast("double") <=
           lit(0.05) * $"n_exact".cast("double")).as("within_5pct"))
@@ -598,7 +602,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     import s.implicits._
     val e = Tables.events(s, dir)
     val ap = e.groupBy($"event_type")
-      .agg(approx_count_distinct($"user_id", 0.01).as("au"),
+      .agg(approx_count_distinct($"user_id", 0.02).as("au"), // rsd: see sk2
         percentile_approx($"value", lit(0.5), lit(1000)).as("am"),
         percentile_approx($"value", lit(0.95), lit(1000)).as("ap95"))
     val exactUsers = e.select($"event_type", $"user_id").distinct()
