@@ -1389,8 +1389,93 @@ object LlmQueries extends graft.core.QueryModule {
        |FROM p WHERE cos > 0.35 GROUP BY cell, vb ORDER BY cell, dropped_id""".stripMargin
   }
 
+  // D9: set-similarity join with PREFIX FILTERING (the PPJoin/AllPairs
+  // candidate pruner — Bayardo et al. 2007, Xiao et al. 2008): order every
+  // document's shingle set by a GLOBAL canonical order (df ascending —
+  // rarest first), and index only the first |x| − ⌈t·|x|⌉ + 1 shingles. Two
+  // sets with Jaccard ≥ t MUST share a prefix shingle under any common
+  // order (if they disagreed on both prefixes, the overlap is too small),
+  // so the equijoin on prefix shingles is a COMPLETE candidate generator —
+  // at a fraction of d4's any-shared-shingle volume, and biased toward
+  // rare shingles whose join fan-out is smallest. The df table scales with
+  // the corpus, so it joins by shuffle (never broadcast); the verify step
+  // is an exact Jaccard on the carried sorted arrays.
+  private val D9Tau = 0.5
+  private[llm] def d9Docs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(s, dir)
+    val dfTab = sh.groupBy($"sh").agg(count(lit(1)).as("dfc"))
+    sh.join(dfTab, "sh")
+      .groupBy($"doc_id", $"lang")
+      .agg(sort_array(collect_list(struct($"dfc", $"sh"))).as("arr"))
+      .withColumn("ns", size($"arr"))
+      .withColumn("plen",
+        ($"ns" - ceil($"ns".cast("double") * lit(D9Tau)) + 1).cast("int"))
+      .withColumn("prefix", slice($"arr", lit(1), $"plen"))
+  }
+  def d9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = d9Docs(s, dir).localCheckpoint()
+    // LENGTH FILTER at candidate time (the second AllPairs pruner):
+    // J ≥ τ forces τ·|x| ≤ |y| ≤ |x|/τ, so size-incompatible pairs never
+    // leave the join. Still complete — it's a necessary condition of the
+    // threshold, not a heuristic.
+    val cand = docs.select($"doc_id", $"lang", $"ns", explode($"prefix").as("pe"))
+      .select($"doc_id", $"lang", $"ns", $"pe.sh".as("sh"))
+    val pairs = cand.select($"doc_id".as("da"), $"lang", $"sh", $"ns".as("na"))
+      .join(cand.select($"doc_id".as("db"), $"lang", $"sh", $"ns".as("nb")),
+        Seq("lang", "sh"))
+      .filter($"da" < $"db" &&
+        $"nb".cast("double") >= $"na".cast("double") * D9Tau &&
+        $"nb".cast("double") <= $"na".cast("double") / D9Tau)
+      .select($"da", $"db").distinct()
+    // verification intersects 64-bit shingle HASHES, not strings — ~1/3
+    // the shuffle bytes and a primitive-array intersect. A cross-doc
+    // xxhash64 collision could perturb one |∩| with probability ~2^-64
+    // per shingle pair (PPJoin-style systems accept this; the oracle
+    // match at the gate SF is the empirical seal).
+    val side = docs.select($"doc_id",
+      expr("transform(arr.sh, x -> xxhash64(x))").as("shs"), $"ns")
+    pairs
+      .join(side.select($"doc_id".as("da"), $"shs".as("sa"), $"ns".as("na")), "da")
+      .join(side.select($"doc_id".as("db"), $"shs".as("sb"), $"ns".as("nb")), "db")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
+      .withColumn("jacc", $"inter".cast("double") /
+        ($"na" + $"nb" - $"inter").cast("double"))
+      .filter($"jacc" >= D9Tau)
+      .select($"da", $"db", round($"jacc", 6).as("jacc"))
+      .orderBy($"da", $"db")
+  }
+  /** Oracle = the NAIVE generator (any shared shingle) + the same exact
+    * Jaccard — so the hash match proves the prefix filter lost nothing. */
+  val d9Sql: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |pt AS (
+       |  SELECT doc_id, lang, s.pos AS pos, s.tok AS tok
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_transform(toks, (x, i) -> struct_pack(pos := i, tok := x))) AS s
+       |        FROM dt) t),
+       |sh AS (SELECT DISTINCT doc_id, lang, sh FROM (
+       |         SELECT doc_id, lang,
+       |           tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w AS sh,
+       |           lead(tok, 2) OVER w AS t2
+       |         FROM pt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) q
+       |       WHERE t2 IS NOT NULL),
+       |n AS (SELECT doc_id AS nid, COUNT(*) AS ns FROM sh GROUP BY 1),
+       |c AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+       |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT da, db,
+       |  round(CAST(c AS DOUBLE) / CAST(na.ns + nb.ns - c AS DOUBLE), 6) AS jacc
+       |FROM c JOIN n na ON c.da = na.nid JOIN n nb ON c.db = nb.nid
+       |WHERE CAST(c AS DOUBLE) / CAST(na.ns + nb.ns - c AS DOUBLE) >= $D9Tau
+       |ORDER BY da, db""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sem1_semantic_dedup" -> sem1,
+    "d9_prefix_filter_join" -> d9,
     "d1_exact_dedup" -> d1,
     "d2_minhash_lsh" -> d2,
     "d3_simhash" -> d3,
@@ -1428,6 +1513,7 @@ object LlmQueries extends graft.core.QueryModule {
 
   val oracles: Map[String, String] = Map(
     "sem1_semantic_dedup" -> sem1Sql,
+    "d9_prefix_filter_join" -> d9Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,

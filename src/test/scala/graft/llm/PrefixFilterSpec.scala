@@ -1,0 +1,45 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PrefixFilterSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("d9: prefix filtering shrinks the candidate set vs any-shared-shingle") {
+    val session = spark
+    import session.implicits._
+    val docs = LlmQueries.d9Docs(session, sf).localCheckpoint()
+    def pairCount(col_ : String): Long = {
+      val c = docs.select($"doc_id", $"lang", explode(col(col_)).as("pe"))
+        .select($"doc_id", $"lang", $"pe.sh".as("sh"))
+      c.select($"doc_id".as("da"), $"lang", $"sh")
+        .join(c.select($"doc_id".as("db"), $"lang", $"sh"), Seq("lang", "sh"))
+        .filter($"da" < $"db").select($"da", $"db").distinct().count()
+    }
+    val naive = pairCount("arr")
+    val prefix = pairCount("prefix")
+    assert(prefix < naive,
+      s"prefix candidates ($prefix) should undercut naive ($naive)")
+    // the reduction should be substantial, not cosmetic (τ=0.5 indexes
+    // about half of each set, and the rarest-first order biases the join
+    // toward low-fanout shingles)
+    assert(prefix.toDouble / naive.toDouble < 0.8,
+      s"expected >20% candidate reduction, got $prefix/$naive")
+  }
+
+  test("d9: prefix length formula guarantees completeness at the boundary") {
+    // two sets with Jaccard exactly τ=0.5 must share a prefix element:
+    // |x|=4, |y|=4, overlap 3 → J = 3/5 ≥ 0.5; prefix len = 4-2+1 = 3 —
+    // any 3-of-4 subsets of both must intersect (pigeonhole)
+    val x = Set("a", "b", "c", "d")
+    val y = Set("a", "b", "c", "e")
+    val order = Seq("a", "b", "c", "d", "e") // any shared canonical order
+    def prefix(s0: Set[String]) =
+      order.filter(s0).take(s0.size - math.ceil(0.5 * s0.size).toInt + 1).toSet
+    val j = (x & y).size.toDouble / (x | y).size.toDouble
+    assert(j >= 0.5)
+    assert((prefix(x) & prefix(y)).nonEmpty)
+  }
+}
