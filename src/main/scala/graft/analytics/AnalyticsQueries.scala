@@ -277,13 +277,16 @@ object AnalyticsQueries extends graft.core.QueryModule {
     Tables.lineitem(s, dir)
       .selectExpr("stack(3, 'l_quantity', l_quantity, 'l_discount', l_discount, 'l_tax', l_tax) as (par, value)")
       .groupBy($"par")
-      .agg((sum(vdec($"value")).cast("double") / count(lit(1))).as("mean_value"),
+      // exact integer-cents sum (pf2's discipline): bit-equal to the
+      // DECIMAL(12,2) aggregation at a fraction of the per-row cost
+      .agg((sum(round($"value" * 100).cast("long")).cast("double") / 100.0 /
+          count(lit(1))).as("mean_value"),
         count(lit(1)).as("n"))
       .orderBy($"par")
   }
   val j5Sql: String =
     """SELECT par,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_value,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS mean_value,
       |  COUNT(*) AS n
       |FROM (
       |  SELECT 'l_quantity' AS par, l_quantity AS value FROM lineitem

@@ -43,7 +43,8 @@ object Extras extends graft.core.QueryModule {
     import s.implicits._
     Tables.lineitem(s, dir)
       .rollup($"l_returnflag", $"l_linestatus")
-      .agg(sum(vdec($"l_quantity")).cast("double").as("sum_qty"),
+      .agg((sum(round($"l_quantity" * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_qty"), // exact cents (pf2's discipline), not Decimal agg
         count(lit(1)).as("n"))
       .select(coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
         coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
@@ -53,7 +54,7 @@ object Extras extends graft.core.QueryModule {
   val g1Sql: String =
     """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
       |  coalesce(l_linestatus, '(all)') AS linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
@@ -65,7 +66,8 @@ object Extras extends graft.core.QueryModule {
     import s.implicits._
     Tables.lineitem(s, dir)
       .cube($"l_returnflag", $"l_linestatus")
-      .agg(sum(vdec($"l_quantity")).cast("double").as("sum_qty"),
+      .agg((sum(round($"l_quantity" * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_qty"), // exact cents (pf2's discipline), not Decimal agg
         count(lit(1)).as("n"))
       .select(coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
         coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
@@ -75,7 +77,7 @@ object Extras extends graft.core.QueryModule {
   val g4Sql: String =
     """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
       |  coalesce(l_linestatus, '(all)') AS linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
@@ -170,15 +172,15 @@ object Extras extends graft.core.QueryModule {
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .pivot($"l_linestatus", Seq("F", "O", "P"))
-      .agg(sum(vdec($"l_quantity")).cast("double"))
+      .agg(sum(round($"l_quantity" * 100).cast("long")).cast("double") / 100.0)
       .toDF("returnflag", "qty_f", "qty_o", "qty_p")
       .orderBy($"returnflag")
   }
   val g2Sql: String =
     """SELECT l_returnflag AS returnflag,
-      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f,
-      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o,
-      |  CAST(SUM(CASE WHEN l_linestatus = 'P' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_p
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS qty_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS qty_o,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'P' THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS qty_p
       |FROM lineitem GROUP BY l_returnflag ORDER BY returnflag""".stripMargin
 
   // RJ1: point-in-interval range join — events landing in the hour after
@@ -231,7 +233,7 @@ object Extras extends graft.core.QueryModule {
     s.sql("""
       SELECT coalesce(l_returnflag, '(all)') AS returnflag,
              coalesce(l_linestatus, '(all)') AS linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
              COUNT(*) AS n
       FROM g3_lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
@@ -240,7 +242,7 @@ object Extras extends graft.core.QueryModule {
   val g3Sql: String =
     """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
       |  coalesce(l_linestatus, '(all)') AS linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       |ORDER BY returnflag, linestatus""".stripMargin
