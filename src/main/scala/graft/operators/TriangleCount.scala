@@ -45,7 +45,12 @@ object TriangleCount {
     val ecnt = e.agg(count(lit(1)).as("n_edges"))
     stats.crossJoin(ecnt).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        round(lit(3.0) * col("n_triangles").cast("double") /
-          col("n_wedges").cast("double"), 6).as("clustering"))
+        // a wedge-free graph (perfect matching) has transitivity 0 by
+        // convention — the unguarded division is an ANSI DIVIDE_BY_ZERO
+        // (caught by the ScalaCheck property sweep)
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 6)).otherwise(lit(0.0))
+          .as("clustering"))
   }
 }

@@ -29,6 +29,27 @@ class PrefixFilterSpec extends SparkTestBase {
       s"expected >20% candidate reduction, got $prefix/$naive")
   }
 
+  test("d9: prefix completeness holds on random set pairs (ScalaCheck)") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    // random universe subsets under a random canonical order: whenever
+    // J(x,y) >= tau, the tau-prefixes MUST intersect — the invariant the
+    // whole candidate generator rests on
+    val tau = 0.5
+    val genSet = Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 30)).map(_.toSet))
+    val prop = forAll(genSet, genSet, Gen.chooseNum(1L, Long.MaxValue)) {
+      (x, y, seed) =>
+        val order = new scala.util.Random(seed).shuffle((0 to 30).toVector)
+        def prefix(s0: Set[Int]) = order.filter(s0)
+          .take(s0.size - math.ceil(tau * s0.size).toInt + 1).toSet
+        val j = (x & y).size.toDouble / (x | y).size.toDouble
+        j < tau || (prefix(x) & prefix(y)).nonEmpty
+    }
+    val r = SCTest.check(prop)(_.withMinSuccessfulTests(500))
+    assert(r.passed, r.status.toString)
+  }
+
   test("d9: prefix length formula guarantees completeness at the boundary") {
     // two sets with Jaccard exactly τ=0.5 must share a prefix element:
     // |x|=4, |y|=4, overlap 3 → J = 3/5 ≥ 0.5; prefix len = 4-2+1 = 3 —

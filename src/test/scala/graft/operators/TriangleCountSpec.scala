@@ -41,6 +41,30 @@ class TriangleCountSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_triangles") == 2)
   }
 
+  test("random graphs match the brute-force local count (ScalaCheck)") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    val genEdges = Gen.chooseNum(1, 25).flatMap(m =>
+      Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L))))
+    val prop = forAll(genEdges) { raw =>
+      // canonicalize to a simple undirected graph (the operator's contract)
+      val es = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      es.isEmpty || {
+        val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupMap(_._1)(_._2).map { case (k, v) => k -> v.toSet }
+        val nodes = adj.keys.toSeq.sorted
+        val brute = (for {
+          i <- nodes; j <- nodes if j > i && adj(i)(j)
+          k <- nodes if k > j && adj(i)(k) && adj(j)(k)
+        } yield 1).size.toLong
+        stats(es).getAs[Long]("n_triangles") == brute
+      }
+    }
+    val r = SCTest.check(prop)(_.withMinSuccessfulTests(20))
+    assert(r.passed, r.status.toString)
+  }
+
   test("orientation is acyclic: skewed star + triangle counts exactly once") {
     // hub 1 with high degree; triangle (1,2,3). Degree orientation directs
     // both triangle edges AWAY from the low-degree endpoints into the hub,
