@@ -1019,7 +1019,48 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |FROM events JOIN bounds ON event_type = bt
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // CMS1: count-min-sketch frequency estimation with a checkable guarantee
+  // (the sk2/hh1 pattern: the oracle computes the exact side and expects
+  // the realized guarantee flags TRUE — the run itself is the proof the
+  // sketch kept its promise on this data).
+  //
+  //  - cms_lower_ok: est ≥ true count — holds with probability 1 (every
+  //    occurrence increments all d probed cells).
+  //  - cms_within_bound: est ≤ true + 100·N/w — Markov per row bounds the
+  //    expected excess by N/w; min over d=4 independent rows exceeds
+  //    100·N/w with probability ≤ 10⁻⁸ per item.
+  //
+  // 100 TB posture: the sketch build is ONE global aggregate whose buffer
+  // is a fixed d·w long array (map-side partials merge by vector add — the
+  // shuffle carries 4096 longs per partition, not the item cardinality);
+  // the probe is codegen'd column arithmetic over the broadcast 1-row
+  // sketch. The exact side here exists only to assert the guarantee.
+  private val CmsD = 4
+  private val CmsW = 1024
+  def cms1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Aggregators
+    val clicks = Tables.events(s, dir)
+      .filter($"event_type" === "click").select($"user_id")
+    val cm = udaf(new Aggregators.CountMin(CmsD, CmsW))
+    val sk = clicks.agg(cm($"user_id").as("sketch"), count(lit(1)).as("n"))
+    val exact = clicks.groupBy($"user_id").agg(count(lit(1)).as("true_n"))
+    exact.orderBy($"true_n".desc, $"user_id").limit(20)
+      .crossJoin(broadcast(sk))
+      .withColumn("est", Aggregators.CountMin.estimate($"sketch", $"user_id", CmsD, CmsW))
+      .select($"user_id", $"true_n",
+        ($"est" >= $"true_n").as("cms_lower_ok"),
+        ($"est" <= $"true_n" + lit(100L) * $"n" / lit(CmsW.toLong)).as("cms_within_bound"))
+      .orderBy($"true_n".desc, $"user_id")
+  }
+  val cms1Sql: String =
+    """WITH c AS (SELECT user_id, COUNT(*) AS true_n FROM events
+      |           WHERE event_type = 'click' GROUP BY user_id)
+      |SELECT user_id, true_n, TRUE AS cms_lower_ok, TRUE AS cms_within_bound
+      |FROM c ORDER BY true_n DESC, user_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cms1_countmin_freq" -> cms1,
     "w10_winsorized_stats" -> w10,
     "im1_incremental_agg" -> im1,
     "scd1_scd2_intervals" -> scd1,
@@ -1061,6 +1102,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "cms1_countmin_freq" -> cms1Sql,
     "w10_winsorized_stats" -> w10Sql,
     "im1_incremental_agg" -> im1Sql,
     "scd1_scd2_intervals" -> scd1Sql,

@@ -337,4 +337,58 @@ object Aggregators {
     def outputEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): a d×w counter matrix;
+    * estimate(x) = min over rows r of M[r][h_r(x) mod w]. Always an
+    * OVER-estimate (every occurrence of x lands in all d probed cells);
+    * the excess in one row is bounded in expectation by N/w, so
+    * min-of-d-rows concentrates sharply. Merge is ELEMENTWISE ADDITION —
+    * the sketch of a union is the sum of the sketches — so partial
+    * aggregation combines map-side and the shuffle carries d·w longs per
+    * group regardless of item cardinality.
+    *
+    * Row hashes reuse Spark's xxhash64 chain — `hashLong(r, hashLong(x,
+    * 42))` — which is exactly what the SQL expression
+    * `pmod(xxhash64(x, CAST(r AS BIGINT)), w)` computes, so the PROBE side
+    * (reading estimates out of the finished sketch) is plain codegen'd
+    * column arithmetic with no UDF: see [[CountMin.estimate]].
+    */
+  class CountMin(d: Int, w: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(d > 0 && w > 0)
+    def zero: Array[Long] = new Array[Long](d * w)
+    def reduce(b: Array[Long], x: Long): Array[Long] = {
+      var r = 0
+      while (r < d) { b(r * w + CountMin.index(r, x, w)) += 1; r += 1 }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  object CountMin {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    /** Cell index of item x in row r — bit-identical to the SQL column
+      * expression `pmod(xxhash64(x, CAST(r AS BIGINT)), w)`. */
+    def index(r: Int, x: Long, w: Int): Int =
+      Math.floorMod(XXH64.hashLong(r.toLong, XXH64.hashLong(x, 42L)), w).toInt
+    /** Point estimate from a finished sketch COLUMN: min over rows of the
+      * probed cells, as pure column arithmetic (no UDF in the probe path). */
+    def estimate(sketch: org.apache.spark.sql.Column,
+        item: org.apache.spark.sql.Column, d: Int, w: Int): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions._
+      (0 until d).map { r =>
+        element_at(sketch,
+          (pmod(xxhash64(item, lit(r.toLong)), lit(w.toLong)) + lit(r.toLong * w) + 1)
+            .cast("int"))
+      }.reduce(least(_, _))
+    }
+  }
 }

@@ -684,6 +684,83 @@ object LlmQueries extends graft.core.QueryModule {
        |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin
   }
 
+  // QZ1: scalar int8 quantization of the embedding table + quantized-route
+  // top-k with an exact-route recall audit — the memory-side half of an ANN
+  // index (FAISS's SQ8 shape): 4 bytes/dim → 1 byte/dim, distances computed
+  // in INTEGER arithmetic on the compressed codes.
+  //
+  // Scale design: the per-dimension min/max table is a 64-row aggregate —
+  // the one collect here is constant-sized regardless of corpus scale (a
+  // real deployment reads it from table statistics); quantization is then a
+  // pure array expression and the query-side scoring is a broadcast of one
+  // quantized query vector — no shuffle anywhere until the TakeOrdered.
+  // The quantized dot is EXACT integer arithmetic, so the oracle matches
+  // bit-for-bit with no float-summation-order caveats; only the audit's
+  // exact-route uses the (already-sealed) s1 cosine discipline.
+  def qz1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val st = e.select(posexplode($"embedding").as(Seq("d", "x")))
+      .groupBy($"d")
+      .agg(min($"x".cast("double")).as("mn"), max($"x".cast("double")).as("mx"))
+      .orderBy($"d").collect()
+    val mns = st.map(_.getDouble(1))
+    val scs = st.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0)
+    val quantized = e
+      .withColumn("mns", array(mns.map(lit(_)): _*))
+      .withColumn("scs", array(scs.map(lit(_)): _*))
+      .withColumn("qa", expr(
+        """transform(embedding, (x, i) ->
+          |  CASE WHEN scs[i] = 0.0D THEN 0
+          |       ELSE CAST(round((CAST(x AS DOUBLE) - mns[i]) / scs[i]) AS INT) - 128
+          |  END)""".stripMargin))
+      .select($"vec_id", $"qa")
+    val qq = quantized.filter($"vec_id" === 0).select($"qa".as("qb"))
+    val dots = quantized.filter($"vec_id" =!= 0).crossJoin(broadcast(qq))
+      .select($"vec_id", expr(
+        """aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)),
+          |          CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin).as("qdot"))
+    val en = e.withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
+    val q = en.filter($"vec_id" === 0).select($"embedding".as("qe"), $"n2".as("qn2"))
+    val brute = en.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .withColumn("cos", VectorOps.dotNative($"embedding", $"qe") /
+        (sqrt($"n2") * sqrt($"qn2")))
+      .orderBy($"cos".desc, $"vec_id").limit(10)
+      .select($"vec_id", lit(true).as("hit"))
+    dots.orderBy($"qdot".desc, $"vec_id").limit(10)
+      .join(broadcast(brute), Seq("vec_id"), "left")
+      .select($"vec_id", $"qdot", coalesce($"hit", lit(false)).as("in_exact_topk"))
+      .orderBy($"qdot".desc, $"vec_id")
+  }
+  val qz1Sql: String = {
+    val cos = VectorOps.cosineSqlDuck("a.embedding", "q.qe", 64)
+    s"""WITH ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, unnest(embedding) AS x
+       |  FROM embeddings),
+       |st AS (SELECT d, min(CAST(x AS DOUBLE)) AS mn,
+       |         (max(CAST(x AS DOUBLE)) - min(CAST(x AS DOUBLE))) / 255.0 AS sc
+       |       FROM ex GROUP BY d),
+       |qt AS (SELECT e.vec_id, e.d,
+       |         CASE WHEN st.sc = 0.0 THEN 0
+       |              ELSE CAST(round((CAST(e.x AS DOUBLE) - st.mn) / st.sc) AS INT) - 128
+       |         END AS q
+       |       FROM ex e JOIN st USING (d)),
+       |qv AS (SELECT d, q AS qq FROM qt WHERE vec_id = 0),
+       |dots AS (SELECT t.vec_id,
+       |           CAST(SUM(CAST(t.q AS BIGINT) * CAST(v.qq AS BIGINT)) AS BIGINT) AS qdot
+       |         FROM qt t JOIN qv v USING (d) WHERE t.vec_id <> 0 GROUP BY t.vec_id),
+       |brute AS (SELECT vec_id FROM (
+       |            SELECT a.vec_id, $cos AS cos
+       |            FROM embeddings a,
+       |                 (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+       |            WHERE a.vec_id <> 0) t
+       |          ORDER BY cos DESC, vec_id LIMIT 10),
+       |top AS (SELECT vec_id, qdot FROM dots ORDER BY qdot DESC, vec_id LIMIT 10)
+       |SELECT t.vec_id, t.qdot, (b.vec_id IS NOT NULL) AS in_exact_topk
+       |FROM top t LEFT JOIN brute b USING (vec_id)
+       |ORDER BY t.qdot DESC, t.vec_id""".stripMargin
+  }
+
   // T5: BPE-ish regex tokenization (letter runs / digit runs / single
   // punctuation) — corpus stats per language.
   private val BpeRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -1490,6 +1567,7 @@ object LlmQueries extends graft.core.QueryModule {
     "s3_ann_ivf_topk" -> s3,
     "r1_ann_recall" -> r1,
     "s5_ann_ivf_multiprobe" -> s5,
+    "qz1_int8_quant_ann" -> qz1,
     "t5_regex_tokens" -> t5,
     "hof1_array_stats" -> hof1,
     "t1_langid" -> t1,
@@ -1528,6 +1606,7 @@ object LlmQueries extends graft.core.QueryModule {
     "s3_ann_ivf_topk" -> s3Sql,
     "r1_ann_recall" -> r1Sql,
     "s5_ann_ivf_multiprobe" -> s5Sql,
+    "qz1_int8_quant_ann" -> qz1Sql,
     "t5_regex_tokens" -> t5Sql,
     "hof1_array_stats" -> hof1Sql,
     "t1_langid" -> t1Sql,

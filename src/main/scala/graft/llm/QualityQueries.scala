@@ -219,15 +219,145 @@ object QualityQueries extends graft.core.QueryModule {
       |SELECT doc_id, n_tokens, round(lw, 6) AS log_weight, round(key, 6) AS gumbel_key
       |FROM keyed ORDER BY key DESC, doc_id LIMIT 16""".stripMargin
 
+  // ---------------------------------------------------------------- ld1
+  // Segment-level exact dedup (the C4 / RefinedWeb "line dedup" pass —
+  // Raffel et al. 2020 §2.2 drop repeated 3-sentence spans; RefinedWeb
+  // drops repeated lines). This corpus has no newlines, so the "line" is
+  // the aligned non-overlapping 10-token segment — same operator shape:
+  // segment every document, count each exact segment across the CORPUS,
+  // and report per document how much of it is corpus-duplicated text.
+  //
+  // Scale: segmentation is a pure array expression (no window, no join);
+  // the only shuffle is the segment-hash groupBy (map-side combined) and
+  // the doc_id re-aggregation. At 100 TB the segment-count table is the
+  // big side — it stays a shuffle equijoin on the segment key, never a
+  // broadcast. Counts are exact integers end to end.
+  def ld1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val segs = Tables.documents(s, dir)
+      .select($"doc_id", expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("nseg", ceil(size($"toks").cast("double") / 10.0).cast("int"))
+      .select($"doc_id", $"n_tokens", explode(expr(
+        """transform(sequence(0, nseg - 1),
+          |  i -> struct(array_join(slice(toks, i*10 + 1, 10), ' ') AS seg,
+          |              size(slice(toks, i*10 + 1, 10)) AS sl))""".stripMargin)).as("s"))
+      .select($"doc_id", $"n_tokens", $"s.seg".as("seg"), $"s.sl".cast("long").as("sl"))
+    val counts = segs.groupBy($"seg").agg(count(lit(1)).as("cnt"))
+    segs.join(counts, "seg")
+      .groupBy($"doc_id")
+      .agg(first($"n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_segments"),
+        sum(when($"cnt" >= 2L, 1L).otherwise(0L)).as("n_dup_segments"),
+        sum(when($"cnt" >= 2L, $"sl").otherwise(0L)).as("dup_tokens"))
+      .withColumn("keep_frac",
+        round(lit(1.0) - $"dup_tokens".cast("double") / $"n_tokens".cast("double"), 6))
+      .filter($"doc_id" < 300)
+      .select($"doc_id", $"n_tokens", $"n_segments", $"n_dup_segments",
+        $"dup_tokens", $"keep_frac")
+      .orderBy($"doc_id")
+  }
+
+  val ld1Sql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |sg AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    unnest(list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS INT)),
+      |      i -> struct_pack(seg := array_to_string(list_slice(toks, i*10 + 1, i*10 + 10), ' '),
+      |                       sl := CAST(len(list_slice(toks, i*10 + 1, i*10 + 10)) AS BIGINT)))) AS s
+      |  FROM dt),
+      |segs AS (SELECT doc_id, n_tokens, s.seg AS seg, s.sl AS sl FROM sg),
+      |cnts AS (SELECT seg, COUNT(*) AS cnt FROM segs GROUP BY seg)
+      |SELECT s.doc_id, any_value(s.n_tokens) AS n_tokens,
+      |  COUNT(*) AS n_segments,
+      |  CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+      |  CAST(SUM(CASE WHEN c.cnt >= 2 THEN s.sl ELSE 0 END) AS BIGINT) AS dup_tokens,
+      |  round(1.0 - CAST(SUM(CASE WHEN c.cnt >= 2 THEN s.sl ELSE 0 END) AS DOUBLE)
+      |          / CAST(any_value(s.n_tokens) AS DOUBLE), 6) AS keep_frac
+      |FROM segs s JOIN cnts c ON s.seg = c.seg
+      |WHERE s.doc_id < 300
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- lr1
+  // Model-based quality scoring: a fixed linear classifier over engineered
+  // document features (the fasttext-classifier / FineWeb-Edu shape — a
+  // trained model's INFERENCE pass, run at corpus scale as a pure column
+  // expression). Weights are fixed constants (training is out of scope —
+  // the operator is the distributed scoring surface: features → logit →
+  // sigmoid → keep flag).
+  //
+  // Scale: one doc_id-keyed aggregation over the token stream; zero joins,
+  // zero windows, fully codegen'd. Determinism: integer counts into one
+  // fixed-order double expression per doc; round(...,6) at the edge only.
+  def lr1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length($"tok").cast("long")).as("chars"),
+        sum(when($"tok".isin(Stops: _*), 1L).otherwise(0L)).as("n_stop"),
+        countDistinct($"tok").as("n_types"))
+      .withColumn("mean_wl", $"chars".cast("double") / $"n_words".cast("double"))
+      .withColumn("stop_frac", $"n_stop".cast("double") / $"n_words".cast("double"))
+      .withColumn("ttr", $"n_types".cast("double") / $"n_words".cast("double"))
+      .withColumn("z",
+        lit(0.2) +
+        lit(0.8) * (($"n_words".cast("double") - 50.0) / 50.0) +
+        lit(2.0) * ($"mean_wl" - 4.5) +
+        lit(-3.0) * ($"stop_frac" - 0.25) +
+        lit(4.0) * ($"ttr" - 0.5))
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-$"z")))
+      .filter($"doc_id" < 300)
+      .select($"doc_id", $"n_words", round($"mean_wl", 6).as("mean_wl"),
+        round($"stop_frac", 6).as("stop_frac"), round($"ttr", 6).as("ttr"),
+        round($"score", 6).as("score"), ($"score" >= 0.5).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val lr1Sql: String =
+    s"""WITH pt AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(length(tok)) AS BIGINT) AS chars,
+       |    CAST(SUM(CASE WHEN tok IN ($stopsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       |    COUNT(DISTINCT tok) AS n_types
+       |  FROM pt GROUP BY doc_id),
+       |f AS (
+       |  SELECT doc_id, n_words,
+       |    CAST(chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_wl,
+       |    CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_frac,
+       |    CAST(n_types AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr
+       |  FROM m),
+       |sc AS (
+       |  SELECT doc_id, n_words, mean_wl, stop_frac, ttr,
+       |    1.0 / (1.0 + exp(-(0.2
+       |      + 0.8 * ((CAST(n_words AS DOUBLE) - 50.0) / 50.0)
+       |      + 2.0 * (mean_wl - 4.5)
+       |      + -3.0 * (stop_frac - 0.25)
+       |      + 4.0 * (ttr - 0.5)))) AS score
+       |  FROM f)
+       |SELECT doc_id, n_words, round(mean_wl, 6) AS mean_wl,
+       |  round(stop_frac, 6) AS stop_frac, round(ttr, 6) AS ttr,
+       |  round(score, 6) AS score, score >= 0.5 AS keep
+       |FROM sc WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gq1_gopher_rules" -> gq1,
     "pii1_redaction" -> pii1,
     "dsir1_importance_resample" -> dsir1,
+    "ld1_segment_dedup" -> ld1,
+    "lr1_quality_classifier" -> lr1,
   )
 
   def oracles: Map[String, String] = Map(
     "gq1_gopher_rules" -> gq1Sql,
     "pii1_redaction" -> pii1Sql,
     "dsir1_importance_resample" -> dsir1Sql,
+    "ld1_segment_dedup" -> ld1Sql,
+    "lr1_quality_classifier" -> lr1Sql,
   )
 }

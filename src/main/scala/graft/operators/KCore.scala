@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-round k-core peeling (Matula & Beck 1983 / Batagelj–Zaveršnik,
+  * in its synchronous distributed form): each round removes EVERY vertex
+  * whose degree in the current induced subgraph is < k, then recomputes
+  * degrees on the induced edge set. Peeling is monotone (V₁ ⊇ V₂ ⊇ …), and
+  * once a round removes nothing the survivors are exactly the k-core; the
+  * round bound makes the operator's output well-defined on both engines
+  * regardless of convergence (the same bounded-iteration treatment as
+  * [[PageRank]]'s fixed iteration count — the reference for unrolling an
+  * iterative fixed point into a deterministic, oracle-checkable query).
+  *
+  * Scale design: one degree aggregation (shuffle on vertex id, map-side
+  * combined) plus two shuffle LEFT SEMI joins per round — the survivor set
+  * scales with the graph, so it is never broadcast. Edges are
+  * `localCheckpoint`ed every round: the result each round is small relative
+  * to its lineage, and without the cut Catalyst would re-derive round r
+  * from round 0 every time (the [[ConnectedComponents]] lesson). All
+  * counts are exact longs.
+  */
+object KCore {
+
+  /** Peel `edges` (distinct undirected pairs `u`,`v`, no self loops) for
+    * `rounds` synchronous rounds at threshold `k`. Returns one row per
+    * round: (round, n_peeled, n_remaining), where n_remaining counts the
+    * vertices surviving that round's degree test. The per-round counts ARE
+    * the aggregate output (the peel profile — how fast the graph sheds its
+    * periphery); [[coreVertices]] exposes the surviving set itself.
+    */
+  def peelRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    var e = edges.select(col("u"), col("v")).localCheckpoint()
+    var deg = degrees(e)
+    var prev = deg.count()
+    var r = 1
+    while (r <= rounds) {
+      val keep = deg.filter(col("dg") >= k).select(col("x")).localCheckpoint()
+      val cur = keep.count()
+      e = e.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).localCheckpoint()
+      deg = degrees(e)
+      out += ((r.toLong, prev - cur, cur))
+      prev = cur
+      r += 1
+    }
+    import spark.implicits._
+    spark.createDataFrame(out.result()).toDF("round", "n_peeled", "n_remaining")
+      .orderBy($"round")
+  }
+
+  /** Vertices surviving `rounds` peel rounds (= the exact k-core when the
+    * profile shows a zero-peel round — spec-checked). */
+  def coreVertices(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("u"), col("v")).localCheckpoint()
+    var keep = degrees(e).filter(col("dg") >= k).select(col("x")).localCheckpoint()
+    var r = 1
+    while (r < rounds) {
+      e = e.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).localCheckpoint()
+      keep = degrees(e).filter(col("dg") >= k).select(col("x")).localCheckpoint()
+      r += 1
+    }
+    keep
+  }
+
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+}

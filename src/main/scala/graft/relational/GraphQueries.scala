@@ -136,15 +136,77 @@ object GraphQueries extends graft.core.QueryModule {
       |  round(3.0 * n_triangles / n_wedges, 6) AS clustering
       |FROM wed, ecnt, tri""".stripMargin
 
+  /** kc1: bounded-round k-core peel over tc1's co-supply adjacency graph —
+    * the peel PROFILE (peeled/remaining per synchronous round) of the
+    * standard k-core decomposition, unrolled to [[KcRounds]] rounds on both
+    * engines (pr1's bounded-iteration treatment: well-defined and
+    * hash-checkable whether or not the fixed point is reached inside the
+    * bound; KCoreSpec proves the bounded peel ≡ run-to-fixpoint semantics
+    * on graphs that do converge — and this graph converges inside the
+    * bound at every tested SF). The threshold is DATA-DERIVED —
+    * k = ⌈mean degree⌉ + 1 — because this graph's density grows with
+    * scale factor: any fixed k is either vacuous (nothing ever peels) or
+    * instantly total at some SF, and a profile that never peels verifies
+    * nothing. The mean-degree scalar is one metadata-sized aggregate
+    * (table-statistics material in a real deployment), computed with
+    * identical exact-integer→one-double-division arithmetic on both
+    * engines.
+    */
+  private val KcRounds = 6
+  def kc1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ps = Tables.lineitem(s, dir)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("sup")).distinct()
+    val w = Window.partitionBy($"p").orderBy($"sup")
+    val e = ps.withColumn("v", lead($"sup", 1).over(w))
+      .filter($"v".isNotNull)
+      .select($"sup".as("u"), $"v").distinct()
+    val d0 = e.select($"u".as("x")).unionAll(e.select($"v".as("x")))
+      .groupBy($"x").agg(count(lit(1)).as("dg"))
+      .agg(sum($"dg").cast("long").as("s"), count(lit(1)).as("c")).head()
+    val k = math.ceil(d0.getLong(0).toDouble / d0.getLong(1).toDouble).toLong + 1
+    graft.operators.KCore.peelRounds(e, k.toInt, rounds = KcRounds)
+  }
+
+  val kc1Sql: String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    // reference, and this chain references each level several times — the
+    // un-materialized expansion is exponential in the round count
+    val head =
+      """WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
+        |nxt AS MATERIALIZED (SELECT p, sup AS u, LEAD(sup) OVER (PARTITION BY p ORDER BY sup) AS v
+        |        FROM ps),
+        |e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM nxt WHERE v IS NOT NULL),
+        |d0 AS MATERIALIZED (SELECT x, COUNT(*) AS dg
+        |       FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |kk AS MATERIALIZED (SELECT CAST(ceil(CAST(SUM(dg) AS DOUBLE)
+        |                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) + 1 AS k FROM d0)""".stripMargin
+    val roundsCtes = (1 to KcRounds).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT x FROM d${i - 1} WHERE dg >= (SELECT k FROM kk)),
+         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+         |        WHERE u IN (SELECT x FROM v$i) AND v IN (SELECT x FROM v$i)),
+         |d$i AS MATERIALIZED (SELECT x, COUNT(*) AS dg
+         |        FROM (SELECT u AS x FROM e$i UNION ALL SELECT v FROM e$i) GROUP BY 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    def n(i: Int) = if (i == 0) "(SELECT COUNT(*) FROM d0)" else s"(SELECT COUNT(*) FROM v$i)"
+    val rows = (1 to KcRounds).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS round, ${n(i - 1)} - ${n(i)} AS n_peeled, ${n(i)} AS n_remaining"
+    }.mkString("\n", "\nUNION ALL ", "\nORDER BY round")
+    head + roundsCtes + rows
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr1_pagerank" -> pr1,
     "bf1_bloom_semijoin" -> bf1,
     "tc1_triangle_count" -> tc1,
+    "kc1_kcore_peel" -> kc1,
   )
 
   def oracles: Map[String, String] = Map(
     "pr1_pagerank" -> pr1Sql,
     "bf1_bloom_semijoin" -> bf1Sql,
     "tc1_triangle_count" -> tc1Sql,
+    "kc1_kcore_peel" -> kc1Sql,
   )
 }

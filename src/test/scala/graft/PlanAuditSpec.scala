@@ -143,7 +143,9 @@ class PlanAuditSpec extends SparkTestBase {
       "t3_token_stats",      // corpus-level scalar aggregates
       "mix1_domain_mixture", // two 1-row normalization constants (Σtokens, Σw)
       "dsir1_importance_resample", // 1-row model-totals (Dr, Dt) broadcast
-      "tc1_triangle_count")  // three 1-row global-count scalars combined
+      "tc1_triangle_count",  // three 1-row global-count scalars combined
+      "cms1_countmin_freq",  // 1-row broadcast of the finished CMS sketch
+      "qz1_int8_quant_ann")  // 1-row broadcast of the quantized query vector
     // iterative operators run actions while BUILDING the frame — profile
     // their final stage only (loop internals are audited by their specs)
     val violations = for {
