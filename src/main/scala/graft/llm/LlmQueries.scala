@@ -684,6 +684,37 @@ object LlmQueries extends graft.core.QueryModule {
        |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin
   }
 
+  // T12: Zipf vocabulary coverage — cumulative corpus coverage of the top-k
+  // tokens (the tokenizer-vocabulary sizing curve: "how much of the stream
+  // do the k most frequent types cover"). Rank AND running sum both come
+  // from [[graft.operators.GlobalRank]] (range-repartitioned row_number +
+  // distributed prefix sum) — no single-partition window even for a
+  // billion-type vocabulary; the corpus total is a 1-row broadcast.
+  def t12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = docTokens(s, dir).groupBy($"tok").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum($"c").cast("long").as("t"))
+    val cum = graft.operators.GlobalRank.withPrefixSum(
+      counts, Seq($"c".desc, $"tok"), $"c", out = "cum")
+    graft.operators.GlobalRank.withRowNumber(
+        cum, Seq($"c".desc, $"tok"), rn = "rk", nTotal = None)
+      .filter($"rk" <= 20)
+      .crossJoin(broadcast(tot))
+      .select($"rk".cast("long").as("rk"), $"tok", $"c",
+        round($"cum".cast("double") / $"t".cast("double"), 6).as("cum_frac"))
+      .orderBy($"rk")
+  }
+  val t12Sql: String =
+    s"""$duckTokCtes,
+       |c AS (SELECT tok, COUNT(*) AS c FROM pt GROUP BY tok),
+       |r AS (SELECT tok, c,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rk,
+       |        SUM(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM c),
+       |t AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c)
+       |SELECT rk, tok, c, round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_frac
+       |FROM r, t WHERE rk <= 20 ORDER BY rk""".stripMargin
+
   // QZ1: scalar int8 quantization of the embedding table + quantized-route
   // top-k with an exact-route recall audit — the memory-side half of an ANN
   // index (FAISS's SQ8 shape): 4 bytes/dim → 1 byte/dim, distances computed
@@ -1568,6 +1599,7 @@ object LlmQueries extends graft.core.QueryModule {
     "r1_ann_recall" -> r1,
     "s5_ann_ivf_multiprobe" -> s5,
     "qz1_int8_quant_ann" -> qz1,
+    "t12_vocab_coverage" -> t12,
     "t5_regex_tokens" -> t5,
     "hof1_array_stats" -> hof1,
     "t1_langid" -> t1,
@@ -1607,6 +1639,7 @@ object LlmQueries extends graft.core.QueryModule {
     "r1_ann_recall" -> r1Sql,
     "s5_ann_ivf_multiprobe" -> s5Sql,
     "qz1_int8_quant_ann" -> qz1Sql,
+    "t12_vocab_coverage" -> t12Sql,
     "t5_regex_tokens" -> t5Sql,
     "hof1_array_stats" -> hof1Sql,
     "t1_langid" -> t1Sql,

@@ -206,6 +206,43 @@ object Extras extends graft.core.QueryModule {
       |FROM s LEFT JOIN ev e ON e.us > s.us AND e.us <= s.us + 3600000000
       |GROUP BY signup_id ORDER BY signup_id""".stripMargin
 
+  // OI1: interval×interval overlap join — signup attention windows (1 h)
+  // overlapping purchase windows (30 min), via
+  // [[graft.operators.RangeJoin.intervalOverlap]] (both sides explode into
+  // covered buckets, equijoin on the bucket, each pair claimed by the
+  // bucket of the overlap's left edge — exactly-once without a distinct).
+  // The oracle runs the plain inequality join (DuckDB IEJoin); in stock
+  // Spark that join shape is a BroadcastNestedLoopJoin, unusable with two
+  // fact-sized sides.
+  def oi1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("us", unix_micros($"ts"))
+    val su = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"us".as("slo"),
+        ($"us" + 3600000000L).as("shi"))
+    val pu = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"us".as("plo"),
+        ($"us" + 1800000000L).as("phi"))
+    graft.operators.RangeJoin.intervalOverlap(
+        su, $"slo", $"shi", pu, $"plo", $"phi", bucketWidth = 3600000000L)
+      .groupBy(expr("(slo div 3600000000) % 24").as("hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"signup_id").as("n_signups"),
+        countDistinct($"purchase_id").as("n_purchases"))
+      .orderBy($"hour")
+  }
+  val oi1Sql: String =
+    """WITH ev AS (SELECT event_id, epoch_us(ts) AS us, event_type FROM events),
+      |s AS (SELECT event_id AS signup_id, us AS slo, us + 3600000000 AS shi
+      |      FROM ev WHERE event_type = 'signup'),
+      |p AS (SELECT event_id AS purchase_id, us AS plo, us + 1800000000 AS phi
+      |      FROM ev WHERE event_type = 'purchase')
+      |SELECT (slo // 3600000000) % 24 AS hour, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT signup_id) AS n_signups,
+      |  COUNT(DISTINCT purchase_id) AS n_purchases
+      |FROM s JOIN p ON slo < phi AND plo < shi
+      |GROUP BY 1 ORDER BY hour""".stripMargin
+
   // W8: lead/lag navigation — per-user delta to the previous value and the
   // next event's type.
   def w8(s: SparkSession, dir: String): DataFrame = {
@@ -626,6 +663,7 @@ object Extras extends graft.core.QueryModule {
     "q8_market_share" -> q8,
     "q13_cust_distribution" -> q13,
     "rj1_range_join_count" -> rj1,
+    "oi1_interval_overlap" -> oi1,
     "w8_lead_lag" -> w8,
     "g3_grouping_sets" -> g3,
   )
@@ -647,6 +685,7 @@ object Extras extends graft.core.QueryModule {
     "q8_market_share" -> q8Sql,
     "q13_cust_distribution" -> q13Sql,
     "rj1_range_join_count" -> rj1Sql,
+    "oi1_interval_overlap" -> oi1Sql,
     "w8_lead_lag" -> w8Sql,
     "g3_grouping_sets" -> g3Sql,
   )
