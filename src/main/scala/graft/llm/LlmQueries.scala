@@ -792,6 +792,70 @@ object LlmQueries extends graft.core.QueryModule {
        |ORDER BY t.qdot DESC, t.vec_id""".stripMargin
   }
 
+  // RP1: random-projection dimensionality reduction (Johnson–Lindenstrauss
+  // with a ±1 Achlioptas matrix) + distance-preservation audit — the
+  // dim-reduction stage that runs BEFORE bucketing/ANN at scale (64 → 16
+  // dims here). The "random" matrix is a deterministic Knuth-hash bit —
+  // sign(d,j) from bit 16 of ((d·16+j+1)·2654435761) mod 2³² — pure
+  // integer column arithmetic identical on both engines (BottomK's hash
+  // discipline; bit 16, not bit 0: the multiplier is odd, so the low bit
+  // would just alternate with the index). Projection and squared
+  // distances are fixed-order left folds (t8's discipline), so ratio and
+  // audit flag match bit-for-bit with no hardcoded-TRUE oracle.
+  //
+  // Scale: zero joins/windows on the corpus side — the projection is a
+  // per-row array expression; the query vector is a 1-row broadcast.
+  private val RpK = 16
+  /** Spark/DuckDB shared projection text: dialect differences are only
+    * integer div (`div` vs `//`) and array indexing base. */
+  private def rpProjSpark(emb: String): String =
+    s"""transform(sequence(0, 15), j -> aggregate(sequence(0, 63), 0.0D,
+       |  (acc, d) -> acc + CAST(element_at($emb, d + 1) AS DOUBLE) *
+       |    CAST(2 * (((((d*16 + j + 1) * 2654435761) % 4294967296) div 65536) % 2) - 1 AS DOUBLE)))"""
+      .stripMargin
+  private def rpProjDuck(emb: String): String =
+    s"""list_transform(range(0, 16), j -> list_reduce(list_transform(range(0, 64),
+       |  d -> CAST($emb[d + 1] AS DOUBLE) *
+       |    CAST(2 * (((((d*16 + j + 1) * 2654435761) % 4294967296) // 65536) % 2) - 1 AS DOUBLE)),
+       |  (a, b) -> a + b))""".stripMargin
+  def rp1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
+      .withColumn("pj", expr(rpProjSpark("embedding")))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), $"n2".as("qn2"), $"pj".as("qpj"))
+    e.filter($"vec_id".between(1, 20)).crossJoin(broadcast(q))
+      .withColumn("orig2", $"n2" + $"qn2" - lit(2.0) * VectorOps.dotNative($"embedding", $"qe"))
+      .withColumn("proj2", expr(
+        "aggregate(zip_with(pj, qpj, (x, y) -> (x - y) * (x - y)), 0.0D, (a, v) -> a + v)"))
+      .withColumn("ratio", $"proj2" / (lit(RpK.toDouble) * $"orig2"))
+      .select($"vec_id", round($"orig2", 6).as("orig2"), round($"proj2", 6).as("proj2"),
+        round($"ratio", 6).as("ratio"),
+        ($"ratio" >= 0.2 && $"ratio" <= 5.0).as("jl_ok"))
+      .orderBy($"vec_id")
+  }
+  val rp1Sql: String = {
+    val dotAA = VectorOps.dotSqlDuck("a.embedding", "a.embedding", 64)
+    val dotQQ = VectorOps.dotSqlDuck("q.qe", "q.qe", 64)
+    val dotAQ = VectorOps.dotSqlDuck("a.embedding", "q.qe", 64)
+    s"""WITH q AS (SELECT embedding AS qe, ${rpProjDuck("embedding")} AS qpj
+       |           FROM embeddings WHERE vec_id = 0),
+       |pa AS (SELECT vec_id, embedding, ${rpProjDuck("embedding")} AS apj
+       |       FROM embeddings WHERE vec_id BETWEEN 1 AND 20),
+       |sc AS (
+       |  SELECT a.vec_id,
+       |    ($dotAA) + ($dotQQ) - 2.0 * ($dotAQ) AS orig2,
+       |    list_reduce(list_transform(range(0, 16),
+       |      j -> (a.apj[j + 1] - q.qpj[j + 1]) * (a.apj[j + 1] - q.qpj[j + 1])),
+       |      (x, y) -> x + y) AS proj2
+       |  FROM pa a, q)
+       |SELECT vec_id, round(orig2, 6) AS orig2, round(proj2, 6) AS proj2,
+       |  round(proj2 / (16.0 * orig2), 6) AS ratio,
+       |  (proj2 / (16.0 * orig2) >= 0.2 AND proj2 / (16.0 * orig2) <= 5.0) AS jl_ok
+       |FROM sc ORDER BY vec_id""".stripMargin
+  }
+
   // T5: BPE-ish regex tokenization (letter runs / digit runs / single
   // punctuation) — corpus stats per language.
   private val BpeRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -1600,6 +1664,7 @@ object LlmQueries extends graft.core.QueryModule {
     "s5_ann_ivf_multiprobe" -> s5,
     "qz1_int8_quant_ann" -> qz1,
     "t12_vocab_coverage" -> t12,
+    "rp1_random_projection" -> rp1,
     "t5_regex_tokens" -> t5,
     "hof1_array_stats" -> hof1,
     "t1_langid" -> t1,
@@ -1640,6 +1705,7 @@ object LlmQueries extends graft.core.QueryModule {
     "s5_ann_ivf_multiprobe" -> s5Sql,
     "qz1_int8_quant_ann" -> qz1Sql,
     "t12_vocab_coverage" -> t12Sql,
+    "rp1_random_projection" -> rp1Sql,
     "t5_regex_tokens" -> t5Sql,
     "hof1_array_stats" -> hof1Sql,
     "t1_langid" -> t1Sql,

@@ -37,15 +37,23 @@ object KCore {
     var deg = degrees(e)
     var prev = deg.count()
     var r = 1
-    while (r <= rounds) {
+    var converged = false
+    while (r <= rounds && !converged) {
       val keep = deg.filter(col("dg") >= k).select(col("x")).localCheckpoint()
       val cur = keep.count()
-      e = e.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).localCheckpoint()
-      deg = degrees(e)
       out += ((r.toLong, prev - cur, cur))
-      prev = cur
+      if (cur == prev) {
+        // fixed point: peeling is deterministic, so every later round is
+        // (0 peeled, cur remaining) — fill without running further jobs
+        converged = true
+        ((r + 1) to rounds).foreach(i => out += ((i.toLong, 0L, cur)))
+      } else {
+        e = e.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")).localCheckpoint()
+        deg = degrees(e)
+        prev = cur
+      }
       r += 1
     }
     import spark.implicits._
@@ -58,13 +66,17 @@ object KCore {
   def coreVertices(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = edges.select(col("u"), col("v")).localCheckpoint()
     var keep = degrees(e).filter(col("dg") >= k).select(col("x")).localCheckpoint()
+    var prev = keep.count()
     var r = 1
     while (r < rounds) {
       e = e.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v")).localCheckpoint()
       keep = degrees(e).filter(col("dg") >= k).select(col("x")).localCheckpoint()
-      r += 1
+      val cur = keep.count()
+      // counts equal ⇒ sets equal (peeling is monotone) ⇒ fixed point
+      r = if (cur == prev) rounds else r + 1
+      prev = cur
     }
     keep
   }

@@ -146,6 +146,7 @@ class PlanAuditSpec extends SparkTestBase {
       "tc1_triangle_count",  // three 1-row global-count scalars combined
       "cms1_countmin_freq",  // 1-row broadcast of the finished CMS sketch
       "qz1_int8_quant_ann",  // 1-row broadcast of the quantized query vector
+      "rp1_random_projection", // 1-row broadcast of the projected query vector
       "t12_vocab_coverage")  // 1-row broadcast of the corpus token total
     // iterative operators run actions while BUILDING the frame — profile
     // their final stage only (loop internals are audited by their specs)
