@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   * through the JDK's built-in `javax.imageio` (no external library) into
   * pixel-derived grid-luminance features. The AUDIO codec is real too:
   * [[AudioDecoder]] decodes WAV/AIFF/AU through `javax.sound.sampled`
-  * into per-segment PCM RMS energy. VIDEO stays STUBBED (the JDK ships
-  * no video codec and this environment has no media libraries):
-  * [[StubDecoder]] produces deterministic features from raw bytes. The
-  * Spark-side contract — schema, batch iteration, partition-local
-  * decoder reuse, feature array shape — is real and tested either way.
+  * into per-segment PCM RMS energy. VIDEO is real for MJPEG-in-AVI:
+  * [[MjpegAviDecoder]] walks the RIFF container and frame-samples the
+  * JPEG payloads through the same ImageIO codec; compressed codecs the
+  * JDK lacks (H.264 etc.) fall back to [[StubDecoder]] byte-window
+  * features, clearly marked. The Spark-side contract — schema, batch
+  * iteration, partition-local decoder reuse, feature array shape — is
+  * the same on every path.
   */
 object Multimodal {
 
@@ -73,10 +75,17 @@ object Multimodal {
     def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
       if (kind != "image" || bytes == null || bytes.isEmpty)
         return fallback.decode(kind, bytes)
+      val f = decodeOrNull(bytes)
+      if (f == null) fallback.decode(kind, bytes) else f // not an image ImageIO knows
+    }
+    /** Grid-luminance features, or null when ImageIO has no codec for the
+      * payload (callers choose their own fallback — the video path skips
+      * undecodable frames instead of averaging stub bytes in). */
+    private[multimodal] def decodeOrNull(bytes: Array[Byte]): Array[Float] = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case _: java.io.IOException => null }
-      if (img == null) return fallback.decode(kind, bytes) // not an image ImageIO knows
+      if (img == null) return null
       val (w, h) = (img.getWidth, img.getHeight)
       val out = new Array[Float](dim)
       val cnt = new Array[Int](dim)
@@ -160,19 +169,82 @@ object Multimodal {
     }
   }
 
+  /** Real VIDEO decode for MJPEG-in-AVI — the one video format the bare
+    * JDK can genuinely decode, because an MJPEG stream is just JPEG frames
+    * in a RIFF container and `javax.imageio` ships a JPEG codec. The
+    * parser walks the RIFF chunk tree (`RIFF('AVI ')` → `LIST` recursion,
+    * word-aligned chunks), collects the `00dc`/`00db` movi payloads, and
+    * FRAME-SAMPLES every `frameStep`-th frame through
+    * [[ImageIoDecoder]]'s grid-luminance, averaging the sampled frames —
+    * decode cost scales with frames/step, the standard video
+    * feature-extraction shape. Non-AVI payloads and codecs the JDK lacks
+    * (H.264 etc.) fall back to [[StubDecoder]] byte-window features, same
+    * contract as the image/audio paths. */
+  class MjpegAviDecoder(grid: Int = 4, frameStep: Int = 2) extends Decoder {
+    require(frameStep > 0)
+    val dim: Int = grid * grid
+    private val image = new ImageIoDecoder(grid)
+    private val fallback = new StubDecoder(dim)
+    def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
+      if (kind != "video" || bytes == null || bytes.length < 12)
+        return fallback.decode(kind, bytes)
+      val frames = parseFrames(bytes)
+      // sample every frameStep-th frame; skip frames ImageIO cannot decode
+      // (a corrupt frame must not poison the average)
+      val feats = frames.indices
+        .collect { case i if i % frameStep == 0 => image.decodeOrNull(frames(i)) }
+        .filter(_ != null)
+      if (feats.isEmpty) return fallback.decode(kind, bytes)
+      val out = new Array[Float](dim)
+      feats.foreach { f => var i = 0; while (i < dim) { out(i) += f(i); i += 1 } }
+      var i = 0
+      while (i < dim) { out(i) /= feats.size; i += 1 }
+      out
+    }
+    /** `00dc`/`00db` chunk payloads in stream order; Nil if not an AVI. */
+    private[multimodal] def parseFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+      def fourcc(o: Int): String =
+        if (o + 4 <= b.length)
+          new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        else ""
+      def u32(o: Int): Long =
+        (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
+      val out = Seq.newBuilder[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var o = start
+        while (o + 8 <= end) {
+          val id = fourcc(o)
+          val sz = u32(o + 4)
+          if (sz < 0 || sz > end - o - 8) return // corrupt size: stop cleanly
+          val szi = sz.toInt
+          if (id == "LIST") walk(o + 12, o + 8 + szi)
+          else if ((id == "00dc" || id == "00db") && szi > 0)
+            out += java.util.Arrays.copyOfRange(b, o + 8, o + 8 + szi)
+          o += 8 + szi + (szi & 1) // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, math.min(b.length, (u32(4) + 8).toInt))
+      out.result()
+    }
+  }
+
   /** Kind-dispatching decoder: image → ImageIO pixels, audio → sampled
-    * PCM RMS, everything else (video: the JDK ships no codec — the one
-    * remaining declared stub) → byte-window features. All three paths
-    * share `dim`, so a mixed-kind table yields one uniform feature
-    * column. */
+    * PCM RMS, video → MJPEG-AVI frame sampling (all three REAL JDK
+    * codecs); unknown kinds and payloads no JDK codec can read →
+    * byte-window features. All paths share `dim`, so a mixed-kind table
+    * yields one uniform feature column. */
   class CompositeDecoder(grid: Int = 4) extends Decoder {
     val dim: Int = grid * grid
     private val image = new ImageIoDecoder(grid)
     private val audio = new AudioDecoder(dim)
+    private val video = new MjpegAviDecoder(grid)
     private val stub = new StubDecoder(dim)
     def decode(kind: String, bytes: Array[Byte]): Array[Float] = kind match {
       case "image" => image.decode(kind, bytes)
       case "audio" => audio.decode(kind, bytes)
+      case "video" => video.decode(kind, bytes)
       case _ => stub.decode(kind, bytes)
     }
   }
