@@ -92,6 +92,62 @@ object CorpusQueries extends graft.core.QueryModule {
       |SELECT source, n_docs, tokens, round(w / wsum, 6) AS mix_weight
       |FROM w, ws ORDER BY source""".stripMargin
 
+  /** mix2: MATERIALIZE the mixture that mix1 only weights — per-source
+    * document quota k_i = max(1, ⌊wᵢ/Σw · 60⌋) from the same
+    * temperature-0.7 weights, filled deterministically in
+    * (md5(text), doc_id) order via the mergeable bottom-k aggregate
+    * (BottomKByStringKey: ≤ 60 (md5,id) pairs per source on the shuffle —
+    * never a corpus-wide rank window). The training-batch assembly step:
+    * weights → an actual reproducible document sample.
+    */
+  def mix2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val bySrc = docs
+      .select($"source", size(TextOps.tokens($"text")).cast("long").as("tok"))
+      .groupBy($"source").agg(sum($"tok").as("tokens"))
+    val tot = bySrc.agg(sum($"tokens").as("tot_tokens"))
+    val w = bySrc.crossJoin(broadcast(tot))
+      .withColumn("w", pow($"tokens".cast("double") / $"tot_tokens".cast("double"), 0.7))
+    val wsum = w
+      .agg(sort_array(collect_list(struct($"source", $"w"))).as("ws"))
+      .select(aggregate($"ws", lit(0.0),
+        (acc, x) => acc + x("w").cast("double")).as("wsum"))
+    val quota = w.crossJoin(broadcast(wsum))
+      .select($"source",
+        greatest(lit(1L), floor($"w" / $"wsum" * 60.0).cast("long")).as("k"))
+    val bk = udaf(new graft.functions.Aggregators.BottomKByStringKey(60))
+    docs.groupBy($"source").agg(bk(md5($"text"), $"doc_id").as("ids"))
+      .select($"source", posexplode($"ids").as(Seq("pos", "doc_id")))
+      .select($"source", ($"pos" + 1).cast("long").as("rk"), $"doc_id")
+      .join(broadcast(quota), "source")
+      .filter($"rk" <= $"k")
+      .select($"source", $"k".as("quota"), $"rk", $"doc_id")
+      .orderBy($"source", $"rk")
+  }
+
+  val mix2Sql: String =
+    """WITH bysrc AS (
+      |  SELECT source,
+      |    CAST(SUM(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT))
+      |      AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(tokens) AS tot_tokens FROM bysrc),
+      |w AS (SELECT source,
+      |        pow(CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 0.7) AS w
+      |      FROM bysrc, tot),
+      |ws AS (SELECT list_reduce(list_transform(
+      |         list_sort(list(struct_pack(source := source, w := w))),
+      |         x -> CAST(x.w AS DOUBLE)), (a, b) -> a + b) AS wsum FROM w),
+      |quota AS (SELECT source, GREATEST(1, CAST(FLOOR(w / wsum * 60.0) AS BIGINT)) AS k
+      |          FROM w, ws),
+      |rk AS (SELECT source, doc_id,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+      |       FROM documents)
+      |SELECT r.source, q.k AS quota, r.rk, r.doc_id
+      |FROM rk r JOIN quota q ON r.source = q.source
+      |WHERE r.rk <= q.k ORDER BY r.source, r.rk""".stripMargin
+
   /** ch1: within-doc token windowing — every doc becomes overlapping
     * training windows of 8 tokens at stride 4 (the chunking step BEFORE
     * cross-doc packing: pack1 lays whole docs head-to-tail; ch1 splits
@@ -133,12 +189,14 @@ object CorpusQueries extends graft.core.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack1_sequence_packing" -> pack1,
     "mix1_domain_mixture" -> mix1,
+    "mix2_quota_sample" -> mix2,
     "ch1_token_windows" -> ch1,
   )
 
   def oracles: Map[String, String] = Map(
     "pack1_sequence_packing" -> pack1Sql,
     "mix1_domain_mixture" -> mix1Sql,
+    "mix2_quota_sample" -> mix2Sql,
     "ch1_token_windows" -> ch1Sql,
   )
 }

@@ -142,6 +142,7 @@ class PlanAuditSpec extends SparkTestBase {
       "j8_hd_pair_correlation", // pulsar-pair self-join: tens of pulsars
       "t3_token_stats",      // corpus-level scalar aggregates
       "mix1_domain_mixture", // two 1-row normalization constants (Σtokens, Σw)
+      "mix2_quota_sample",   // the same two 1-row constants feeding the quota
       "dsir1_importance_resample", // 1-row model-totals (Dr, Dt) broadcast
       "tc1_triangle_count",  // three 1-row global-count scalars combined
       "cms1_countmin_freq",  // 1-row broadcast of the finished CMS sketch
