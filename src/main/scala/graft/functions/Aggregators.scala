@@ -286,6 +286,24 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** [[BottomKByPriority]] whose FINISH keeps the (priority, id) pairs in
+    * rank order — for consumers that need the sort key itself (a k-NN
+    * edge's similarity score), not just the ranked ids. Delegates every
+    * buffer operation to [[BottomKByPriority]], so the merge laws proven
+    * there carry over verbatim; same ≤ k pairs-per-group shuffle bound. */
+  class BottomKPairs(k: Int)
+      extends Aggregator[(Double, Long), (Array[Double], Array[Long]), Array[(Double, Long)]] {
+    private val inner = new BottomKByPriority(k)
+    def zero: (Array[Double], Array[Long]) = inner.zero
+    def reduce(b: (Array[Double], Array[Long]), v: (Double, Long)) = inner.reduce(b, v)
+    def merge(x: (Array[Double], Array[Long]), y: (Array[Double], Array[Long])) =
+      inner.merge(x, y)
+    def finish(b: (Array[Double], Array[Long])): Array[(Double, Long)] = b._1.zip(b._2)
+    def bufferEncoder: Encoder[(Array[Double], Array[Long])] = inner.bufferEncoder
+    def outputEncoder: Encoder[Array[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long)]]()
+  }
+
   /** K rows per group with the smallest STRING sort key (ties → smaller
     * id) — the deterministic stratified-sample rank (order by md5(text))
     * as a mergeable aggregate. Same shuffle bound as

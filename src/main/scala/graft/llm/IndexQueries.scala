@@ -418,6 +418,66 @@ object IndexQueries extends graft.core.QueryModule {
       |      FROM d)
       |SELECT lang, rk, doc_id FROM r WHERE rk <= 4 ORDER BY lang, rk""".stripMargin
 
+  /** pi1: positional-index phrase search — every occurrence of a 3-word
+    * phrase located by POSITION-ADJACENCY joins over the (doc_id, pos, tok)
+    * posting stream (the inverted-index phrase-match shape: probe each
+    * term's postings, then intersect on doc with pos offsets +1/+2 —
+    * exactly how a search engine answers "a b c" as a phrase, not a bag).
+    * The phrase itself is data-derived (the corpus's most frequent trigram,
+    * ties by text) so the query discriminates at every SF with no
+    * hardcoded literal. Scale shape: the phrase pick is one shingle-keyed
+    * hash agg + TakeOrdered(1); each probe is a selective semi-filter of
+    * the token stream (df(w_i) rows); the intersections are (doc_id, pos)
+    * equijoins — never a scan of unfiltered positions against positions.
+    */
+  def pi1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val top = docs
+      .select(TextOps.tokens($"text").as("toks")).filter(size($"toks") >= 3)
+      .select(explode(TextOps.shingles3($"toks")).as("sh"))
+      .groupBy($"sh").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"sh").limit(1)
+      .select(split($"sh", "_").as("ws"))
+      .select(element_at($"ws", 1).as("w1"), element_at($"ws", 2).as("w2"),
+        element_at($"ws", 3).as("w3"))
+    val pt = TextOps.docTokens(docs, $"doc_id", $"text")
+    val b = broadcast(top)
+    val p1 = pt.join(b, $"tok" === $"w1").select($"doc_id", $"pos", $"w1", $"w2", $"w3")
+    val p2 = pt.join(b, $"tok" === $"w2").select($"doc_id".as("d2"), $"pos".as("q2"))
+    val p3 = pt.join(b, $"tok" === $"w3").select($"doc_id".as("d3"), $"pos".as("q3"))
+    p1.join(p2, $"doc_id" === $"d2" && $"q2" === $"pos" + 1)
+      .join(p3, $"doc_id" === $"d3" && $"q3" === $"pos" + 2)
+      .select($"doc_id", $"pos".cast("long").as("start_pos"),
+        concat_ws(" ", $"w1", $"w2", $"w3").as("phrase"))
+      .orderBy($"doc_id", $"start_pos")
+  }
+
+  val pi1Sql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |pt AS (
+      |  SELECT doc_id, s.pos AS pos, s.tok AS tok
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(toks, (x, i) -> struct_pack(pos := i, tok := x))) AS s
+      |        FROM dt) t),
+      |sh0 AS (
+      |  SELECT tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w AS sh,
+      |    lead(tok, 2) OVER w AS t2
+      |  FROM (SELECT * FROM pt WHERE doc_id IN (SELECT doc_id FROM dt WHERE len(toks) >= 3)) p
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |top AS (
+      |  SELECT string_split(sh, '_')[1] AS w1, string_split(sh, '_')[2] AS w2,
+      |    string_split(sh, '_')[3] AS w3
+      |  FROM (SELECT sh, COUNT(*) AS cnt FROM sh0 WHERE t2 IS NOT NULL
+      |        GROUP BY sh ORDER BY cnt DESC, sh LIMIT 1) t)
+      |SELECT a.doc_id, a.pos AS start_pos, top.w1 || ' ' || top.w2 || ' ' || top.w3 AS phrase
+      |FROM pt a JOIN top ON a.tok = top.w1
+      |JOIN pt b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.tok = top.w2
+      |JOIN pt c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.tok = top.w3
+      |ORDER BY a.doc_id, start_pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe1_pair_counts" -> bpe1,
     "bpe2_merge_train" -> bpe2,
@@ -428,6 +488,7 @@ object IndexQueries extends graft.core.QueryModule {
     "spl1_hash_split" -> spl1,
     "diff1_snapshot_diff" -> diff1,
     "wsm1_weighted_sample" -> wsm1,
+    "pi1_phrase_search" -> pi1,
   )
 
   def oracles: Map[String, String] = Map(
@@ -440,5 +501,6 @@ object IndexQueries extends graft.core.QueryModule {
     "spl1_hash_split" -> spl1Sql,
     "diff1_snapshot_diff" -> diff1Sql,
     "wsm1_weighted_sample" -> wsm1Sql,
+    "pi1_phrase_search" -> pi1Sql,
   )
 }

@@ -1561,6 +1561,58 @@ object LlmQueries extends graft.core.QueryModule {
        |FROM p WHERE cos > 0.35 GROUP BY cell, vb ORDER BY cell, dropped_id""".stripMargin
   }
 
+  // KNN1: corpus k-NN GRAPH — every vector's top-3 neighbors by cosine
+  // among its IVF cell-mates (the precursor structure for SemDeDup
+  // clustering, kNN-LM retrieval, and graph-based ANN index builds —
+  // s1/s2/s5 answer one query's top-k; this materializes the all-nodes
+  // edge list). Scale shape: candidates are the same BoundedSelfJoin
+  // within-cell pairs as sem1 (hot cells fan out across capped chunk-pair
+  // tasks, never single-task O(n²)); the per-vector top-3 is a MERGEABLE
+  // bottom-k aggregate over priority −cos ([[graft.functions.Aggregators.BottomKPairs]]
+  // — ≤ 3 (cos, nb) pairs per vector on the shuffle, no rank window over
+  // cell-sized groups).
+  def knn1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
+    val ec = e.join(ivfCells(s, dir), "vec_id")
+    val p = graft.operators.BoundedSelfJoin.pairs(ec, "cell", "vec_id", cap = 4096)
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        (VectorOps.dotNative($"a.embedding", $"b.embedding") /
+          (sqrt($"a.n2") * sqrt($"b.n2"))).as("cos"))
+    val sym = p.select($"va".as("src"), $"vb".as("nb"), $"cos")
+      .unionAll(p.select($"vb".as("src"), $"va".as("nb"), $"cos"))
+    val bk = udaf(new graft.functions.Aggregators.BottomKPairs(3))
+    sym.groupBy($"src")
+      .agg(bk(-$"cos", $"nb").as("nbs"))
+      .select($"src", posexplode($"nbs").as(Seq("pos", "e")))
+      .select($"src", ($"pos" + 1).cast("long").as("rk"),
+        $"e._2".as("nb"), round(-$"e._1", 6).as("cos"))
+      .orderBy($"src", $"rk")
+  }
+  val knn1Sql: String = {
+    val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
+    val pairCos = VectorOps.cosineSqlDuck("ea.embedding", "eb.embedding", 64)
+    s"""WITH c AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+       |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
+       |        FROM embeddings e CROSS JOIN c),
+       |cells AS (SELECT vec_id, cid AS cell FROM (
+       |            SELECT vec_id, cid,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
+       |            FROM asg) r WHERE rk = 1),
+       |sym AS (SELECT ca.vec_id AS src, cb.vec_id AS nb, $pairCos AS cos
+       |        FROM cells ca JOIN cells cb
+       |          ON ca.cell = cb.cell AND ca.vec_id <> cb.vec_id
+       |        JOIN embeddings ea ON ea.vec_id = ca.vec_id
+       |        JOIN embeddings eb ON eb.vec_id = cb.vec_id),
+       |r AS (SELECT src, nb, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, nb) AS rk
+       |      FROM sym)
+       |SELECT src, rk, nb, round(cos, 6) AS cos
+       |FROM r WHERE rk <= 3 ORDER BY src, rk""".stripMargin
+  }
+
   // D9: set-similarity join with PREFIX FILTERING (the PPJoin/AllPairs
   // candidate pruner — Bayardo et al. 2007, Xiao et al. 2008): order every
   // document's shingle set by a GLOBAL canonical order (df ascending —
@@ -1646,6 +1698,7 @@ object LlmQueries extends graft.core.QueryModule {
        |ORDER BY da, db""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn1_knn_graph" -> knn1,
     "sem1_semantic_dedup" -> sem1,
     "d9_prefix_filter_join" -> d9,
     "d1_exact_dedup" -> d1,
@@ -1687,6 +1740,7 @@ object LlmQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "knn1_knn_graph" -> knn1Sql,
     "sem1_semantic_dedup" -> sem1Sql,
     "d9_prefix_filter_join" -> d9Sql,
     "d1_exact_dedup" -> d1Sql,

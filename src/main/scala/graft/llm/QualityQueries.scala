@@ -345,12 +345,70 @@ object QualityQueries extends graft.core.QueryModule {
        |  round(score, 6) AS score, score >= 0.5 AS keep
        |FROM sc WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- nv1
+  // Corpus-wide novelty score — the curation signal DUAL to dedup: instead
+  // of dropping near-duplicates pairwise, score each document by how much
+  // of it appears NOWHERE else (the "uniqueness" weighting used when
+  // up-sampling rare content and down-weighting boilerplate). Per doc:
+  // the fraction of its DISTINCT 3-token shingles whose corpus document
+  // frequency is exactly 1. Scale shape: within-doc distinct is an array
+  // op before the explode (no doc-keyed shuffle), the shingle DF is one
+  // shingle-keyed hash agg, and the score is a shingle-keyed equijoin back
+  // plus a doc-keyed agg — the d4/ds1 candidate-generation family, never
+  // O(n²) over documents. The novelty ratio is the same CAST/CAST IEEE
+  // division in both engines, so the `is_novel` comparison needs no
+  // rounding guard.
+  private val NoveltyTau = 0.5
+
+  def nv1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(array_distinct(TextOps.shingles3($"toks"))).as("sh"))
+    val df = sh.groupBy($"sh").agg(count(lit(1)).as("sdf"))
+    sh.join(df, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"sdf" === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", $"n_novel".cast("double") / $"n_shingles".cast("double"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        round($"novelty", 6).as("novelty"), ($"novelty" >= NoveltyTau).as("is_novel"))
+      .orderBy($"doc_id")
+  }
+
+  val nv1Sql: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |pt AS (
+       |  SELECT doc_id, s.pos AS pos, s.tok AS tok
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(toks, (x, i) -> struct_pack(pos := i, tok := x))) AS s
+       |        FROM dt WHERE len(toks) >= 3) t),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |    tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w AS sh,
+       |    lead(tok, 2) OVER w AS t2
+       |  FROM pt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE t2 IS NOT NULL),
+       |df AS (SELECT sh, COUNT(*) AS sdf FROM sh GROUP BY sh),
+       |m AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_shingles,
+       |    CAST(SUM(CASE WHEN d.sdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM sh s JOIN df d ON s.sh = d.sh GROUP BY s.doc_id)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  round(CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS novelty,
+       |  CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= $NoveltyTau AS is_novel
+       |FROM m ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gq1_gopher_rules" -> gq1,
     "pii1_redaction" -> pii1,
     "dsir1_importance_resample" -> dsir1,
     "ld1_segment_dedup" -> ld1,
     "lr1_quality_classifier" -> lr1,
+    "nv1_novelty_score" -> nv1,
   )
 
   def oracles: Map[String, String] = Map(
@@ -359,5 +417,6 @@ object QualityQueries extends graft.core.QueryModule {
     "dsir1_importance_resample" -> dsir1Sql,
     "ld1_segment_dedup" -> ld1Sql,
     "lr1_quality_classifier" -> lr1Sql,
+    "nv1_novelty_score" -> nv1Sql,
   )
 }
