@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.text.TextOps
@@ -402,6 +403,82 @@ object QualityQueries extends graft.core.QueryModule {
        |  CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= $NoveltyTau AS is_novel
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- cdk1
+  // Content-defined chunking (the LBFS/FastCDC boundary rule applied at
+  // token granularity): a chunk boundary falls after token i whenever a
+  // rolling hash of the last 4 tokens hits 0 mod 8 — so boundaries are
+  // CONTENT-anchored and a single-token insertion only reflows the chunks
+  // it touches, where ld1's fixed aligned segments shift every downstream
+  // segment. Chunks are then exact-deduped corpus-wide by their text.
+  // Cross-engine determinism: the token hash is position-weighted ASCII
+  // codes (pure integer HOF fold — same arithmetic in both engines), and
+  // the chunk key is the chunk TEXT itself, not an engine hash. Scale
+  // shape: doc-partitioned windows (doc-sized groups), one chunk-text
+  // hash agg, one equijoin back — the ld1 family's cost profile.
+  private val CdkW = 4    // rolling window (tokens)
+  private val CdkD = 8    // boundary divisor → expected chunk ≈ 8 tokens
+
+  def cdk1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pt = TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text")
+      .withColumn("c", expr(
+        "aggregate(transform(split(tok, ''), (ch, j) -> ascii(ch) * (j + 1)), 0L, (acc, x) -> acc + x)"))
+    val wo = Window.partitionBy($"doc_id").orderBy($"pos")
+    val h = (lit(11) * $"c" + lit(7) * lag($"c", 1, 0).over(wo) +
+      lit(5) * lag($"c", 2, 0).over(wo) + lit(3) * lag($"c", 3, 0).over(wo)) % CdkD
+    val b = pt.withColumn("b", when($"pos" >= CdkW && h === 0, 1L).otherwise(0L))
+      .withColumn("cid", lit(1L) + coalesce(
+        sum($"b").over(wo.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = b.groupBy($"doc_id", $"cid")
+      .agg(array_join(transform(array_sort(collect_list(struct($"pos", $"tok"))),
+        x => x("tok")), " ").as("ctext"))
+    val occ = chunks.groupBy($"ctext").agg(count(lit(1)).as("cnt"))
+    chunks.join(occ, "ctext")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"cnt" > 1L, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        round($"n_dup_chunks".cast("double") / $"n_chunks".cast("double"), 6))
+      .orderBy($"doc_id")
+  }
+
+  val cdk1Sql: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |pt AS (
+       |  SELECT doc_id, s.pos AS pos, s.tok AS tok
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(toks, (x, i) -> struct_pack(pos := i, tok := x))) AS s
+       |        FROM dt) t),
+       |cc AS (
+       |  SELECT doc_id, pos, tok,
+       |    list_sum(list_transform(string_split(tok, ''), (ch, j) -> ord(ch) * j)) AS c
+       |  FROM pt),
+       |hb AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN pos >= $CdkW AND
+       |      (11 * c + 7 * lag(c, 1, 0) OVER w + 5 * lag(c, 2, 0) OVER w
+       |       + 3 * lag(c, 3, 0) OVER w) % $CdkD = 0
+       |    THEN 1 ELSE 0 END AS b
+       |  FROM cc WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |cid AS (
+       |  SELECT doc_id, pos, tok,
+       |    1 + COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+       |  FROM hb),
+       |chunks AS (
+       |  SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY pos) AS ctext
+       |  FROM cid GROUP BY doc_id, cid),
+       |occ AS (SELECT ctext, COUNT(*) AS cnt FROM chunks GROUP BY ctext),
+       |m AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_chunks,
+       |    CAST(SUM(CASE WHEN o.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+       |  FROM chunks c JOIN occ o ON c.ctext = o.ctext GROUP BY c.doc_id)
+       |SELECT doc_id, n_chunks, n_dup_chunks,
+       |  round(CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE), 6) AS dup_frac
+       |FROM m ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gq1_gopher_rules" -> gq1,
     "pii1_redaction" -> pii1,
@@ -409,6 +486,7 @@ object QualityQueries extends graft.core.QueryModule {
     "ld1_segment_dedup" -> ld1,
     "lr1_quality_classifier" -> lr1,
     "nv1_novelty_score" -> nv1,
+    "cdk1_content_chunking" -> cdk1,
   )
 
   def oracles: Map[String, String] = Map(
@@ -418,5 +496,6 @@ object QualityQueries extends graft.core.QueryModule {
     "ld1_segment_dedup" -> ld1Sql,
     "lr1_quality_classifier" -> lr1Sql,
     "nv1_novelty_score" -> nv1Sql,
+    "cdk1_content_chunking" -> cdk1Sql,
   )
 }
