@@ -292,10 +292,16 @@ object QualityQueries extends graft.core.QueryModule {
   // Scale: one doc_id-keyed aggregation over the token stream; zero joins,
   // zero windows, fully codegen'd. Determinism: integer counts into one
   // fixed-order double expression per doc; round(...,6) at the edge only.
-  def lr1(s: SparkSession, dir: String): DataFrame = {
+  /** Shared scored frame for lr1/qf1: per-doc engineered features + the
+    * fixed-linear-model sigmoid score, with the doc's source carried
+    * through the explode (source is functionally dependent on doc_id, so
+    * adding it to the groupBy changes no aggregate). Unrounded — callers
+    * round at their output edge. */
+  private def lrScored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text")
-      .groupBy($"doc_id")
+    TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text",
+        keep = Seq($"source"))
+      .groupBy($"doc_id", $"source")
       .agg(count(lit(1)).as("n_words"),
         sum(length($"tok").cast("long")).as("chars"),
         sum(when($"tok".isin(Stops: _*), 1L).otherwise(0L)).as("n_stop"),
@@ -310,6 +316,11 @@ object QualityQueries extends graft.core.QueryModule {
         lit(-3.0) * ($"stop_frac" - 0.25) +
         lit(4.0) * ($"ttr" - 0.5))
       .withColumn("score", lit(1.0) / (lit(1.0) + exp(-$"z")))
+  }
+
+  def lr1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lrScored(s, dir)
       .filter($"doc_id" < 300)
       .select($"doc_id", $"n_words", round($"mean_wl", 6).as("mean_wl"),
         round($"stop_frac", 6).as("stop_frac"), round($"ttr", 6).as("ttr"),
@@ -479,6 +490,63 @@ object QualityQueries extends graft.core.QueryModule {
        |  round(CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE), 6) AS dup_frac
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- qf1
+  // ADAPTIVE quality floor — "keep the best half of every source" instead
+  // of one global cutoff (the per-domain thresholding used when a fixed
+  // gate would empty low-resource domains and wave through boilerplate
+  // ones). Floor = each source's MEDIAN lr1 score; keep = score ≥ own
+  // source's floor. Cross-engine: lr1's score is already bit-exact, and
+  // Spark's exact `percentile` interpolates identically to DuckDB's
+  // quantile_cont (proven by a8), so the ≥ comparison needs no epsilon.
+  // Scale shape: floors are a source-keyed agg (map-side partial) whose
+  // result is dimension-sized → broadcast back; at petabyte scale swap
+  // `percentile` for `percentile_approx` (same plan shape, mergeable
+  // sketch) — the floor is a tuning constant, not an exact statistic.
+  def qf1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = lrScored(s, dir)
+    val floors = sc.groupBy($"source")
+      .agg(percentile($"score", lit(0.5)).as("floor"), count(lit(1)).as("n_src"))
+    sc.join(broadcast(floors), "source")
+      .filter($"doc_id" < 300)
+      .select($"doc_id", $"source", $"n_src", round($"score", 6).as("score"),
+        round($"floor", 6).as("floor"), ($"score" >= $"floor").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val qf1Sql: String =
+    s"""WITH pt AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, source, COUNT(*) AS n_words,
+       |    CAST(SUM(length(tok)) AS BIGINT) AS chars,
+       |    CAST(SUM(CASE WHEN tok IN ($stopsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       |    COUNT(DISTINCT tok) AS n_types
+       |  FROM pt GROUP BY doc_id, source),
+       |f AS (
+       |  SELECT doc_id, source, n_words,
+       |    CAST(chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_wl,
+       |    CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_frac,
+       |    CAST(n_types AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr
+       |  FROM m),
+       |sc AS (
+       |  SELECT doc_id, source,
+       |    1.0 / (1.0 + exp(-(0.2
+       |      + 0.8 * ((CAST(n_words AS DOUBLE) - 50.0) / 50.0)
+       |      + 2.0 * (mean_wl - 4.5)
+       |      + -3.0 * (stop_frac - 0.25)
+       |      + 4.0 * (ttr - 0.5)))) AS score
+       |  FROM f),
+       |fl AS (
+       |  SELECT source, quantile_cont(score, 0.5) AS floor, COUNT(*) AS n_src
+       |  FROM sc GROUP BY source)
+       |SELECT sc.doc_id, sc.source, fl.n_src, round(sc.score, 6) AS score,
+       |  round(fl.floor, 6) AS floor, sc.score >= fl.floor AS keep
+       |FROM sc JOIN fl ON sc.source = fl.source
+       |WHERE sc.doc_id < 300 ORDER BY sc.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gq1_gopher_rules" -> gq1,
     "pii1_redaction" -> pii1,
@@ -487,6 +555,7 @@ object QualityQueries extends graft.core.QueryModule {
     "lr1_quality_classifier" -> lr1,
     "nv1_novelty_score" -> nv1,
     "cdk1_content_chunking" -> cdk1,
+    "qf1_adaptive_floor" -> qf1,
   )
 
   def oracles: Map[String, String] = Map(
@@ -497,5 +566,6 @@ object QualityQueries extends graft.core.QueryModule {
     "lr1_quality_classifier" -> lr1Sql,
     "nv1_novelty_score" -> nv1Sql,
     "cdk1_content_chunking" -> cdk1Sql,
+    "qf1_adaptive_floor" -> qf1Sql,
   )
 }

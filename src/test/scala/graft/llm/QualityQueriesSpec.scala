@@ -102,4 +102,21 @@ class QualityQueriesSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_dups") >= 1L)
     }
   }
+
+  test("qf1: floor is each source's median score, keep splits every source") {
+    val rows = QualityQueries.qf1(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      // one floor per source, and keep == (score >= floor) row-wise
+      assert(rs.map(_.getAs[Double]("floor")).distinct.length == 1, src)
+      rs.foreach { r =>
+        assert(r.getAs[Boolean]("keep") ==
+          (r.getAs[Double]("score") >= r.getAs[Double]("floor")))
+      }
+      // a MEDIAN floor must actually discriminate within each source
+      // (all docs in a source sharing one score would make the gate vacuous)
+      assert(rs.exists(_.getAs[Boolean]("keep")), src)
+      assert(rs.exists(r => !r.getAs[Boolean]("keep")), src)
+    }
+  }
 }
