@@ -186,10 +186,100 @@ object CorpusQueries extends graft.core.QueryModule {
       |  CAST(LEAST(start_pos + 7, n) - start_pos + 1 AS BIGINT) AS win_toks
       |FROM st ORDER BY doc_id, win_id""".stripMargin
 
+  /** mix3: EPOCH schedule under a token budget — how many passes over each
+    * source a training run makes when the budget is B = 2× the corpus and
+    * tokens are allotted by mix1's temperature-0.7 weights, with the
+    * data-constrained repetition cap (≤ 2 epochs; the "repeating beyond a
+    * few epochs stops helping" rule). Sub-linear weights give small
+    * sources MORE than their proportional share → epochs > 2 → capped,
+    * while large sources sit under 2 — so the `capped` flag discriminates
+    * wherever source sizes differ. All-broadcast arithmetic on the
+    * dimension-sized per-source frame; the one corpus pass is mix1's
+    * token count. Double arithmetic is identical expression-for-expression
+    * in both engines (wsum via the same sorted fold as mix1/mix2).
+    */
+  def mix3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bySrc = Tables.documents(s, dir)
+      .select($"source", size(TextOps.tokens($"text")).cast("long").as("tok"))
+      .groupBy($"source").agg(sum($"tok").as("tokens"))
+    val tot = bySrc.agg(sum($"tokens").as("tot_tokens"))
+    val w = bySrc.crossJoin(broadcast(tot))
+      .withColumn("w", pow($"tokens".cast("double") / $"tot_tokens".cast("double"), 0.7))
+    val wsum = w
+      .agg(sort_array(collect_list(struct($"source", $"w"))).as("ws"))
+      .select(aggregate($"ws", lit(0.0),
+        (acc, x) => acc + x("w").cast("double")).as("wsum"))
+    w.crossJoin(broadcast(wsum))
+      .withColumn("target", $"w" / $"wsum" * (lit(2.0) * $"tot_tokens".cast("double")))
+      .withColumn("epochs", $"target" / $"tokens".cast("double"))
+      .select($"source", $"tokens",
+        round($"w" / $"wsum", 6).as("mix_weight"),
+        floor($"target").cast("long").as("target_tokens"),
+        round($"epochs", 6).as("epochs"),
+        ($"epochs" > 2.0).as("capped"),
+        floor(least($"epochs", lit(2.0)) * $"tokens".cast("double"))
+          .cast("long").as("realized_tokens"))
+      .orderBy($"source")
+  }
+
+  val mix3Sql: String =
+    """WITH bysrc AS (
+      |  SELECT source,
+      |    CAST(SUM(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT))
+      |      AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(tokens) AS tot_tokens FROM bysrc),
+      |w AS (SELECT source, tokens,
+      |        pow(CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 0.7) AS w,
+      |        tot_tokens
+      |      FROM bysrc, tot),
+      |ws AS (SELECT list_reduce(list_transform(
+      |         list_sort(list(struct_pack(source := source, w := w))),
+      |         x -> CAST(x.w AS DOUBLE)), (a, b) -> a + b) AS wsum FROM w),
+      |e AS (SELECT source, tokens, w / wsum AS mw,
+      |        w / wsum * (2.0 * CAST(tot_tokens AS DOUBLE)) AS target
+      |      FROM w, ws)
+      |SELECT source, tokens, round(mw, 6) AS mix_weight,
+      |  CAST(FLOOR(target) AS BIGINT) AS target_tokens,
+      |  round(target / CAST(tokens AS DOUBLE), 6) AS epochs,
+      |  target / CAST(tokens AS DOUBLE) > 2.0 AS capped,
+      |  CAST(FLOOR(LEAST(target / CAST(tokens AS DOUBLE), 2.0)
+      |    * CAST(tokens AS DOUBLE)) AS BIGINT) AS realized_tokens
+      |FROM e ORDER BY source""".stripMargin
+
+  /** ord1: deterministic global training order — a reproducible corpus
+    * "shuffle" as a pseudorandom permutation: sort key = Knuth
+    * multiplicative hash of doc_id, rank = [[GlobalRank]]'s two-pass
+    * range-shuffle prefix count (never a single-partition ROW_NUMBER
+    * window; the oracle's OVER () is the semantic spec, not the plan).
+    * Every epoch of a training run replays byte-identical order from
+    * nothing but the doc ids. First 25 positions shown.
+    */
+  def ord1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.documents(s, dir)
+      .select($"doc_id", (($"doc_id" * 2654435761L) % 4294967296L).as("h"))
+    GlobalRank.withRowNumber(keyed, Seq(col("h"), col("doc_id")),
+        rn = "rank", nTotal = None)
+      .filter($"rank" <= 25)
+      .select($"rank", $"doc_id", $"h")
+      .orderBy($"rank")
+  }
+
+  val ord1Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank,
+      |  doc_id, h
+      |FROM k QUALIFY rank <= 25 ORDER BY rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack1_sequence_packing" -> pack1,
     "mix1_domain_mixture" -> mix1,
     "mix2_quota_sample" -> mix2,
+    "mix3_epoch_schedule" -> mix3,
+    "ord1_global_shuffle" -> ord1,
     "ch1_token_windows" -> ch1,
   )
 
@@ -197,6 +287,8 @@ object CorpusQueries extends graft.core.QueryModule {
     "pack1_sequence_packing" -> pack1Sql,
     "mix1_domain_mixture" -> mix1Sql,
     "mix2_quota_sample" -> mix2Sql,
+    "mix3_epoch_schedule" -> mix3Sql,
+    "ord1_global_shuffle" -> ord1Sql,
     "ch1_token_windows" -> ch1Sql,
   )
 }
