@@ -35,9 +35,19 @@ object TriangleCount {
       when(smallerU, col("u")).otherwise(col("v")).as("src"),
       when(smallerU, col("v")).otherwise(col("u")).as("dst"))
       .localCheckpoint()
+    // Join strategy scales with the edge list (the count is free —
+    // localCheckpoint just materialized o). Small graphs: no hint, AQE
+    // converts both probes to broadcast joins. Beyond broadcast size:
+    // SHUFFLE_HASH — build on the |E|-sized side, STREAM the wedge side
+    // (the |E|^1.5-bounded intermediate, ≈ 80·|E| here). Left unhinted the
+    // planner sort-merges, and sorting the wedge stream was the
+    // superlinear term the sf1 probe exposed (22× time at 10× edges); a
+    // sort buys nothing for a join that ends in one count.
+    val big = o.count() > 500000L
+    def probeSide(df: DataFrame): DataFrame = if (big) df.hint("shuffle_hash") else df
     val tri = o.as("e1")
-      .join(o.as("e2"), col("e1.dst") === col("e2.src"))
-      .join(o.as("e3"),
+      .join(probeSide(o.as("e2")), col("e1.dst") === col("e2.src"))
+      .join(probeSide(o.as("e3")),
         col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
       .agg(count(lit(1)).as("n_triangles"))
     val stats = deg.agg(count(lit(1)).as("n_nodes"),

@@ -143,6 +143,7 @@ class PlanAuditSpec extends SparkTestBase {
       "t3_token_stats",      // corpus-level scalar aggregates
       "mix1_domain_mixture", // two 1-row normalization constants (Σtokens, Σw)
       "mix2_quota_sample",   // the same two 1-row constants feeding the quota
+      "mix3_epoch_schedule", // the same two 1-row constants feeding the budget
       "dsir1_importance_resample", // 1-row model-totals (Dr, Dt) broadcast
       "tc1_triangle_count",  // three 1-row global-count scalars combined
       "cms1_countmin_freq",  // 1-row broadcast of the finished CMS sketch
