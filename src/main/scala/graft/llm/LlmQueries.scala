@@ -461,6 +461,57 @@ object LlmQueries extends graft.core.QueryModule {
        |SELECT v AS doc_id, root AS cluster_id FROM comp WHERE root <> v
        |ORDER BY doc_id""".stripMargin
 
+  // CS1: QUALITY-AWARE canonical selection — the dedup pipeline's final
+  // choice done right: per near-dup cluster (c1's simhash components),
+  // keep the HIGHEST-lr1-score member, not the lowest id (min-id keeps
+  // whichever crawl shard arrived first; argmax-quality keeps the best
+  // copy — the choice production dedup actually wants). Composition of
+  // two existing verified stages over the memoized component table; the
+  // argmax is one struct-min aggregate ((−score, doc_id) lexicographic —
+  // score desc, id asc on ties), map-side partial, no per-cluster window.
+  def cs1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comp = ccComp(s, dir)
+    val sc = QualityQueries.lrScored(s, dir).select($"doc_id", $"score")
+    comp.join(sc, comp("v") === sc("doc_id"))
+      .groupBy($"root".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct((-$"score").as("ns"), $"doc_id".as("d"))).as("m"))
+      .filter($"n_docs" >= 2)
+      .select($"cluster_id", $"n_docs", $"m.d".as("keeper"),
+        round(-$"m.ns", 6).as("keeper_score"),
+        ($"n_docs" - 1).as("n_dropped"))
+      .orderBy($"cluster_id")
+  }
+
+  val cs1Sql: String =
+    s"""$ccCompCtes,
+       |pt2 AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |m2 AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(length(tok)) AS BIGINT) AS chars,
+       |    CAST(SUM(CASE WHEN tok IN (${QualityQueries.stopsSqlList}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       |    COUNT(DISTINCT tok) AS n_types
+       |  FROM pt2 GROUP BY doc_id),
+       |sc AS (
+       |  SELECT doc_id,
+       |    1.0 / (1.0 + exp(-(0.2
+       |      + 0.8 * ((CAST(n_words AS DOUBLE) - 50.0) / 50.0)
+       |      + 2.0 * (CAST(chars AS DOUBLE) / CAST(n_words AS DOUBLE) - 4.5)
+       |      + -3.0 * (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) - 0.25)
+       |      + 4.0 * (CAST(n_types AS DOUBLE) / CAST(n_words AS DOUBLE) - 0.5)))) AS score
+       |  FROM m2),
+       |r AS (
+       |  SELECT comp.root, comp.v, sc.score,
+       |    ROW_NUMBER() OVER (PARTITION BY comp.root ORDER BY sc.score DESC, comp.v) AS rk,
+       |    COUNT(*) OVER (PARTITION BY comp.root) AS n_docs
+       |  FROM comp JOIN sc ON comp.v = sc.doc_id)
+       |SELECT root AS cluster_id, CAST(n_docs AS BIGINT) AS n_docs, v AS keeper,
+       |  round(score, 6) AS keeper_score, CAST(n_docs - 1 AS BIGINT) AS n_dropped
+       |FROM r WHERE rk = 1 AND n_docs >= 2 ORDER BY cluster_id""".stripMargin
+
   // D5: embedding-cosine near-dup pairs within a coarse partition (label =
   // IVF cell) — unrolled dot products for cross-engine bit-exactness.
   // Pair generation goes through BoundedSelfJoin so a hot label fans its
@@ -1699,6 +1750,7 @@ object LlmQueries extends graft.core.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn1_knn_graph" -> knn1,
+    "cs1_canonical_selection" -> cs1,
     "sem1_semantic_dedup" -> sem1,
     "d9_prefix_filter_join" -> d9,
     "d1_exact_dedup" -> d1,
@@ -1741,6 +1793,7 @@ object LlmQueries extends graft.core.QueryModule {
 
   val oracles: Map[String, String] = Map(
     "knn1_knn_graph" -> knn1Sql,
+    "cs1_canonical_selection" -> cs1Sql,
     "sem1_semantic_dedup" -> sem1Sql,
     "d9_prefix_filter_join" -> d9Sql,
     "d1_exact_dedup" -> d1Sql,

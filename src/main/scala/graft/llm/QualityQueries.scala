@@ -33,7 +33,7 @@ object QualityQueries extends graft.core.QueryModule {
 
   private val Stops =
     Seq("the", "data", "query", "table", "scan", "join", "group", "order", "filter", "row")
-  private def stopsSqlList = Stops.map(s => s"'$s'").mkString(", ")
+  private[llm] def stopsSqlList = Stops.map(s => s"'$s'").mkString(", ")
 
   // ---------------------------------------------------------------- gq1
   // Rule-based quality gate. Each rule is a checkable boolean; `pass` is
@@ -297,7 +297,7 @@ object QualityQueries extends graft.core.QueryModule {
     * through the explode (source is functionally dependent on doc_id, so
     * adding it to the groupBy changes no aggregate). Unrounded — callers
     * round at their output edge. */
-  private def lrScored(s: SparkSession, dir: String): DataFrame = {
+  private[llm] def lrScored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text",
         keep = Seq($"source"))

@@ -72,6 +72,30 @@ class SearchNoveltySpec extends SparkTestBase {
     }
   }
 
+  test("cs1: keeper is the per-cluster quality argmax over the full membership") {
+    val scores = QualityQueries.lrScored(spark, sf)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // membership from the verified c1/c2 outputs: root ∪ non-root members
+    val dropped = LlmQueries.c2(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id")))
+    val members = dropped.groupBy(_._1).view
+      .mapValues(ms => ms.map(_._2).toSet + ms.head._1).toMap
+    val rows = LlmQueries.cs1(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val ms = members(cid)
+      assert(r.getAs[Long]("n_docs") == ms.size.toLong)
+      assert(r.getAs[Long]("n_dropped") == ms.size.toLong - 1)
+      val expected = ms.toSeq.map(id => (id, scores(id)))
+        .sortBy { case (id, s) => (-s, id) }.head._1
+      assert(r.getAs[Long]("keeper") == expected, s"cluster $cid")
+      assert(ms.contains(r.getAs[Long]("keeper")))
+    }
+    assert(rows.map(_.getAs[Long]("cluster_id")).toSet == members.keySet)
+  }
+
   test("BottomKPairs: equals sort-take under arbitrary merge splits") {
     val gen = for {
       xs <- Gen.listOf(Gen.zip(Gen.chooseNum(-10.0, 10.0), Gen.chooseNum(0L, 30L)))
