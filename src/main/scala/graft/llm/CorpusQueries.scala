@@ -274,7 +274,52 @@ object CorpusQueries extends graft.core.QueryModule {
       |  doc_id, h
       |FROM k QUALIFY rank <= 25 ORDER BY rank""".stripMargin
 
+  /** tm1: training-manifest export plan — the table of contents a trainer
+    * reads before touching a single shard. Docs are laid out in the ord1
+    * deterministic shuffle order (Knuth-hash permutation), cut into
+    * fixed-size shards of 64 docs, and each shard summarized: doc count,
+    * total tokens, rank span, and the first/last doc ids (min_by/max_by on
+    * rank). The rank comes from [[GlobalRank.withRowNumber]] (range shuffle
+    * + broadcast offsets — never a single-partition ROW_NUMBER), so the
+    * manifest of a 100 TB corpus is one shuffle plus a shard_id-keyed
+    * aggregation over ~n_docs/64 groups. [[graft.sinks.CorpusExport
+    * .writeOrderedShards]] is the write side that materializes exactly this
+    * layout; the manifest row count × shard size bounds every loader's
+    * read parallelism contract.
+    */
+  def tm1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.documents(s, dir)
+      .select($"doc_id", (($"doc_id" * 2654435761L) % 4294967296L).as("h"),
+        size(TextOps.tokens($"text")).cast("long").as("tok"))
+    GlobalRank.withRowNumber(keyed, Seq(col("h"), col("doc_id")),
+        rn = "rank", nTotal = None)
+      .withColumn("shard_id", expr("(rank - 1) div 64"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"),
+        min($"rank").as("min_rank"), max($"rank").as("max_rank"),
+        min_by($"doc_id", $"rank").as("first_doc"),
+        max_by($"doc_id", $"rank").as("last_doc"))
+      .orderBy($"shard_id")
+  }
+
+  val tm1Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tok
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, tok,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank
+      |  FROM k)
+      |SELECT CAST((rank - 1) // 64 AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+      |  MIN(rank) AS min_rank, MAX(rank) AS max_rank,
+      |  MIN_BY(doc_id, rank) AS first_doc, MAX_BY(doc_id, rank) AS last_doc
+      |FROM r GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tm1_training_manifest" -> tm1,
     "pack1_sequence_packing" -> pack1,
     "mix1_domain_mixture" -> mix1,
     "mix2_quota_sample" -> mix2,
@@ -284,6 +329,7 @@ object CorpusQueries extends graft.core.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "tm1_training_manifest" -> tm1Sql,
     "pack1_sequence_packing" -> pack1Sql,
     "mix1_domain_mixture" -> mix1Sql,
     "mix2_quota_sample" -> mix2Sql,

@@ -951,6 +951,48 @@ object LlmQueries extends graft.core.QueryModule {
        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
   }
 
+  // EV1: per-label per-dimension embedding moments — the drift/collapse
+  // diagnostic over an embedding store (a dimension whose variance ≈ 0 is
+  // dead; a label whose means shift between snapshots has drifted).
+  // Determinism discipline: each float component is scaled to an exact
+  // integer (round(v·1e6) as long), sums/sums-of-squares aggregate in
+  // integer space (order-independent), and mean/variance come out of one
+  // identically-ordered double formula rounded at the edge — the same
+  // integer-cents pattern as the grouping-set family. One posexplode +
+  // (label, dim)-keyed hash aggregate: 64·|labels| groups at any corpus
+  // size, partial map-side combine does nearly all the work.
+  def ev1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaled = Tables.embeddings(s, dir)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"label", $"dim".cast("long").as("dim"),
+        round($"v".cast("double") * 1e6, 0).cast("long").as("sv"))
+    val m = ($"s1".cast("double") / $"n".cast("double"))
+    scaled.groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"sv").as("s1"),
+        sum($"sv" * $"sv").as("s2"))
+      .select($"label", $"dim", $"n",
+        round(m / 1e6, 6).as("mean"),
+        round(($"s2".cast("double") / $"n".cast("double") - m * m) / 1e12, 6)
+          .as("var_pop"))
+      .orderBy($"label", $"dim")
+  }
+  val ev1Sql: String =
+    """WITH x AS (
+      |  SELECT label, CAST(d.dim - 1 AS BIGINT) AS dim,
+      |    CAST(ROUND(CAST(embedding[d.dim] AS DOUBLE) * 1000000, 0) AS BIGINT) AS sv
+      |  FROM embeddings CROSS JOIN range(1, 65) d(dim)),
+      |g AS (
+      |  SELECT label, dim, COUNT(*) AS n,
+      |    CAST(SUM(sv) AS BIGINT) AS s1, CAST(SUM(sv * sv) AS BIGINT) AS s2
+      |  FROM x GROUP BY 1, 2)
+      |SELECT label, dim, n,
+      |  ROUND((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000, 6) AS mean,
+      |  ROUND((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000000000, 6) AS var_pop
+      |FROM g ORDER BY label, dim""".stripMargin
+
   // T1: language-ID n-gram/stopword heuristic.
   def t1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1772,6 +1814,7 @@ object LlmQueries extends graft.core.QueryModule {
     "rp1_random_projection" -> rp1,
     "t5_regex_tokens" -> t5,
     "hof1_array_stats" -> hof1,
+    "ev1_embedding_moments" -> ev1,
     "t1_langid" -> t1,
     "t2_quality_score" -> t2,
     "t3_token_stats" -> t3,
@@ -1815,6 +1858,7 @@ object LlmQueries extends graft.core.QueryModule {
     "rp1_random_projection" -> rp1Sql,
     "t5_regex_tokens" -> t5Sql,
     "hof1_array_stats" -> hof1Sql,
+    "ev1_embedding_moments" -> ev1Sql,
     "t1_langid" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_stats" -> t3Sql,

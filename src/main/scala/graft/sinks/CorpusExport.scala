@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Training-corpus export: the write side of the dedup pipeline.
   *
@@ -82,5 +82,36 @@ object CorpusExport {
       .write
       .mode("overwrite")
       .parquet(outDir)
+  }
+
+  /** Epoch-ordered shard export — the write side of the tm1 manifest
+    * ([[graft.llm.CorpusQueries.tm1]]): docs are ranked by the Knuth-hash
+    * permutation of `idCol` (deterministic global training order,
+    * [[graft.operators.GlobalRank]] — no single-partition window), cut into
+    * fixed `shardSize` shards, and written `partitionBy(shard_id)` so each
+    * shard is its own directory a loader maps one reader to. The
+    * `repartition(shard_id)` BEFORE the partitioned write keeps each shard
+    * directory single-writer (no tasks×shards small-file explosion), and
+    * `sortWithinPartitions(rank)` makes the within-shard row order — the
+    * order the trainer consumes — byte-deterministic. Returns the written
+    * doc count.
+    */
+  def writeOrderedShards(docs: DataFrame, outDir: String, idCol: String,
+      shardSize: Long): Long = {
+    val keyed = docs.withColumn("__h",
+      (col(idCol) * 2654435761L) % 4294967296L)
+    val ranked = graft.operators.GlobalRank
+      .withRowNumber(keyed, Seq(col("__h"), col(idCol)), rn = "__rank",
+        nTotal = None)
+      .withColumn("shard_id", expr(s"(__rank - 1) div $shardSize"))
+    ranked
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("__rank"))
+      .drop("__h")
+      .write
+      .partitionBy("shard_id")
+      .mode("overwrite")
+      .parquet(outDir)
+    docs.sparkSession.read.parquet(outDir).count()
   }
 }
