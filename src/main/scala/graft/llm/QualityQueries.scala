@@ -40,7 +40,9 @@ object QualityQueries extends graft.core.QueryModule {
   // their conjunction. Thresholds are set to discriminate on this corpus
   // (word counts span 10..99, mean word length ~4.2..4.8): a gate where
   // every rule is vacuously true verifies nothing.
-  def gq1(s: SparkSession, dir: String): DataFrame = {
+  /** Full-corpus gq1 rule table (no display filter) — the per-doc gate
+    * cal1 calibrates the lr1 classifier against. */
+  private[llm] def gqRules(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text")
       .groupBy($"doc_id")
@@ -59,6 +61,11 @@ object QualityQueries extends graft.core.QueryModule {
       .withColumn("r_symbols", $"n_sym" === 0L)
       .withColumn("pass", $"r_wordcount" && $"r_meanlen" && $"r_stopwords" &&
         $"r_shortwords" && $"r_symbols")
+  }
+
+  def gq1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gqRules(s, dir)
       .filter($"doc_id" < 300)
       .select($"doc_id", $"n_words", round($"mean_wl", 6).as("mean_wl"),
         $"n_stop", round($"short_frac", 6).as("short_frac"),
@@ -357,6 +364,78 @@ object QualityQueries extends graft.core.QueryModule {
        |  round(score, 6) AS score, score >= 0.5 AS keep
        |FROM sc WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- cal1
+  // Classifier calibration (reliability diagram): decile-bin the lr1
+  // sigmoid score and report, per bin, the observed pass rate of the
+  // rule-based gq1 gate — the check a pipeline runs before trusting a
+  // cheap learned quality filter in place of its expensive rule/human
+  // labels (a well-calibrated bin 7 should pass ≈ 70%). Binning happens
+  // on the 6-dp-rounded score (both engines bin the identical rounded
+  // double, so no boundary can flip between them); the per-bin mean score
+  // aggregates integer-scaled scores (order-independent exact sums), and
+  // the pass rate is pure integer counts — doubles appear only in the
+  // final one-row-per-bin division. Scale shape: two doc-keyed hash aggs
+  // (lrScored, gqRules) joined on doc_id, then a ≤10-group aggregate.
+  def cal1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = lrScored(s, dir)
+      .select($"doc_id", round($"score", 6).as("sr"),
+        round($"score" * 1e6, 0).cast("long").as("si"))
+    val labels = gqRules(s, dir).select($"doc_id", $"pass")
+    scored.join(labels, "doc_id")
+      .withColumn("bin", floor($"sr" * 10).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"si").as("ssum"),
+        sum(when($"pass", 1L).otherwise(0L)).as("n_pass"))
+      .select($"bin", $"n_docs",
+        round(($"ssum".cast("double") / $"n_docs".cast("double")) / 1e6, 6)
+          .as("mean_score"),
+        $"n_pass",
+        round($"n_pass".cast("double") / $"n_docs".cast("double"), 6)
+          .as("pass_rate"))
+      .orderBy($"bin")
+  }
+
+  val cal1Sql: String =
+    s"""WITH pt AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(length(tok)) AS BIGINT) AS chars,
+       |    CAST(SUM(CASE WHEN tok IN ($stopsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       |    CAST(SUM(CASE WHEN length(tok) <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       |    CAST(SUM(CASE WHEN regexp_matches(tok, '[^a-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_sym,
+       |    COUNT(DISTINCT tok) AS n_types
+       |  FROM pt GROUP BY doc_id),
+       |f AS (
+       |  SELECT doc_id, n_words, n_stop, n_sym,
+       |    CAST(chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_wl,
+       |    CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_frac,
+       |    CAST(n_short AS DOUBLE) / CAST(n_words AS DOUBLE) AS short_frac,
+       |    CAST(n_types AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr
+       |  FROM m),
+       |sc AS (
+       |  SELECT doc_id,
+       |    1.0 / (1.0 + exp(-(0.2
+       |      + 0.8 * ((CAST(n_words AS DOUBLE) - 50.0) / 50.0)
+       |      + 2.0 * (mean_wl - 4.5)
+       |      + -3.0 * (stop_frac - 0.25)
+       |      + 4.0 * (ttr - 0.5)))) AS score,
+       |    (n_words BETWEEN 30 AND 80) AND (mean_wl BETWEEN 4.3 AND 4.7)
+       |      AND n_stop >= 12 AND short_frac <= 0.05 AND n_sym = 0 AS pass
+       |  FROM f),
+       |b AS (
+       |  SELECT CAST(FLOOR(round(score, 6) * 10) AS BIGINT) AS bin,
+       |    CAST(ROUND(score * 1000000, 0) AS BIGINT) AS si,
+       |    CASE WHEN pass THEN 1 ELSE 0 END AS p
+       |  FROM sc)
+       |SELECT bin, COUNT(*) AS n_docs,
+       |  ROUND((CAST(SUM(si) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000, 6) AS mean_score,
+       |  CAST(SUM(p) AS BIGINT) AS n_pass,
+       |  ROUND(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
+       |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
+
   // ---------------------------------------------------------------- nv1
   // Corpus-wide novelty score — the curation signal DUAL to dedup: instead
   // of dropping near-duplicates pairwise, score each document by how much
@@ -556,6 +635,7 @@ object QualityQueries extends graft.core.QueryModule {
     "nv1_novelty_score" -> nv1,
     "cdk1_content_chunking" -> cdk1,
     "qf1_adaptive_floor" -> qf1,
+    "cal1_score_calibration" -> cal1,
   )
 
   def oracles: Map[String, String] = Map(
@@ -567,5 +647,6 @@ object QualityQueries extends graft.core.QueryModule {
     "nv1_novelty_score" -> nv1Sql,
     "cdk1_content_chunking" -> cdk1Sql,
     "qf1_adaptive_floor" -> qf1Sql,
+    "cal1_score_calibration" -> cal1Sql,
   )
 }
