@@ -31,7 +31,7 @@ import graft.text.TextOps
   */
 object QualityQueries extends graft.core.QueryModule {
 
-  private val Stops =
+  private[graft] val Stops =
     Seq("the", "data", "query", "table", "scan", "join", "group", "order", "filter", "row")
   private[llm] def stopsSqlList = Stops.map(s => s"'$s'").mkString(", ")
 
@@ -42,7 +42,7 @@ object QualityQueries extends graft.core.QueryModule {
   // every rule is vacuously true verifies nothing.
   /** Full-corpus gq1 rule table (no display filter) — the per-doc gate
     * cal1 calibrates the lr1 classifier against. */
-  private[llm] def gqRules(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def gqRules(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text")
       .groupBy($"doc_id")

@@ -645,7 +645,37 @@ object Extras extends graft.core.QueryModule {
       |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC)
       |ORDER BY lang, rk, doc_id""".stripMargin
 
+  /** sky1: Pareto front over 1996 orders — maximize o_totalprice, minimize
+    * order date ("largest revenue, soonest"). Runs through
+    * [[graft.operators.Skyline.pareto2D]]: per-partition dominance sweep +
+    * one front-sized merge — never the oracle's O(n²) NOT EXISTS or a
+    * single-partition running-min window. The date keys as exact integer
+    * epoch-µs (no double rounding anywhere; o_totalprice compares as the
+    * identical parquet double in both engines).
+    */
+  def sky1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .filter(year($"o_orderdate") === 1996)
+      .select($"o_orderkey", $"o_totalprice",
+        unix_micros($"o_orderdate".cast("timestamp")).as("od_us"))
+    graft.operators.Skyline.pareto2D(o, $"o_totalprice", $"od_us")
+      .orderBy($"o_totalprice".desc, $"od_us", $"o_orderkey")
+  }
+  val sky1Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_totalprice, epoch_us(o_orderdate) AS od_us
+      |  FROM orders WHERE year(o_orderdate) = 1996)
+      |SELECT o_orderkey, o_totalprice, od_us
+      |FROM o a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM o b
+      |  WHERE b.o_totalprice >= a.o_totalprice AND b.od_us <= a.od_us
+      |    AND (b.o_totalprice > a.o_totalprice OR b.od_us < a.od_us))
+      |ORDER BY o_totalprice DESC, od_us, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sky1_pareto_front" -> sky1,
     "ka1_k_anonymity" -> ka1,
     "w12_range_frame" -> w12,
     "w11_rank_family" -> w11,
@@ -668,6 +698,7 @@ object Extras extends graft.core.QueryModule {
     "g3_grouping_sets" -> g3,
   )
   val oracles: Map[String, String] = Map(
+    "sky1_pareto_front" -> sky1Sql,
     "ka1_k_anonymity" -> ka1Sql,
     "w12_range_frame" -> w12Sql,
     "w11_rank_family" -> w11Sql,

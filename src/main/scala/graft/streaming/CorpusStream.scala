@@ -55,4 +55,38 @@ object CorpusStream {
       .withColumn("simhash",
         graft.text.TextOps.simhashNative(graft.text.TextOps.tokens(col("text"))))
       .dropDuplicates("simhash")
+
+  /** Streaming quality gate: the gq1 rule family
+    * ([[graft.llm.QualityQueries.gqRules]]) evaluated PER ROW with array
+    * higher-order functions instead of explode + groupBy — every statistic
+    * a document's gate needs comes from its own tokens, so the stateless
+    * formulation needs no state store, no watermark, and no shuffle at
+    * all: it is one codegen'd projection that runs unchanged on a stream
+    * or a batch frame (parity asserted in the spec against gqRules). This
+    * is the shape an ingest edge wants at 100 TB/day: gate documents the
+    * moment they arrive, not in a nightly batch. */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val stops = array(graft.llm.QualityQueries.Stops.map(lit): _*)
+    val nWords = size(toks).cast("long")
+    val chars = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), _ + _)
+    val nStop = size(filter(toks, t => array_contains(stops, t))).cast("long")
+    val nShort = size(filter(toks, t => length(t) <= 2)).cast("long")
+    val nSym = size(filter(toks, t => t.rlike("[^a-z]"))).cast("long")
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_wl", chars.cast("double") / nWords.cast("double"))
+      .withColumn("short_frac", nShort.cast("double") / nWords.cast("double"))
+      .withColumn("n_stop", nStop)
+      .withColumn("n_sym", nSym)
+      .withColumn("pass",
+        col("n_words").between(30L, 80L) &&
+        col("mean_wl").between(4.3, 4.7) &&
+        col("n_stop") >= 12L &&
+        col("short_frac") <= 0.05 &&
+        col("n_sym") === 0L)
+      .select(col("doc_id"), col("n_words"), col("mean_wl"),
+        col("short_frac"), col("n_stop"), col("n_sym"), col("pass"))
+  }
 }

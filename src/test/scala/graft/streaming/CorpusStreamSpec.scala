@@ -51,4 +51,31 @@ class CorpusStreamSpec extends SparkTestBase {
       assert(got > 0 && got < batchDocs.count()) // it actually dropped dupes
     } finally q.stop()
   }
+
+  test("streaming quality gate equals batch gqRules doc for doc (stateless parity)") {
+    import spark.implicits._
+    // batch side of the SAME expressions vs the explode+groupBy gqRules
+    val viaGate = CorpusStream
+      .qualityGate(Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(4), r.getBoolean(6))).toMap
+    val viaRules = graft.llm.QualityQueries
+      .gqRules(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"n_words", $"mean_wl", $"n_stop", $"pass")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(viaGate === viaRules)
+
+    // and the stream runs the identical projection with NO state store
+    val q = CorpusStream.qualityGate(CorpusStream.fromDirectory(spark, srcDir))
+      .writeStream.format("memory").queryName("corpus_gate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("corpus_gate")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+      assert(streamed === viaGate.map { case (k, v) => k -> v._4 })
+      assert(q.lastProgress.stateOperators.isEmpty) // genuinely stateless
+    } finally q.stop()
+  }
 }
