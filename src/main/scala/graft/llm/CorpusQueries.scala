@@ -318,8 +318,49 @@ object CorpusQueries extends graft.core.QueryModule {
       |  MIN_BY(doc_id, rank) AS first_doc, MAX_BY(doc_id, rank) AS last_doc
       |FROM r GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  /** mf1: shard content fingerprint — the reproducibility digest a dataset
+    * release ships next to its tm1 manifest: per shard, the MD5 of every
+    * document's text concatenated IN TRAINING ORDER (chr(1)-separated).
+    * Re-run after any pipeline change: equal digests prove byte-identical
+    * shard content and order without moving data. Order safety inside a
+    * distributed agg: collect_list gives arrival order, so the list is
+    * (rank, text) structs sorted by sort_array before the fold — the only
+    * per-group state is one shard's 64 documents. Digest and separator are
+    * engine-portable (md5 hex, chr(1)), so DuckDB reproduces it exactly
+    * via ordered string_agg.
+    */
+  def mf1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.documents(s, dir)
+      .select($"doc_id", (($"doc_id" * 2654435761L) % 4294967296L).as("h"),
+        $"text")
+    GlobalRank.withRowNumber(keyed, Seq(col("h"), col("doc_id")),
+        rn = "rank", nTotal = None)
+      .withColumn("shard_id", expr("(rank - 1) div 64"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(struct($"rank", $"text"))).as("ds"))
+      .select($"shard_id", $"n_docs",
+        md5(array_join(transform($"ds", d => d("text")), "\u0001")
+          .cast("binary")).as("content_md5"))
+      .orderBy($"shard_id")
+  }
+
+  val mf1Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h, text
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, text,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank
+      |  FROM k)
+      |SELECT CAST((rank - 1) // 64 AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
+      |  md5(string_agg(text, chr(1) ORDER BY rank)) AS content_md5
+      |FROM r GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tm1_training_manifest" -> tm1,
+    "mf1_manifest_fingerprint" -> mf1,
     "pack1_sequence_packing" -> pack1,
     "mix1_domain_mixture" -> mix1,
     "mix2_quota_sample" -> mix2,
@@ -330,6 +371,7 @@ object CorpusQueries extends graft.core.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "tm1_training_manifest" -> tm1Sql,
+    "mf1_manifest_fingerprint" -> mf1Sql,
     "pack1_sequence_packing" -> pack1Sql,
     "mix1_domain_mixture" -> mix1Sql,
     "mix2_quota_sample" -> mix2Sql,

@@ -63,6 +63,28 @@ class ManifestMomentsSpec extends SparkTestBase {
     }
   }
 
+  test("mf1: digest matches a local recompute, is order-sensitive, partition-invariant") {
+    val gold = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, _) => ((id * 2654435761L) % 4294967296L, id) }
+    val rows = CorpusQueries.mf1(spark, dir).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((r, sid) <- rows.zipWithIndex) {
+      val shard = gold.slice(sid * 64, math.min((sid + 1) * 64, gold.length))
+      val want = md.digest(shard.map(_._2).mkString("\u0001")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(2) === want, s"content_md5 shard $sid")
+    }
+    // swapping any two adjacent docs' ranks would change the digest — the
+    // digest is ORDER-sensitive, not just content-sensitive
+    val s0 = gold.take(2)
+    if (s0.length == 2 && s0(0)._2 != s0(1)._2) {
+      val fwd = md.digest((s0(0)._2 + "\u0001" + s0(1)._2).getBytes("UTF-8"))
+      val rev = md.digest((s0(1)._2 + "\u0001" + s0(0)._2).getBytes("UTF-8"))
+      assert(!fwd.sameElements(rev))
+    }
+  }
+
   test("ev1: moments match an exact integer-space local recompute") {
     val vecs = Tables.embeddings(spark, dir).select("label", "embedding").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
