@@ -40,18 +40,33 @@ object QualityQueries extends graft.core.QueryModule {
   // their conjunction. Thresholds are set to discriminate on this corpus
   // (word counts span 10..99, mean word length ~4.2..4.8): a gate where
   // every rule is vacuously true verifies nothing.
-  /** Full-corpus gq1 rule table (no display filter) — the per-doc gate
-    * cal1 calibrates the lr1 classifier against. */
-  private[graft] def gqRules(s: SparkSession, dir: String): DataFrame = {
+  /** One tokenize-and-aggregate pass producing the UNION of the per-doc
+    * statistics every quality operator needs (gq1 rules, lr1 features,
+    * cal1's joint view). Consumers each select a subset and Catalyst's
+    * column pruning drops the unused aggregate expressions from their
+    * plans (gq1 keeps no countDistinct, lr1 keeps no n_short/n_sym — see
+    * PlanAuditSpec), so sharing costs nothing — while cal1, which needs
+    * BOTH feature sets, gets them from a single corpus pass with no
+    * second tokenize and no self-join. */
+  private[graft] def docStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text")
-      .groupBy($"doc_id")
+    TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text",
+        keep = Seq($"source"))
+      .groupBy($"doc_id", $"source")
       .agg(
         count(lit(1)).as("n_words"),
         sum(length($"tok").cast("long")).as("chars"),
         sum(when($"tok".isin(Stops: _*), 1L).otherwise(0L)).as("n_stop"),
         sum(when(length($"tok") <= 2, 1L).otherwise(0L)).as("n_short"),
-        sum(when($"tok".rlike("[^a-z]"), 1L).otherwise(0L)).as("n_sym"))
+        sum(when($"tok".rlike("[^a-z]"), 1L).otherwise(0L)).as("n_sym"),
+        countDistinct($"tok").as("n_types"))
+  }
+
+  /** Full-corpus gq1 rule table (no display filter) — the per-doc gate
+    * cal1 calibrates the lr1 classifier against. */
+  private[graft] def gqRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docStats(s, dir)
       .withColumn("mean_wl", $"chars".cast("double") / $"n_words".cast("double"))
       .withColumn("short_frac", $"n_short".cast("double") / $"n_words".cast("double"))
       .withColumn("r_wordcount", $"n_words".between(30L, 80L))
@@ -304,25 +319,26 @@ object QualityQueries extends graft.core.QueryModule {
     * through the explode (source is functionally dependent on doc_id, so
     * adding it to the groupBy changes no aggregate). Unrounded — callers
     * round at their output edge. */
-  private[llm] def lrScored(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text",
-        keep = Seq($"source"))
-      .groupBy($"doc_id", $"source")
-      .agg(count(lit(1)).as("n_words"),
-        sum(length($"tok").cast("long")).as("chars"),
-        sum(when($"tok".isin(Stops: _*), 1L).otherwise(0L)).as("n_stop"),
-        countDistinct($"tok").as("n_types"))
-      .withColumn("mean_wl", $"chars".cast("double") / $"n_words".cast("double"))
-      .withColumn("stop_frac", $"n_stop".cast("double") / $"n_words".cast("double"))
-      .withColumn("ttr", $"n_types".cast("double") / $"n_words".cast("double"))
+  /** Adds stop_frac/ttr/z/score to any frame carrying the docStats columns
+    * plus mean_wl — the ONE definition of the lr1 model, applied to
+    * docStats directly (lrScored) or on top of the rule table (cal1). */
+  private def scoreCols(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    df.withColumn("stop_frac", c("n_stop").cast("double") / c("n_words").cast("double"))
+      .withColumn("ttr", c("n_types").cast("double") / c("n_words").cast("double"))
       .withColumn("z",
         lit(0.2) +
-        lit(0.8) * (($"n_words".cast("double") - 50.0) / 50.0) +
-        lit(2.0) * ($"mean_wl" - 4.5) +
-        lit(-3.0) * ($"stop_frac" - 0.25) +
-        lit(4.0) * ($"ttr" - 0.5))
-      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-$"z")))
+        lit(0.8) * ((c("n_words").cast("double") - 50.0) / 50.0) +
+        lit(2.0) * (c("mean_wl") - 4.5) +
+        lit(-3.0) * (c("stop_frac") - 0.25) +
+        lit(4.0) * (c("ttr") - 0.5))
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-c("z"))))
+  }
+
+  private[llm] def lrScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    scoreCols(docStats(s, dir)
+      .withColumn("mean_wl", $"chars".cast("double") / $"n_words".cast("double")))
   }
 
   def lr1(s: SparkSession, dir: String): DataFrame = {
@@ -378,11 +394,13 @@ object QualityQueries extends graft.core.QueryModule {
   // (lrScored, gqRules) joined on doc_id, then a ≤10-group aggregate.
   def cal1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scored = lrScored(s, dir)
+    // score AND gate from the ONE docStats pass (gqRules carries every
+    // docStats column, scoreCols layers the lr1 model on top) — no second
+    // tokenize, no self-join: cal1 is one corpus aggregation + a ≤10-group
+    // reduce.
+    scoreCols(gqRules(s, dir))
       .select($"doc_id", round($"score", 6).as("sr"),
-        round($"score" * 1e6, 0).cast("long").as("si"))
-    val labels = gqRules(s, dir).select($"doc_id", $"pass")
-    scored.join(labels, "doc_id")
+        round($"score" * 1e6, 0).cast("long").as("si"), $"pass")
       .withColumn("bin", floor($"sr" * 10).cast("long"))
       .groupBy($"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"si").as("ssum"),

@@ -110,6 +110,20 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("cal1: score AND gate from ONE tokenize pass — no join, no second explode") {
+    // post-collect AQE plans print "== Final Plan ==" plus the initial
+    // plan — count the explodes in the final section only
+    val p = plan("cal1_score_calibration").split("== Initial Plan ==").head
+    assert("Generate".r.findAllIn(p).length === 1,
+      "cal1 must tokenize the corpus exactly once (shared docStats)")
+    assert(!p.contains("Join"), "cal1 must not self-join the doc stats")
+    // and the shared docStats does NOT tax gq1 with lr1's countDistinct:
+    // column pruning drops the unused distinct aggregate (no Expand)
+    val gq = graft.llm.QualityQueries.gq1(spark, dir).queryExecution
+      .executedPlan.toString
+    assert(!gq.contains("Expand"), "gq1 must not inherit lr1's countDistinct")
+  }
+
   test("q17: single shuffle of the brand subset — no full-fact aggregation") {
     val p = formatted("q17_small_qty_revenue")
     // the part filter must be pushed into the part scan feeding the broadcast
