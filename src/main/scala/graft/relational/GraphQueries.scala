@@ -196,11 +196,53 @@ object GraphQueries extends graft.core.QueryModule {
     head + roundsCtes + rows
   }
 
+  /** lp1: majority label-propagation communities over the same co-supply
+    * chain graph tc1 counts triangles on — 3 synchronous rounds with the
+    * (count desc, label asc) deterministic tie-break
+    * ([[graft.operators.LabelPropagation]]). Distinct from c1/c2's
+    * connected components: majority voting splits a component along its
+    * sparse cuts. Output is the full (node, label) map — the table a
+    * canonical-document/supplier-grouping step joins on.
+    */
+  def lp1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ps = Tables.lineitem(s, dir)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("sup")).distinct()
+    val w = Window.partitionBy($"p").orderBy($"sup")
+    val e = ps.withColumn("v", lead($"sup", 1).over(w))
+      .filter($"v".isNotNull)
+      .select($"sup".as("u"), $"v").distinct()
+    graft.operators.LabelPropagation.run(e, rounds = 3)
+      .orderBy($"node")
+  }
+
+  val lp1Sql: String = {
+    val head =
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
+        |nxt AS (SELECT p, sup AS u, LEAD(sup) OVER (PARTITION BY p ORDER BY sup) AS v
+        |        FROM ps),
+        |e0 AS (SELECT DISTINCT u, v FROM nxt WHERE v IS NOT NULL),
+        |sym AS (SELECT DISTINCT u, v FROM
+        |         (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0)),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT s.u, l.label, COUNT(*) AS cnt
+         |       FROM sym s JOIN l${i - 1} l ON s.v = l.node GROUP BY 1, 2),
+         |l$i AS (SELECT u AS node, label FROM (
+         |         SELECT u, label,
+         |           ROW_NUMBER() OVER (PARTITION BY u ORDER BY cnt DESC, label) AS rn
+         |         FROM c$i) q WHERE rn = 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + rounds + "\nSELECT node, label FROM l3 ORDER BY node"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr1_pagerank" -> pr1,
     "bf1_bloom_semijoin" -> bf1,
     "tc1_triangle_count" -> tc1,
     "kc1_kcore_peel" -> kc1,
+    "lp1_label_propagation" -> lp1,
   )
 
   def oracles: Map[String, String] = Map(
@@ -208,5 +250,6 @@ object GraphQueries extends graft.core.QueryModule {
     "bf1_bloom_semijoin" -> bf1Sql,
     "tc1_triangle_count" -> tc1Sql,
     "kc1_kcore_peel" -> kc1Sql,
+    "lp1_label_propagation" -> lp1Sql,
   )
 }
