@@ -287,20 +287,37 @@ object CorpusQueries extends graft.core.QueryModule {
     * layout; the manifest row count × shard size bounds every loader's
     * read parallelism contract.
     */
-  def tm1(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val keyed = Tables.documents(s, dir)
-      .select($"doc_id", (($"doc_id" * 2654435761L) % 4294967296L).as("h"),
-        size(TextOps.tokens($"text")).cast("long").as("tok"))
+  /** The shared manifest computation behind tm1 / mf1 / Curation's
+    * release step: rank `docs` by the Knuth-hash training order, cut into
+    * `shardSize`-doc shards, and emit per-shard counts, rank span,
+    * first/last doc AND the order-sensitive content digest. Consumers
+    * that select a subset (tm1 drops the digest) get the unused aggregate
+    * pruned by Catalyst — the same sharing pattern as docStats. */
+  private[graft] def manifest(docs: DataFrame, shardSize: Long): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      ((col("doc_id") * 2654435761L) % 4294967296L).as("h"),
+      size(TextOps.tokens(col("text"))).cast("long").as("tok"), col("text"))
     GlobalRank.withRowNumber(keyed, Seq(col("h"), col("doc_id")),
         rn = "rank", nTotal = None)
-      .withColumn("shard_id", expr("(rank - 1) div 64"))
-      .groupBy($"shard_id")
-      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"),
-        min($"rank").as("min_rank"), max($"rank").as("max_rank"),
-        min_by($"doc_id", $"rank").as("first_doc"),
-        max_by($"doc_id", $"rank").as("last_doc"))
-      .orderBy($"shard_id")
+      .withColumn("shard_id", expr(s"(rank - 1) div $shardSize"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        min(col("rank")).as("min_rank"), max(col("rank")).as("max_rank"),
+        min_by(col("doc_id"), col("rank")).as("first_doc"),
+        max_by(col("doc_id"), col("rank")).as("last_doc"),
+        sort_array(collect_list(struct(col("rank"), col("text")))).as("ds"))
+      .withColumn("content_md5",
+        md5(array_join(transform(col("ds"), d => d("text")), "\u0001")
+          .cast("binary")))
+      .drop("ds")
+      .orderBy(col("shard_id"))
+  }
+
+  def tm1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    manifest(Tables.documents(s, dir), 64L)
+      .select($"shard_id", $"n_docs", $"n_tokens", $"min_rank", $"max_rank",
+        $"first_doc", $"last_doc")
   }
 
   val tm1Sql: String =
@@ -331,19 +348,8 @@ object CorpusQueries extends graft.core.QueryModule {
     */
   def mf1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val keyed = Tables.documents(s, dir)
-      .select($"doc_id", (($"doc_id" * 2654435761L) % 4294967296L).as("h"),
-        $"text")
-    GlobalRank.withRowNumber(keyed, Seq(col("h"), col("doc_id")),
-        rn = "rank", nTotal = None)
-      .withColumn("shard_id", expr("(rank - 1) div 64"))
-      .groupBy($"shard_id")
-      .agg(count(lit(1)).as("n_docs"),
-        sort_array(collect_list(struct($"rank", $"text"))).as("ds"))
-      .select($"shard_id", $"n_docs",
-        md5(array_join(transform($"ds", d => d("text")), "\u0001")
-          .cast("binary")).as("content_md5"))
-      .orderBy($"shard_id")
+    manifest(Tables.documents(s, dir), 64L)
+      .select($"shard_id", $"n_docs", $"content_md5")
   }
 
   val mf1Sql: String =

@@ -87,4 +87,21 @@ object Curation {
     graft.sinks.CorpusExport.writeJsonlShards(kept, outDir, "doc_id", numShards)
     s.read.json(outDir).count()
   }
+
+  /** The full dataset RELEASE: curate, lay the survivors out as
+    * rank-ordered training shards on disk
+    * ([[graft.sinks.CorpusExport.writeOrderedShards]]), and return the
+    * release manifest — per shard: doc/token counts, rank span, first/last
+    * doc, and the order-sensitive content digest
+    * ([[CorpusQueries.manifest]], the tm1 + mf1 shapes over the CURATED
+    * corpus). Equal manifests across re-runs prove a byte-identical
+    * release end to end — digest included — without re-reading the shards.
+    * The curated frame is localCheckpoint'ed so the five-stage curation
+    * DAG executes once for both the write and the manifest. */
+  def curateToTrainingShards(s: SparkSession, dir: String, outDir: String,
+      shardSize: Long = 64L, minContamFrac: Double = 0.5): DataFrame = {
+    val kept = curate(s, dir, minContamFrac).localCheckpoint()
+    graft.sinks.CorpusExport.writeOrderedShards(kept, outDir, "doc_id", shardSize)
+    CorpusQueries.manifest(kept, shardSize)
+  }
 }

@@ -85,6 +85,28 @@ class ManifestMomentsSpec extends SparkTestBase {
     }
   }
 
+  test("curateToTrainingShards: shards + manifest agree with disk, re-run is byte-identical") {
+    val out1 = tmpDir("release-1").toString
+    val man1 = Curation.curateToTrainingShards(spark, dir, out1).collect()
+    val dirs = new java.io.File(out1).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.sorted.toSeq === man1.map(r => s"shard_id=${r.getLong(0)}").sorted.toSeq)
+    // disk agrees with the manifest: counts per shard, and the digest of
+    // the on-file text in __rank order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (m <- man1.take(2)) {
+      val rows = spark.read.parquet(s"$out1/shard_id=${m.getLong(0)}")
+        .select("__rank", "text").collect().sortBy(_.getLong(0))
+      assert(rows.length === m.getLong(1))
+      val got = md.digest(rows.map(_.getString(1)).mkString("\u0001")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got === m.getString(7), s"digest shard ${m.getLong(0)}")
+    }
+    // reproducibility: a second release run emits the identical manifest
+    val man2 = Curation.curateToTrainingShards(spark, dir,
+      tmpDir("release-2").toString).collect()
+    assert(man1.map(_.toSeq).toSeq === man2.map(_.toSeq).toSeq)
+  }
+
   test("ev1: moments match an exact integer-space local recompute") {
     val vecs = Tables.embeddings(spark, dir).select("label", "embedding").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
