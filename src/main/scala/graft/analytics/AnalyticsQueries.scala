@@ -342,6 +342,96 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  AND ts < TIMESTAMP '2024-01-03 00:00:00'
       |ORDER BY event_type, user_id""".stripMargin
 
+  // REG1: per-group OLS linear trend — slope/intercept/R² of value vs
+  // event time per event_type, the "is this metric drifting" diagnostic.
+  // One pass: five exact long sums (n, Σx, Σy, Σxy, Σx², Σy²) per group —
+  // x = whole seconds since 2024-01-01 (integer floor-div of epoch µs,
+  // shifted to keep Σx² in long range; at open-ended time spans shift by a
+  // per-group first pass instead), y = exact cents. The closed-form OLS
+  // ratios are then ONE identically-ordered double formula per output
+  // row, so results hash-match the oracle bit for bit. groupBy with
+  // map-side combine; 5 groups at any scale.
+  def reg1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = expr("unix_micros(ts) div 1000000") - lit(1704067200L)
+    val y = round($"value" * 100, 0).cast("long")
+    val g = Tables.events(s, dir)
+      .select($"event_type", x.as("x"), y.as("y"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+    val nD = $"n".cast("double"); val sxD = $"sx".cast("double")
+    val syD = $"sy".cast("double"); val sxyD = $"sxy".cast("double")
+    val sxxD = $"sxx".cast("double"); val syyD = $"syy".cast("double")
+    val num = nD * sxyD - sxD * syD
+    val den = nD * sxxD - sxD * sxD
+    g.select($"event_type", $"n",
+        round(num / den * lit(86400.0) / lit(100.0), 6).as("slope_per_day"),
+        round((syD - num / den * sxD) / nD / lit(100.0), 6).as("intercept"),
+        round(num * num / (den * (nD * syyD - syD * syD)), 6).as("r2"))
+      .orderBy($"event_type")
+  }
+  val reg1Sql: String =
+    """WITH p AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) // 1000000 - 1704067200 AS x,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM p GROUP BY 1)
+      |SELECT event_type, n,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    * 86400.0 / 100.0, 6) AS slope_per_day,
+      |  ROUND((CAST(sy AS DOUBLE)
+      |    - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) / 100.0, 6) AS intercept,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+      |FROM g ORDER BY event_type""".stripMargin
+
+  // MK1: first-order Markov transition matrix of event types — P(next |
+  // current) from each user's time-ordered event sequence (the behavioral
+  // fingerprint behind session simulation and anomaly scoring). The lead
+  // window sorts WITHIN user partitions only (bounded per-user state, no
+  // global sort); the transition counts collapse to |types|² rows, and the
+  // row-normalizing totals join is |types|-sized → broadcast. Tie-break on
+  // event_id makes same-timestamp ordering deterministic on both engines.
+  def mk1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val c = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("dst", lead($"event_type", 1).over(w))
+      .filter($"dst".isNotNull)
+      .groupBy($"event_type".as("src"), $"dst")
+      .agg(count(lit(1)).as("c"))
+    val tot = c.groupBy($"src").agg(sum($"c").as("tot"))
+    c.join(broadcast(tot), "src")
+      .select($"src", $"dst", $"c",
+        round($"c".cast("double") / $"tot".cast("double"), 6).as("p"))
+      .orderBy($"src", $"dst")
+  }
+  val mk1Sql: String =
+    """WITH tr AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |c AS (SELECT src, dst, COUNT(*) AS c FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY 1)
+      |SELECT c.src, c.dst, c.c,
+      |  ROUND(CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+      |FROM c JOIN t ON c.src = t.src ORDER BY c.src, c.dst""".stripMargin
+
   // F4: flag-map selection — the reference's `flags[f]==v` predicate over a
   // dynamic key space; props JSON plays the flag map (MapType access in the
   // TOA schema; JSON here because that's how the events table encodes it).
@@ -1067,6 +1157,8 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "gf1_gap_fill" -> gf1,
     "zo1_zorder_locality" -> zo1,
     "z1_event_anomaly" -> z1,
+    "reg1_linear_trend" -> reg1,
+    "mk1_markov_transitions" -> mk1,
     "twa1_time_weighted" -> twa1,
     "o1_ohlc_bars" -> o1,
     "fn1_funnel_steps" -> fn1,
@@ -1109,6 +1201,8 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "gf1_gap_fill" -> gf1Sql,
     "zo1_zorder_locality" -> zo1Sql,
     "z1_event_anomaly" -> z1Sql,
+    "reg1_linear_trend" -> reg1Sql,
+    "mk1_markov_transitions" -> mk1Sql,
     "twa1_time_weighted" -> twa1Sql,
     "o1_ohlc_bars" -> o1Sql,
     "fn1_funnel_steps" -> fn1Sql,

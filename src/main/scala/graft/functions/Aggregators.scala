@@ -409,4 +409,51 @@ object Aggregators {
       }.reduce(least(_, _))
     }
   }
+
+  /** Gram matrix Σ x·xᵀ over an embedding column, as ONE mergeable
+    * aggregate — the single-pass reduction behind PCA / whitening /
+    * covariance diagnostics at corpus scale. The naive relational route
+    * (posexplode to (dim, v) rows, self-join per vec_id) shuffles
+    * dim·(dim+1)/2 ≈ 2080 rows PER VECTOR; this buffer carries one
+    * dim×dim long array per partition and one merged row total, so the
+    * shuffle cost is constant in the corpus size.
+    *
+    * Inputs are pre-scaled exact integers (`round(v·1e6) as long`, the
+    * [[graft.llm.LlmQueries.ev1]] discipline) so sums are
+    * order-independent and hash-comparable against the oracle. Range: the
+    * per-row product is ≤ (|v|·1e6)² ≈ 3e11 for unit-norm-ish embeddings,
+    * so a long cell overflows past ~3e7 rows — at real corpus scale drop
+    * the scale to 1e3 (or split hi/lo words); the contract (exact integer
+    * sums, elementwise-add merge) is unchanged. Only the upper triangle
+    * (i ≤ j) is accumulated; the buffer is laid out as a full dim×dim
+    * array so consumers derive (i, j) = (k div dim, k mod dim) with plain
+    * integer arithmetic. Merge = elementwise add (associative,
+    * commutative; property-tested in AggregatorsSpec).
+    */
+  class GramMatrix(dim: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    require(dim > 0)
+    def zero: Array[Long] = new Array[Long](dim * dim)
+    def reduce(b: Array[Long], sv: Seq[Long]): Array[Long] = {
+      require(sv.length == dim, s"expected $dim dims, got ${sv.length}")
+      val a = sv.toArray
+      var i = 0
+      while (i < dim) {
+        val ai = a(i)
+        var j = i
+        while (j < dim) { b(i * dim + j) += ai * a(j); j += 1 }
+        i += 1
+      }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

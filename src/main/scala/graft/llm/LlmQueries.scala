@@ -993,6 +993,50 @@ object LlmQueries extends graft.core.QueryModule {
       |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000000000, 6) AS var_pop
       |FROM g ORDER BY label, dim""".stripMargin
 
+  // EC1: embedding Gram matrix Σ x·xᵀ — the PCA/whitening/covariance
+  // input, computed in ONE pass by the mergeable
+  // [[graft.functions.Aggregators.GramMatrix]] aggregate: per-partition
+  // state is a single 64×64 long array and the shuffle carries one such
+  // row per partition, constant in corpus size (the relational route
+  // would shuffle ~2080 pair rows per vector). Components are ev1's exact
+  // scaled integers (round(v·1e6) as long), so the sums are
+  // order-independent and the normalized double is one identically-ordered
+  // formula on both engines. Output = upper triangle as (i, j, s_scaled,
+  // gram) rows; (i, j) falls out of the buffer index with integer
+  // div/mod — no float index math.
+  def ec1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = 64
+    val sv = transform($"embedding",
+      v => round(v.cast("double") * 1e6, 0).cast("long"))
+    val gm = udaf(new graft.functions.Aggregators.GramMatrix(dim))
+    Tables.embeddings(s, dir)
+      .select(sv.as("sv"))
+      .agg(count(lit(1)).as("n"), gm($"sv").as("g"))
+      .select($"n", posexplode($"g").as(Seq("k", "s")))
+      .select(($"k" / dim).cast("long").as("i"),
+        ($"k" % dim).cast("long").as("j"), $"n", $"s")
+      .filter($"j" >= $"i")
+      .select($"i", $"j", $"s".as("s_scaled"),
+        round($"s".cast("double") / ($"n".cast("double") * lit(1e12)), 6)
+          .as("gram"))
+      .orderBy($"i", $"j")
+  }
+  val ec1Sql: String =
+    """WITH x AS (
+      |  SELECT list_transform(embedding,
+      |    v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |nn AS (SELECT COUNT(*) AS n FROM x),
+      |p AS (
+      |  SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
+      |    CAST(SUM(sv[i.i + 1] * sv[j.j + 1]) AS BIGINT) AS s_scaled
+      |  FROM x CROSS JOIN range(0, 64) i(i) CROSS JOIN range(0, 64) j(j)
+      |  WHERE j.j >= i.i GROUP BY 1, 2)
+      |SELECT i, j, s_scaled,
+      |  ROUND(CAST(s_scaled AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000), 6) AS gram
+      |FROM p CROSS JOIN nn ORDER BY i, j""".stripMargin
+
   // T1: language-ID n-gram/stopword heuristic.
   def t1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1815,6 +1859,7 @@ object LlmQueries extends graft.core.QueryModule {
     "t5_regex_tokens" -> t5,
     "hof1_array_stats" -> hof1,
     "ev1_embedding_moments" -> ev1,
+    "ec1_embedding_gram" -> ec1,
     "t1_langid" -> t1,
     "t2_quality_score" -> t2,
     "t3_token_stats" -> t3,
@@ -1859,6 +1904,7 @@ object LlmQueries extends graft.core.QueryModule {
     "t5_regex_tokens" -> t5Sql,
     "hof1_array_stats" -> hof1Sql,
     "ev1_embedding_moments" -> ev1Sql,
+    "ec1_embedding_gram" -> ec1Sql,
     "t1_langid" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_stats" -> t3Sql,

@@ -644,7 +644,60 @@ object QualityQueries extends graft.core.QueryModule {
        |FROM sc JOIN fl ON sc.source = fl.source
        |WHERE sc.doc_id < 300 ORDER BY sc.doc_id""".stripMargin
 
+  /** ent1: character-entropy quality gate — Shannon entropy (nats) of the
+    * per-document character distribution, the classic gibberish /
+    * low-diversity detector (boilerplate, repeated-char spam, and
+    * base64-ish blobs sit at the distribution's tails). Natural text runs
+    * ~2.8–3.0 nats; the keep gate is ≥ 2.0.
+    *
+    * Scale posture: two hash aggregates — (doc_id, ch) counts with
+    * map-side combine, then one doc_id-keyed agg whose `collect_list`
+    * state is ALPHABET-bounded (≤ distinct chars per doc, not text
+    * length), so per-group state is tiny at any corpus size. Determinism:
+    * −Σ p·ln p is a LEFT FOLD over the ch-sorted count list (the t8
+    * sorted-fold discipline) — exact integer counts feed one
+    * identically-ordered double formula on both engines.
+    */
+  def ent1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Spark's split uses Java's limit=-1 semantics: splitting on the empty
+    // pattern yields a trailing "" element — drop it (DuckDB's
+    // string_split('', ...) emits none).
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .filter($"ch" =!= "")
+      .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n"), count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(struct($"ch", $"c"))).as("ts"))
+      .withColumn("lp", aggregate($"ts", lit(0.0),
+        (acc, x) => acc + (x("c").cast("double") / $"n".cast("double")) *
+          log(x("c").cast("double") / $"n".cast("double"))))
+      .select($"doc_id", $"n", $"n_distinct",
+        round(-$"lp", 6).as("entropy"),
+        (round(-$"lp", 6) >= 2.0).as("keep"))
+      .orderBy($"doc_id")
+  }
+  val ent1Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+      |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+      |        COUNT(*) AS n_distinct,
+      |        list_sort(list(struct_pack(ch := ch, c := c))) AS ts
+      |      FROM c GROUP BY 1),
+      |e AS (SELECT doc_id, n, n_distinct,
+      |        list_reduce(list_transform(ts,
+      |          x -> (CAST(x.c AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |               ln(CAST(x.c AS DOUBLE) / CAST(n AS DOUBLE))),
+      |          (a, b) -> a + b) AS lp
+      |      FROM a)
+      |SELECT doc_id, n, n_distinct, ROUND(-lp, 6) AS entropy,
+      |  ROUND(-lp, 6) >= 2.0 AS keep
+      |FROM e ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ent1_char_entropy" -> ent1,
     "gq1_gopher_rules" -> gq1,
     "pii1_redaction" -> pii1,
     "dsir1_importance_resample" -> dsir1,
@@ -657,6 +710,7 @@ object QualityQueries extends graft.core.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "ent1_char_entropy" -> ent1Sql,
     "gq1_gopher_rules" -> gq1Sql,
     "pii1_redaction" -> pii1Sql,
     "dsir1_importance_resample" -> dsir1Sql,

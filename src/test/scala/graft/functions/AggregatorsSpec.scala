@@ -229,4 +229,27 @@ class AggregatorsSpec extends SparkTestBase {
     val r = SCTest.check(prop)(_.withMinSuccessfulTests(100))
     assert(r.passed, r.status.toString)
   }
+
+  test("GramMatrix merge is associative, commutative, and matches single-pass") {
+    val dim = 4
+    val a = new Aggregators.GramMatrix(dim)
+    val vecGen = Gen.listOfN(dim, Gen.choose(-1000L, 1000L)).map(_.toSeq)
+    val gen = Gen.listOf(vecGen)
+    def ref(vs: List[Seq[Long]]): Seq[Long] = {
+      val m = new Array[Long](dim * dim)
+      for (v <- vs; i <- 0 until dim; j <- i until dim)
+        m(i * dim + j) += v(i) * v(j)
+      m.toSeq
+    }
+    val prop = forAll(gen, gen, gen) { (xs, ys, zs) =>
+      def buf(l: List[Seq[Long]]) = l.foldLeft(a.zero)(a.reduce)
+      val left = a.merge(a.merge(buf(xs), buf(ys)), buf(zs)).toSeq
+      val right = a.merge(buf(xs), a.merge(buf(ys), buf(zs))).toSeq
+      val swap = a.merge(buf(ys), buf(xs)).toSeq
+      left == right && a.merge(buf(xs), buf(ys)).toSeq == swap &&
+        a.finish(buf(xs ++ ys ++ zs)) == ref(xs ++ ys ++ zs)
+    }
+    val r = SCTest.check(prop)(_.withMinSuccessfulTests(100))
+    assert(r.passed, r.status.toString)
+  }
 }

