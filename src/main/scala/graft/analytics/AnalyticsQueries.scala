@@ -432,6 +432,133 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  ROUND(CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
       |FROM c JOIN t ON c.src = t.src ORDER BY c.src, c.dst""".stripMargin
 
+  // AT1: last-touch attribution — each purchase attributed to the user's
+  // most recent click within 24 h, via the [[graft.operators.AsOfJoin]]
+  // union+window technique (one user-keyed shuffle, linear per-partition
+  // work; a theta-join would plan nested-loop and die at scale), then one
+  // day-keyed rollup. Latency sums are exact integer µs; the two ratios
+  // are one double division each. Oracle = DuckDB's native ASOF LEFT JOIN
+  // with the tolerance applied post-match — engine-independent semantics.
+  def at1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_ns", $"ts", $"event_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts_ns", $"event_id".as("click_id"),
+        $"ts_ns".as("click_ts_ns"))
+    graft.operators.AsOfJoin.backwardWithin(purchases, clicks, "user_id",
+        "ts_ns", Seq("click_id", "click_ts_ns"), 86400L * 1000000000L)
+      .withColumn("lat_us", expr("(ts_ns - click_ts_ns) div 1000"))
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count($"click_id").as("n_attributed"),
+        sum($"lat_us").as("slat"))
+      // both ratios stay UNROUNDED: the operand-ordered IEEE divisions are
+      // bit-identical across engines, while round(x, 6) can disagree by
+      // one ulp when x sits on a 6-dp halfway point (observed at sf0.001)
+      .select($"day", $"n_purchases", $"n_attributed",
+        ($"n_attributed".cast("double") / $"n_purchases".cast("double"))
+          .as("attribution_rate"),
+        ($"slat".cast("double") / $"n_attributed".cast("double")
+          / lit(1000000.0)).as("mean_latency_s"))
+      .orderBy($"day")
+  }
+  val at1Sql: String =
+    """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      |m AS (SELECT p.ts AS pts, c.ts AS cts, c.event_id AS cid
+      |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+      |f AS (SELECT pts,
+      |        CASE WHEN cts IS NOT NULL AND epoch_us(pts) - epoch_us(cts) <= 86400000000
+      |          THEN cid END AS click_id,
+      |        CASE WHEN cts IS NOT NULL AND epoch_us(pts) - epoch_us(cts) <= 86400000000
+      |          THEN epoch_us(pts) - epoch_us(cts) END AS lat_us
+      |      FROM m)
+      |SELECT strftime(pts, '%Y-%m-%d') AS day, COUNT(*) AS n_purchases,
+      |  COUNT(click_id) AS n_attributed,
+      |  CAST(COUNT(click_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS attribution_rate,
+      |  CAST(SUM(lat_us) AS DOUBLE) / CAST(COUNT(click_id) AS DOUBLE) / 1000000.0 AS mean_latency_s
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // AU1: rolling 7-day distinct active users per day — the MAU/WAU family
+  // done the scalable way: collapse to DISTINCT (day, user) pairs first
+  // (one map-side-combinable shuffle over the raw events), fan each pair
+  // to the ≤ 7 report days it supports, keep observed days (broadcast
+  // day dimension), then count distinct per day. A naive rolling
+  // COUNT(DISTINCT) window cannot merge distinct states and a raw-event
+  // range self-join explodes; this fanout is 7× a day-user table that is
+  // already orders of magnitude smaller than the fact table.
+  def au1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val days = ud.select($"day".as("rday")).distinct()
+    ud.withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(date_add($"day", $"off").as("rday"), $"user_id")
+      .join(broadcast(days), "rday")
+      .groupBy($"rday").agg(countDistinct($"user_id").as("mau7"))
+      .select(date_format($"rday", "yyyy-MM-dd").as("day"), $"mau7")
+      .orderBy($"day")
+  }
+  val au1Sql: String =
+    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |f AS (SELECT d.day AS rday, u.user_id
+      |      FROM ud u JOIN days d ON u.day BETWEEN d.day - 6 AND d.day)
+      |SELECT strftime(rday, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS mau7
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // CP1: CUSUM changepoint scan per event_type — the location of the
+  // maximum |running sum of deviations from the group mean|, the classic
+  // "where did this metric shift" detector. Exactness trick: deviations
+  // are scaled to integers as dev = yc·n − Σy (avoiding the non-exact
+  // mean), so the running sum is exact long arithmetic AND each group's
+  // deviations sum to ZERO — which means the per-type CUSUM falls out of
+  // ONE GLOBAL range-partitioned prefix sum over (type, ts, id) order
+  // ([[graft.operators.GlobalRank.withPrefixSum]]): at every type
+  // boundary the accumulated total of completed types is 0, so no
+  // per-type offset correction and NO low-cardinality per-type window
+  // (5 types would mean 5 single-threaded sort chains). The argmax is a
+  // mergeable max(struct) with a deterministic (abscum, ts, id) tiebreak.
+  def cp1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, dir)
+      .select($"event_type", $"ts_ns", $"event_id", $"ts",
+        round($"value" * 100, 0).cast("long").as("yc"))
+    val stats = base.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"yc").as("sy"))
+    val dev = base.join(broadcast(stats), "event_type")
+      .withColumn("dev", $"yc" * $"n" - $"sy")
+    graft.operators.GlobalRank
+      .withPrefixSum(dev, Seq($"event_type", $"ts_ns", $"event_id"), $"dev", "cum")
+      .withColumn("abscum", abs($"cum"))
+      .withColumn("tstr", date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .groupBy($"event_type")
+      .agg(max(struct($"abscum", $"ts_ns", $"event_id", $"n", $"tstr")).as("m"))
+      .select($"event_type", $"m.n".as("n"), $"m.tstr".as("cp_ts"),
+        round($"m.abscum".cast("double") /
+          ($"m.n".cast("double") * lit(100.0)), 6).as("cusum_max"))
+      .orderBy($"event_type")
+  }
+  val cp1Sql: String =
+    """WITH b AS (SELECT event_type, ts, event_id,
+      |             CAST(ROUND(value * 100, 0) AS BIGINT) AS yc FROM events),
+      |st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(yc) AS BIGINT) AS sy
+      |       FROM b GROUP BY 1),
+      |d AS (SELECT b.event_type, b.ts, b.event_id, st.n, b.yc * st.n - st.sy AS dev
+      |      FROM b JOIN st USING (event_type)),
+      |c AS (SELECT event_type, ts, event_id, n,
+      |        CAST(SUM(dev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM d),
+      |r AS (SELECT event_type, ts, event_id, n, abs(cum) AS abscum FROM c
+      |      QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+      |        ORDER BY abs(cum) DESC, ts DESC, event_id DESC) = 1)
+      |SELECT event_type, n, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS cp_ts,
+      |  ROUND(CAST(abscum AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS cusum_max
+      |FROM r ORDER BY event_type""".stripMargin
+
   // F4: flag-map selection — the reference's `flags[f]==v` predicate over a
   // dynamic key space; props JSON plays the flag map (MapType access in the
   // TOA schema; JSON here because that's how the events table encodes it).
@@ -1159,6 +1286,9 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "z1_event_anomaly" -> z1,
     "reg1_linear_trend" -> reg1,
     "mk1_markov_transitions" -> mk1,
+    "at1_attribution" -> at1,
+    "au1_rolling_active_users" -> au1,
+    "cp1_cusum_changepoint" -> cp1,
     "twa1_time_weighted" -> twa1,
     "o1_ohlc_bars" -> o1,
     "fn1_funnel_steps" -> fn1,
@@ -1203,6 +1333,9 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "z1_event_anomaly" -> z1Sql,
     "reg1_linear_trend" -> reg1Sql,
     "mk1_markov_transitions" -> mk1Sql,
+    "at1_attribution" -> at1Sql,
+    "au1_rolling_active_users" -> au1Sql,
+    "cp1_cusum_changepoint" -> cp1Sql,
     "twa1_time_weighted" -> twa1Sql,
     "o1_ohlc_bars" -> o1Sql,
     "fn1_funnel_steps" -> fn1Sql,
