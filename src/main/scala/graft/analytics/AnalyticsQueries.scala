@@ -409,14 +409,17 @@ object AnalyticsQueries extends graft.core.QueryModule {
   def mk1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val c = Tables.events(s, dir)
+    // row-normalize with a window over the ALREADY-AGGREGATED |types|²-row
+    // counts table (bounded by type cardinality, not corpus size) — a
+    // groupBy+join-back would make Catalyst recompute the big per-user
+    // lead window on both join branches (no cross-branch CSE)
+    Tables.events(s, dir)
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .withColumn("dst", lead($"event_type", 1).over(w))
       .filter($"dst".isNotNull)
       .groupBy($"event_type".as("src"), $"dst")
       .agg(count(lit(1)).as("c"))
-    val tot = c.groupBy($"src").agg(sum($"c").as("tot"))
-    c.join(broadcast(tot), "src")
+      .withColumn("tot", sum($"c").over(Window.partitionBy($"src")))
       .select($"src", $"dst", $"c",
         round($"c".cast("double") / $"tot".cast("double"), 6).as("p"))
       .orderBy($"src", $"dst")

@@ -1037,6 +1037,67 @@ object LlmQueries extends graft.core.QueryModule {
       |  ROUND(CAST(s_scaled AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000), 6) AS gram
       |FROM p CROSS JOIN nn ORDER BY i, j""".stripMargin
 
+  // PCA1: PCA reconstruction audit — the realized-guarantee pattern
+  // (sk1/sk2/cms1): [[graft.similarity.Pca]] fits on the embedding corpus
+  // (one GramMatrix pass + driver Jacobi on the 64×64 covariance), and
+  // for each truncation k the query checks the spectral identity
+  // "reconstruction MSE = trace(C) − Σ_{j<k} λ_j" against a DISTRIBUTED
+  // recompute of the projected variance — the run itself proves the model
+  // reconstructs. The oracle contributes the exact corpus trace
+  // (DECIMAL(38,0) of scaled-integer moments — long would overflow n·Σx²
+  // past ~1e19 at large SF; HUGEINT on the DuckDB side) and expects every
+  // ok flag TRUE.
+  def pca1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val model = graft.similarity.Pca.fit(emb, "embedding", 64, 64)
+    val trace = model.eigenvalues.sum
+    // distributed per-component second moments: centered ||x−μ||² and the
+    // first 8 projections (codegen'd fixed-order folds)
+    val cendot = (0 until 64).map { i =>
+      val d = element_at($"embedding", i + 1).cast("double") - lit(model.mean(i))
+      d * d
+    }.reduce(_ + _)
+    val pcs = graft.similarity.Pca.projection("embedding",
+      model.copy(components = model.components.take(8),
+        eigenvalues = model.eigenvalues.take(8)))
+    val aggCols = (0 until 8).map(j => avg(col(s"pc$j") * col(s"pc$j")).as(s"v$j"))
+    val aggd = emb.select((cendot.as("cd") +: pcs): _*)
+      .agg(avg($"cd").as("mcd"), aggCols: _*)
+      .head()
+    val mcd = aggd.getAs[Double]("mcd")
+    val ks = Seq(1, 2, 4, 8)
+    val rows = ks.map { k =>
+      val theory = trace - model.eigenvalues.take(k).sum
+      val realized = mcd - (0 until k).map(j => aggd.getAs[Double](s"v$j")).sum
+      (k.toLong, math.abs(realized - theory) <= 1e-9 + 1e-6 * math.abs(trace))
+    }
+    // exact trace: Σ_i (n·Σx² − (Σx)²) over scaled integers, in decimal
+    val sv = transform($"embedding",
+      v => round(v.cast("double") * 1e6, 0).cast("long"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tr = emb.select(posexplode(sv).as(Seq("i", "x")))
+      .groupBy($"i")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s1"), sum($"x" * $"x").as("s2"))
+      .agg(sum($"n".cast(dec) * $"s2".cast(dec) - $"s1".cast(dec) * $"s1".cast(dec))
+        .cast(dec).as("tr_scaled"))
+    rows.toDF("k", "ok").crossJoin(broadcast(tr))
+      // exact integer emitted as STRING: DuckDB's pandas bridge narrows
+      // DECIMAL(38,0) to float64, which would defeat the exactness
+      .select($"k", $"tr_scaled".cast("string").as("tr_scaled"), $"ok")
+      .orderBy($"k")
+  }
+  val pca1Sql: String =
+    """WITH x AS (
+      |  SELECT CAST(ROUND(CAST(embedding[d.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS v,
+      |    d.i AS i
+      |  FROM embeddings CROSS JOIN range(1, 65) d(i)),
+      |m AS (SELECT i, COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2
+      |      FROM x GROUP BY 1),
+      |t AS (SELECT CAST(CAST(SUM(n * s2 - s1 * s1) AS DECIMAL(38,0)) AS VARCHAR) AS tr_scaled FROM m)
+      |SELECT CAST(k AS BIGINT) AS k, tr_scaled, TRUE AS ok
+      |FROM t CROSS JOIN (VALUES (1), (2), (4), (8)) ks(k) ORDER BY k""".stripMargin
+
   // T1: language-ID n-gram/stopword heuristic.
   def t1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1860,6 +1921,7 @@ object LlmQueries extends graft.core.QueryModule {
     "hof1_array_stats" -> hof1,
     "ev1_embedding_moments" -> ev1,
     "ec1_embedding_gram" -> ec1,
+    "pca1_reconstruction_audit" -> pca1,
     "t1_langid" -> t1,
     "t2_quality_score" -> t2,
     "t3_token_stats" -> t3,
@@ -1905,6 +1967,7 @@ object LlmQueries extends graft.core.QueryModule {
     "hof1_array_stats" -> hof1Sql,
     "ev1_embedding_moments" -> ev1Sql,
     "ec1_embedding_gram" -> ec1Sql,
+    "pca1_reconstruction_audit" -> pca1Sql,
     "t1_langid" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_stats" -> t3Sql,

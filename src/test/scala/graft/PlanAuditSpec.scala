@@ -163,7 +163,8 @@ class PlanAuditSpec extends SparkTestBase {
       "cms1_countmin_freq",  // 1-row broadcast of the finished CMS sketch
       "qz1_int8_quant_ann",  // 1-row broadcast of the quantized query vector
       "rp1_random_projection", // 1-row broadcast of the projected query vector
-      "t12_vocab_coverage")  // 1-row broadcast of the corpus token total
+      "t12_vocab_coverage",  // 1-row broadcast of the corpus token total
+      "pca1_reconstruction_audit") // 4 local flag rows × 1-row exact-trace broadcast
     // iterative operators run actions while BUILDING the frame — profile
     // their final stage only (loop internals are audited by their specs)
     val violations = for {
