@@ -562,6 +562,104 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  ROUND(CAST(abscum AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS cusum_max
       |FROM r ORDER BY event_type""".stripMargin
 
+  // TH1: theta-sketch set algebra over two KMV sketches — union,
+  // intersection, and Jaccard ESTIMATES for segment-overlap questions
+  // answered from two k-sized sketches instead of a full distinct-pair
+  // shuffle (the Apache DataSketches pattern). The sketches are the
+  // mergeable [[graft.functions.Aggregators.BottomK]] (k smallest ids by
+  // the Knuth-hash priority); algebra: θ = min(θ_A, θ_B) with θ = 2³² for
+  // an exhaustive (<k) sketch, U = merged entries with pri < θ,
+  // D̂ = |U|·2³²/θ. Every quantity is deterministic integer arithmetic +
+  // one fixed-order double formula, so the whole row — estimates,
+  // exact sides, and realized-accuracy flags — hash-matches the oracle,
+  // which recomputes the same sketches relationally (ORDER BY pri LIMIT
+  // k). Segments are id-arithmetic slices of the click/purchase user
+  // sets (the synthetic corpus gives every user every event type, so raw
+  // sets would coincide).
+  def th1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 256
+    val Mod = 4294967296L // 2^32 hash space of the BottomK priority
+    val bk = udaf(new graft.functions.Aggregators.BottomK(k))
+    val pri = (c: org.apache.spark.sql.Column) => (c * lit(2654435761L)) % lit(Mod)
+    val ev = Tables.events(s, dir)
+    val aSet = ev.filter($"event_type" === "click" && $"user_id" % 3 =!= 0)
+      .select($"user_id")
+    val bSet = ev.filter($"event_type" === "purchase" && $"user_id" % 2 === 0)
+      .select($"user_id")
+    val sa = aSet.agg(bk($"user_id").as("sa"), countDistinct($"user_id").as("na"))
+    val sb = bSet.agg(bk($"user_id").as("sb"), countDistinct($"user_id").as("nb"))
+    // exact overlap for the realized-accuracy flags: one conditional agg
+    // over the union of both segments
+    val exact = aSet.select($"user_id", lit(1).as("ia"), lit(0).as("ib"))
+      .unionByName(bSet.select($"user_id", lit(0).as("ia"), lit(1).as("ib")))
+      .groupBy($"user_id").agg(max($"ia").as("ia"), max($"ib").as("ib"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum($"ia" * $"ib").as("exact_inter"))
+    val thA = when(size($"sa") < k, lit(Mod))
+      .otherwise(pri(element_at($"sa", k)))
+    val thB = when(size($"sb") < k, lit(Mod))
+      .otherwise(pri(element_at($"sb", k)))
+    sa.crossJoin(broadcast(sb)).crossJoin(broadcast(exact))
+      .withColumn("theta", least(thA, thB))
+      .withColumn("u", filter(array_union($"sa", $"sb"),
+        x => (x * lit(2654435761L)) % lit(Mod) < $"theta"))
+      .withColumn("nu", size($"u").cast("long"))
+      .withColumn("ni", size(filter($"u",
+        x => array_contains($"sa", x) && array_contains($"sb", x))).cast("long"))
+      .withColumn("est_union",
+        $"nu".cast("double") * lit(4294967296.0) / $"theta".cast("double"))
+      .withColumn("est_inter",
+        $"ni".cast("double") * lit(4294967296.0) / $"theta".cast("double"))
+      .select($"na", $"nb", $"exact_union", $"exact_inter",
+        $"nu", $"ni", $"theta", $"est_union", $"est_inter",
+        ($"ni".cast("double") / $"nu".cast("double")).as("est_jaccard"),
+        (abs($"est_union" - $"exact_union".cast("double")) <=
+          lit(0.25) * $"exact_union".cast("double") + lit(8.0)).as("ok_union"),
+        (abs($"est_inter" - $"exact_inter".cast("double")) <=
+          lit(0.25) * $"exact_inter".cast("double") + lit(8.0)).as("ok_inter"))
+  }
+  val th1Sql: String =
+    """WITH a AS (SELECT DISTINCT user_id FROM events
+      |           WHERE event_type = 'click' AND user_id % 3 <> 0),
+      |b AS (SELECT DISTINCT user_id FROM events
+      |      WHERE event_type = 'purchase' AND user_id % 2 = 0),
+      |ka AS (SELECT user_id, (user_id * 2654435761) % 4294967296 AS pri FROM a
+      |       ORDER BY pri, user_id LIMIT 256),
+      |kb AS (SELECT user_id, (user_id * 2654435761) % 4294967296 AS pri FROM b
+      |       ORDER BY pri, user_id LIMIT 256),
+      |th AS (SELECT LEAST(
+      |    CASE WHEN (SELECT COUNT(*) FROM a) < 256 THEN 4294967296
+      |         ELSE (SELECT MAX(pri) FROM ka) END,
+      |    CASE WHEN (SELECT COUNT(*) FROM b) < 256 THEN 4294967296
+      |         ELSE (SELECT MAX(pri) FROM kb) END) AS theta),
+      |u AS (SELECT user_id FROM (SELECT user_id FROM ka UNION SELECT user_id FROM kb) m
+      |      WHERE (user_id * 2654435761) % 4294967296 < (SELECT theta FROM th)),
+      |i AS (SELECT user_id FROM u
+      |      WHERE user_id IN (SELECT user_id FROM ka)
+      |        AND user_id IN (SELECT user_id FROM kb)),
+      |ex AS (SELECT
+      |    (SELECT COUNT(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b) q) AS exact_union,
+      |    (SELECT COUNT(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b) q) AS exact_inter)
+      |SELECT
+      |  (SELECT COUNT(*) FROM a) AS na, (SELECT COUNT(*) FROM b) AS nb,
+      |  exact_union, exact_inter,
+      |  (SELECT COUNT(*) FROM u) AS nu, (SELECT COUNT(*) FROM i) AS ni,
+      |  (SELECT theta FROM th) AS theta,
+      |  CAST((SELECT COUNT(*) FROM u) AS DOUBLE) * 4294967296.0
+      |    / CAST((SELECT theta FROM th) AS DOUBLE) AS est_union,
+      |  CAST((SELECT COUNT(*) FROM i) AS DOUBLE) * 4294967296.0
+      |    / CAST((SELECT theta FROM th) AS DOUBLE) AS est_inter,
+      |  CAST((SELECT COUNT(*) FROM i) AS DOUBLE)
+      |    / CAST((SELECT COUNT(*) FROM u) AS DOUBLE) AS est_jaccard,
+      |  abs(CAST((SELECT COUNT(*) FROM u) AS DOUBLE) * 4294967296.0
+      |    / CAST((SELECT theta FROM th) AS DOUBLE) - CAST(exact_union AS DOUBLE))
+      |    <= 0.25 * CAST(exact_union AS DOUBLE) + 8.0 AS ok_union,
+      |  abs(CAST((SELECT COUNT(*) FROM i) AS DOUBLE) * 4294967296.0
+      |    / CAST((SELECT theta FROM th) AS DOUBLE) - CAST(exact_inter AS DOUBLE))
+      |    <= 0.25 * CAST(exact_inter AS DOUBLE) + 8.0 AS ok_inter
+      |FROM ex""".stripMargin
+
   // F4: flag-map selection — the reference's `flags[f]==v` predicate over a
   // dynamic key space; props JSON plays the flag map (MapType access in the
   // TOA schema; JSON here because that's how the events table encodes it).
@@ -1292,6 +1390,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "at1_attribution" -> at1,
     "au1_rolling_active_users" -> au1,
     "cp1_cusum_changepoint" -> cp1,
+    "th1_theta_sketch_ops" -> th1,
     "twa1_time_weighted" -> twa1,
     "o1_ohlc_bars" -> o1,
     "fn1_funnel_steps" -> fn1,
@@ -1339,6 +1438,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "at1_attribution" -> at1Sql,
     "au1_rolling_active_users" -> au1Sql,
     "cp1_cusum_changepoint" -> cp1Sql,
+    "th1_theta_sketch_ops" -> th1Sql,
     "twa1_time_weighted" -> twa1Sql,
     "o1_ohlc_bars" -> o1Sql,
     "fn1_funnel_steps" -> fn1Sql,
