@@ -660,6 +660,59 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |    <= 0.25 * CAST(exact_inter AS DOUBLE) + 8.0 AS ok_inter
       |FROM ex""".stripMargin
 
+  // FC1: naive-forecast backtest — per event_type, forecast each day's
+  // mean value with the previous day's mean (the baseline every real
+  // forecasting system must beat) and report MAE + signed bias over the
+  // backtest window. The raw facts collapse to a (type × day) frame in
+  // one exact-cents groupBy; everything after runs on that bounded frame
+  // (lag window partitioned by type over ≤31 rows/type). Determinism:
+  // daily means are exact-int ratios divided once; the MAE/bias averages
+  // are LEFT FOLDS over the day-sorted error list (t8 discipline), not
+  // unordered double sums.
+  def fc1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum(round($"value" * 100, 0).cast("long")).as("sc"),
+        count(lit(1)).as("n"))
+      .withColumn("m", $"sc".cast("double") / $"n".cast("double") / lit(100.0))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    daily
+      .withColumn("fcst", lag($"m", 1).over(w))
+      .filter($"fcst".isNotNull)
+      .withColumn("err", $"m" - $"fcst")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct($"day", $"err"))).as("es"))
+      .select($"event_type", $"n_days",
+        (aggregate($"es", lit(0.0), (a, x) => a + abs(x("err"))) /
+          $"n_days".cast("double")).as("mae"),
+        (aggregate($"es", lit(0.0), (a, x) => a + x("err")) /
+          $"n_days".cast("double")).as("bias"))
+      .orderBy($"event_type")
+  }
+  val fc1Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sc,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |f AS (SELECT event_type, day,
+      |        CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS m,
+      |        lag(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+      |          OVER (PARTITION BY event_type ORDER BY day) AS fcst
+      |      FROM daily),
+      |e AS (SELECT event_type, day, m - fcst AS err FROM f WHERE fcst IS NOT NULL),
+      |a AS (SELECT event_type, COUNT(*) AS n_days,
+      |        list_sort(list(struct_pack(day := day, err := err))) AS es
+      |      FROM e GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  list_reduce(list_transform(es, x -> abs(x.err)), (a, b) -> a + b)
+      |    / CAST(n_days AS DOUBLE) AS mae,
+      |  list_reduce(list_transform(es, x -> x.err), (a, b) -> a + b)
+      |    / CAST(n_days AS DOUBLE) AS bias
+      |FROM a ORDER BY event_type""".stripMargin
+
   // F4: flag-map selection — the reference's `flags[f]==v` predicate over a
   // dynamic key space; props JSON plays the flag map (MapType access in the
   // TOA schema; JSON here because that's how the events table encodes it).
@@ -1391,6 +1444,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "au1_rolling_active_users" -> au1,
     "cp1_cusum_changepoint" -> cp1,
     "th1_theta_sketch_ops" -> th1,
+    "fc1_naive_backtest" -> fc1,
     "twa1_time_weighted" -> twa1,
     "o1_ohlc_bars" -> o1,
     "fn1_funnel_steps" -> fn1,
@@ -1439,6 +1493,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "au1_rolling_active_users" -> au1Sql,
     "cp1_cusum_changepoint" -> cp1Sql,
     "th1_theta_sketch_ops" -> th1Sql,
+    "fc1_naive_backtest" -> fc1Sql,
     "twa1_time_weighted" -> twa1Sql,
     "o1_ohlc_bars" -> o1Sql,
     "fn1_funnel_steps" -> fn1Sql,
