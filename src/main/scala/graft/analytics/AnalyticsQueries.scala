@@ -512,6 +512,96 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |SELECT strftime(rday, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS mau7
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // AU2: rolling 7-day actives from MERGED per-day KMV sketches — the
+  // production sliding-window rollup: one bounded sketch per day, each
+  // report day UNIONS its ≤7 day-sketches (theta algebra: θ_u = min of
+  // the contributing θ_d and the merged k-th priority; D̂ = |{pri < θ_u}|
+  // ·2³²/θ_u) instead of re-touching raw events per window. Both sketch
+  // levels are the same mergeable BottomK aggregate, so the shuffle
+  // carries ≤ k ids per (day|rday) group; exact per-day distinct counts
+  // ride along for the realized-accuracy flags (au1 recomputes the exact
+  // rolling side). Deterministic end to end — sketch contents, thetas,
+  // and estimates hash-match the oracle's relational recompute.
+  def au2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 256
+    val Mod = 4294967296L
+    val bk = udaf(new graft.functions.Aggregators.BottomK(k))
+    val pri = (c: org.apache.spark.sql.Column) => (c * lit(2654435761L)) % lit(Mod)
+    val ud = Tables.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val daySk = ud.groupBy($"day")
+      .agg(bk($"user_id").as("sk"), count(lit(1)).as("nd"))
+      .withColumn("th_d",
+        when($"nd" < k, lit(Mod)).otherwise(pri(element_at($"sk", k))))
+    val days = ud.select($"day".as("rday")).distinct()
+    val fanned = daySk
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(date_add($"day", $"off").as("rday"), $"sk", $"th_d")
+      .join(broadcast(days), "rday")
+    val merged = fanned
+      .select($"rday", $"th_d", explode($"sk").as("uid"))
+      .groupBy($"rday")
+      .agg(bk($"uid").as("mk"), min($"th_d").as("th_min"),
+        count(lit(1)).as("n_in"))
+      .withColumn("th_u", least($"th_min",
+        when(size($"mk") >= k, pri(element_at($"mk", k))).otherwise(lit(Mod))))
+      .withColumn("nu", size(filter($"mk",
+        x => (x * lit(2654435761L)) % lit(Mod) < $"th_u")).cast("long"))
+      .withColumn("est_mau7",
+        $"nu".cast("double") * lit(4294967296.0) / $"th_u".cast("double"))
+    val exact = au1(s, dir).select($"day", $"mau7".as("exact_mau7"))
+    merged
+      .select(date_format($"rday", "yyyy-MM-dd").as("day"),
+        $"nu", $"th_u", $"est_mau7")
+      .join(broadcast(exact), "day")
+      .select($"day", $"exact_mau7", $"nu", $"th_u", $"est_mau7",
+        (abs($"est_mau7" - $"exact_mau7".cast("double")) <=
+          lit(0.25) * $"exact_mau7".cast("double") + lit(8.0)).as("ok"))
+      .orderBy($"day")
+  }
+  val au2Sql: String =
+    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |nd AS (SELECT day, COUNT(*) AS nd FROM ud GROUP BY 1),
+      |sk AS (SELECT day, user_id, (user_id * 2654435761) % 4294967296 AS pri FROM ud
+      |       QUALIFY ROW_NUMBER() OVER (PARTITION BY day
+      |         ORDER BY (user_id * 2654435761) % 4294967296, user_id) <= 256),
+      |thd AS (SELECT nd.day,
+      |          CASE WHEN nd.nd < 256 THEN 4294967296
+      |               ELSE (SELECT MAX(pri) FROM sk WHERE sk.day = nd.day) END AS th_d
+      |        FROM nd),
+      |days AS (SELECT DISTINCT day AS rday FROM ud),
+      |fan AS (SELECT d.rday, sk.day, sk.user_id, sk.pri
+      |        FROM sk JOIN days d ON sk.day BETWEEN d.rday - 6 AND d.rday),
+      |thmin AS (SELECT d.rday, MIN(thd.th_d) AS th_min, COUNT(*) AS n_days
+      |          FROM thd JOIN days d ON thd.day BETWEEN d.rday - 6 AND d.rday
+      |          GROUP BY 1),
+      |mdist AS (SELECT DISTINCT rday, user_id, pri FROM fan),
+      |mk AS (SELECT rday, user_id, pri,
+      |         ROW_NUMBER() OVER (PARTITION BY rday ORDER BY pri, user_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY rday) AS nm
+      |       FROM mdist QUALIFY rn <= 256),
+      |thu AS (SELECT mk.rday,
+      |          LEAST(tm.th_min, CASE WHEN MAX(mk.nm) >= 256
+      |            THEN MAX(CASE WHEN mk.rn = 256 THEN mk.pri END)
+      |            ELSE 4294967296 END) AS th_u
+      |        FROM mk JOIN thmin tm ON mk.rday = tm.rday
+      |        GROUP BY mk.rday, tm.th_min),
+      |u AS (SELECT mk.rday, COUNT(*) AS nu
+      |      FROM mk JOIN thu ON mk.rday = thu.rday
+      |      WHERE mk.pri < thu.th_u GROUP BY 1),
+      |ex AS (SELECT d.rday, COUNT(DISTINCT ud.user_id) AS exact_mau7
+      |       FROM ud JOIN days d ON ud.day BETWEEN d.rday - 6 AND d.rday
+      |       GROUP BY 1)
+      |SELECT strftime(ex.rday, '%Y-%m-%d') AS day, ex.exact_mau7,
+      |  u.nu, thu.th_u,
+      |  CAST(u.nu AS DOUBLE) * 4294967296.0 / CAST(thu.th_u AS DOUBLE) AS est_mau7,
+      |  abs(CAST(u.nu AS DOUBLE) * 4294967296.0 / CAST(thu.th_u AS DOUBLE)
+      |    - CAST(ex.exact_mau7 AS DOUBLE))
+      |    <= 0.25 * CAST(ex.exact_mau7 AS DOUBLE) + 8.0 AS ok
+      |FROM ex JOIN u ON ex.rday = u.rday JOIN thu ON ex.rday = thu.rday
+      |ORDER BY day""".stripMargin
+
   // CP1: CUSUM changepoint scan per event_type — the location of the
   // maximum |running sum of deviations from the group mean|, the classic
   // "where did this metric shift" detector. Exactness trick: deviations
@@ -1442,6 +1532,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "mk1_markov_transitions" -> mk1,
     "at1_attribution" -> at1,
     "au1_rolling_active_users" -> au1,
+    "au2_rolling_sketch_mau" -> au2,
     "cp1_cusum_changepoint" -> cp1,
     "th1_theta_sketch_ops" -> th1,
     "fc1_naive_backtest" -> fc1,
@@ -1491,6 +1582,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "mk1_markov_transitions" -> mk1Sql,
     "at1_attribution" -> at1Sql,
     "au1_rolling_active_users" -> au1Sql,
+    "au2_rolling_sketch_mau" -> au2Sql,
     "cp1_cusum_changepoint" -> cp1Sql,
     "th1_theta_sketch_ops" -> th1Sql,
     "fc1_naive_backtest" -> fc1Sql,
