@@ -803,6 +803,59 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |    / CAST(n_days AS DOUBLE) AS bias
       |FROM a ORDER BY event_type""".stripMargin
 
+  // IA1: inter-arrival-time profile — log₂-bucketed histogram of the gap
+  // between consecutive events per type, the arrival-process diagnostic
+  // (a Poisson stream shows a geometric bucket decay; periodic scrapers
+  // spike one bucket). A lag window partitioned by event_type alone
+  // would funnel the corpus into |types| sort chains (the wsm1 lesson);
+  // instead consecutive pairs decompose exactly into (a) within-(type,
+  // day) pairs — lag windows over (type, day) partitions, whose count
+  // GROWS with the data span — and (b) day-boundary pairs, recovered
+  // from the agg-sized per-(type, present-day) first/last frame with a
+  // lag over days (bounded input, so the type-partitioned window there
+  // is free). Gaps are exact integer µs; the bucket id is floor(log₂)
+  // via binary-string bit length — pure integer semantics; a float log2
+  // could straddle power-of-two boundaries differently across libms.
+  def ia1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"), $"ts_ns", $"event_id")
+    val inDay = Window.partitionBy($"event_type", $"day")
+      .orderBy($"ts_ns", $"event_id")
+    val within = ev
+      .withColumn("prev", lag($"ts_ns", 1).over(inDay))
+      .filter($"prev".isNotNull)
+      .select($"event_type", expr("(ts_ns - prev) div 1000").as("gap_us"))
+    // day-boundary pairs: (type, present-day) first/last — agg-sized
+    val byDay = ev.groupBy($"event_type", $"day")
+      .agg(min(struct($"ts_ns", $"event_id")).as("first"),
+        max(struct($"ts_ns", $"event_id")).as("last"))
+    val overDays = Window.partitionBy($"event_type").orderBy($"day")
+    val boundary = byDay
+      .withColumn("prev_last", lag($"last.ts_ns", 1).over(overDays))
+      .filter($"prev_last".isNotNull)
+      .select($"event_type",
+        expr("(first.ts_ns - prev_last) div 1000").as("gap_us"))
+    within.unionByName(boundary)
+      .withColumn("bucket", (length(bin($"gap_us" + 1)) - 1).cast("long"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min($"gap_us").as("min_gap_us"), max($"gap_us").as("max_gap_us"))
+      .orderBy($"event_type", $"bucket")
+  }
+  val ia1Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS t,
+      |    (epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+      |      (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)) AS gap_us
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(LENGTH(BIN(gap_us + 1)) - 1 AS BIGINT) AS bucket,
+      |  COUNT(*) AS cnt,
+      |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // F4: flag-map selection — the reference's `flags[f]==v` predicate over a
   // dynamic key space; props JSON plays the flag map (MapType access in the
   // TOA schema; JSON here because that's how the events table encodes it).
@@ -1536,6 +1589,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "cp1_cusum_changepoint" -> cp1,
     "th1_theta_sketch_ops" -> th1,
     "fc1_naive_backtest" -> fc1,
+    "ia1_interarrival_profile" -> ia1,
     "twa1_time_weighted" -> twa1,
     "o1_ohlc_bars" -> o1,
     "fn1_funnel_steps" -> fn1,
@@ -1586,6 +1640,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "cp1_cusum_changepoint" -> cp1Sql,
     "th1_theta_sketch_ops" -> th1Sql,
     "fc1_naive_backtest" -> fc1Sql,
+    "ia1_interarrival_profile" -> ia1Sql,
     "twa1_time_weighted" -> twa1Sql,
     "o1_ohlc_bars" -> o1Sql,
     "fn1_funnel_steps" -> fn1Sql,
