@@ -856,6 +856,96 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |FROM g WHERE gap_us IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // W13: expanding-window running total — each purchase row with the
+  // user's lifetime spend so far (the LTV-at-event feature). The window
+  // partitions by user_id (high-cardinality — per-user state is a handful
+  // of rows, nothing funnels), sums exact cents, divides once per row.
+  def w13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_ns", $"event_id",
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .withColumn("ltv_cents", sum($"cents").over(w))
+      .withColumn("n_purchases", count(lit(1)).over(w))
+      .filter($"user_id" < 50) // bounded output; the window ran on all rows
+      .select($"user_id", $"event_id", $"n_purchases",
+        ($"ltv_cents".cast("double") / lit(100.0)).as("ltv"))
+      .orderBy($"user_id", $"event_id")
+  }
+  val w13Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_id,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id, event_id,
+      |        COUNT(*) OVER w AS n_purchases,
+      |        CAST(SUM(cents) OVER w AS BIGINT) AS ltv_cents
+      |      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+      |        ROWS UNBOUNDED PRECEDING))
+      |SELECT user_id, event_id, n_purchases,
+      |  CAST(ltv_cents AS DOUBLE) / 100.0 AS ltv
+      |FROM r WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin
+
+  // UP1: user-profile dimension build — first/last touch, event counts,
+  // exact lifetime value, and favorite event type (argmax with a
+  // deterministic (count, type) tie-break) in ONE pass over the fact
+  // table: a (user, type) pre-aggregation followed by a user-keyed
+  // max(struct) argmax — both map-side combinable, no windows at all.
+  def up1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byType = Tables.events(s, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100, 0).cast("long")).as("cents"),
+        min($"ts_ns").as("first_ns"), max($"ts_ns").as("last_ns"))
+    byType.groupBy($"user_id")
+      .agg(sum($"n").as("n_events"),
+        (sum($"cents").cast("double") / lit(100.0)).as("total_value"),
+        date_format(timestamp_micros(expr("min(first_ns) div 1000")),
+          "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+        date_format(timestamp_micros(expr("max(last_ns) div 1000")),
+          "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+        max(struct($"n", $"event_type")).getField("event_type").as("favorite"))
+      .filter($"user_id" < 100)
+      .orderBy($"user_id")
+  }
+  val up1Sql: String =
+    """WITH bt AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+      |    MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value,
+      |  strftime(MIN(first_ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+      |  strftime(MAX(last_ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+      |  MAX(struct_pack(n := n, event_type := event_type)).event_type AS favorite
+      |FROM bt WHERE user_id < 100 GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // HM1: day-of-week × hour activity heatmap — the seasonality profile
+  // behind load forecasting and anomaly baselines. One hash aggregate to
+  // a fixed 7×24 grid; exact-cents means divided once per cell.
+  def hm1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(dayofweek($"ts").cast("long").as("dow"),
+        hour($"ts").cast("long").as("hod"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(round($"value" * 100, 0).cast("long")).cast("double") /
+          (count(lit(1)).cast("double") * lit(100.0))).as("mean_value"))
+      .orderBy($"dow", $"hod")
+  }
+  val hm1Sql: String =
+    """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+      |  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS mean_value
+      |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin
+
   // F4: flag-map selection — the reference's `flags[f]==v` predicate over a
   // dynamic key space; props JSON plays the flag map (MapType access in the
   // TOA schema; JSON here because that's how the events table encodes it).
@@ -1590,6 +1680,9 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "th1_theta_sketch_ops" -> th1,
     "fc1_naive_backtest" -> fc1,
     "ia1_interarrival_profile" -> ia1,
+    "w13_running_ltv" -> w13,
+    "up1_user_profile" -> up1,
+    "hm1_dow_hour_heatmap" -> hm1,
     "twa1_time_weighted" -> twa1,
     "o1_ohlc_bars" -> o1,
     "fn1_funnel_steps" -> fn1,
@@ -1641,6 +1734,9 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "th1_theta_sketch_ops" -> th1Sql,
     "fc1_naive_backtest" -> fc1Sql,
     "ia1_interarrival_profile" -> ia1Sql,
+    "w13_running_ltv" -> w13Sql,
+    "up1_user_profile" -> up1Sql,
+    "hm1_dow_hour_heatmap" -> hm1Sql,
     "twa1_time_weighted" -> twa1Sql,
     "o1_ohlc_bars" -> o1Sql,
     "fn1_funnel_steps" -> fn1Sql,
