@@ -1299,6 +1299,113 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |FROM (SELECT DISTINCT user_id, wk FROM e) e JOIN c ON e.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY cohort_wk, wk""".stripMargin
 
+  // AB1: A/B-test readout — Welch z-statistic of mean event value between
+  // two deterministic id-hash buckets, per event_type (the experiment
+  // dashboard primitive). One pass of exact integer moments per
+  // (type, bucket); z = (m̂_a − m̂_b)/√(v_a/n_a + v_b/n_b) is a single
+  // fixed-order double formula per row, so z and the |z|>1.96 flag
+  // hash-match the oracle. Under a null split (hash buckets of the same
+  // population) the flags should be mostly false — the readout documents
+  // its own calibration.
+  def ab1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = Tables.events(s, dir)
+      .withColumn("bucket",
+        (($"user_id" * lit(2654435761L)) % lit(4294967296L)) % lit(2))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100, 0).cast("long")).as("s1"),
+        sum(round($"value" * 100, 0).cast("long") *
+          round($"value" * 100, 0).cast("long")).as("s2"))
+    def d6(c: org.apache.spark.sql.Column) = c.cast("double")
+    val a = m.filter($"bucket" === 0).select($"event_type",
+      $"n".as("na"), $"s1".as("sa1"), $"s2".as("sa2"))
+    val b = m.filter($"bucket" === 1).select($"event_type".as("bt"),
+      $"n".as("nb"), $"s1".as("sb1"), $"s2".as("sb2"))
+    val ma = d6($"sa1") / d6($"na"); val mb = d6($"sb1") / d6($"nb")
+    val va = d6($"sa2") / d6($"na") - ma * ma
+    val vb = d6($"sb2") / d6($"nb") - mb * mb
+    val z = (ma - mb) / sqrt(va / d6($"na") + vb / d6($"nb"))
+    a.join(b, $"event_type" === $"bt")
+      .select($"event_type", $"na", $"nb",
+        (ma / lit(100.0)).as("mean_a"), (mb / lit(100.0)).as("mean_b"),
+        z.as("z"), (abs(z) > lit(1.96)).as("significant"))
+      .orderBy($"event_type")
+  }
+  val ab1Sql: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST((user_id * 2654435761) % 4294967296 % 2 AS BIGINT) AS bucket,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s1,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+      |      * CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s2
+      |  FROM events GROUP BY 1, 2),
+      |a AS (SELECT event_type, n AS na, s1 AS sa1, s2 AS sa2 FROM m WHERE bucket = 0),
+      |b AS (SELECT event_type AS bt, n AS nb, s1 AS sb1, s2 AS sb2 FROM m WHERE bucket = 1)
+      |SELECT event_type, na, nb,
+      |  CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE) / 100.0 AS mean_a,
+      |  CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0 AS mean_b,
+      |  (CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE))
+      |   / sqrt((CAST(sa2 AS DOUBLE) / CAST(na AS DOUBLE)
+      |       - (CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE)) * (CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE)))
+      |       / CAST(na AS DOUBLE)
+      |     + (CAST(sb2 AS DOUBLE) / CAST(nb AS DOUBLE)
+      |       - (CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE)) * (CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE)))
+      |       / CAST(nb AS DOUBLE)) AS z,
+      |  abs((CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE))
+      |   / sqrt((CAST(sa2 AS DOUBLE) / CAST(na AS DOUBLE)
+      |       - (CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE)) * (CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE)))
+      |       / CAST(na AS DOUBLE)
+      |     + (CAST(sb2 AS DOUBLE) / CAST(nb AS DOUBLE)
+      |       - (CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE)) * (CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE)))
+      |       / CAST(nb AS DOUBLE))) > 1.96 AS significant
+      |FROM a JOIN b ON event_type = bt ORDER BY event_type""".stripMargin
+
+  // RT2: cohort LTV curve — mean cumulative spend per user by cohort week
+  // and weeks-since-first-seen (the "does week-3 revenue repeat across
+  // cohorts" readout). Facts collapse to (cohort, age) exact-cent sums
+  // first; the cumulative step is a window over that bounded grid
+  // (cohorts × ages, independent of corpus size). Denominator is the
+  // cohort's USER count — users inactive in a week still dilute the
+  // curve, which is the honest LTV convention.
+  def rt2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .withColumn("wk", expr("unix_micros(ts) div 604800000000"))
+      .withColumn("cents", round($"value" * 100, 0).cast("long"))
+    val cohort = e.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    val sized = cohort.groupBy($"cohort_wk").agg(count(lit(1)).as("cohort_users"))
+    val grid = e.join(cohort, "user_id")
+      .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("age_wk"))
+      .agg(sum($"cents").as("cents"))
+    val w = Window.partitionBy($"cohort_wk").orderBy($"age_wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_cents", sum($"cents").over(w))
+      .join(broadcast(sized), "cohort_wk")
+      .select($"cohort_wk", $"age_wk", $"cohort_users",
+        ($"cum_cents".cast("double") /
+          ($"cohort_users".cast("double") * lit(100.0))).as("ltv_per_user"))
+      .orderBy($"cohort_wk", $"age_wk")
+  }
+  val rt2Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+      |             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1),
+      |sz AS (SELECT cohort_wk, COUNT(*) AS cohort_users FROM c GROUP BY 1),
+      |g AS (SELECT c.cohort_wk, e.wk - c.cohort_wk AS age_wk,
+      |        CAST(SUM(e.cents) AS BIGINT) AS cents
+      |      FROM e JOIN c ON e.user_id = c.user_id GROUP BY 1, 2),
+      |cum AS (SELECT cohort_wk, age_wk,
+      |          CAST(SUM(cents) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |        FROM g)
+      |SELECT cum.cohort_wk, cum.age_wk, sz.cohort_users,
+      |  CAST(cum_cents AS DOUBLE) / (CAST(sz.cohort_users AS DOUBLE) * 100.0) AS ltv_per_user
+      |FROM cum JOIN sz ON cum.cohort_wk = sz.cohort_wk
+      |ORDER BY cum.cohort_wk, cum.age_wk""".stripMargin
+
   // TWA1: time-weighted average — each observation weighted by how long it
   // was current (lead-timestamp delta), the correct mean for irregularly
   // sampled series. Durations are exact integer µs, values go through the
@@ -1683,6 +1790,8 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "w13_running_ltv" -> w13,
     "up1_user_profile" -> up1,
     "hm1_dow_hour_heatmap" -> hm1,
+    "ab1_ab_test_zscore" -> ab1,
+    "rt2_cohort_ltv" -> rt2,
     "twa1_time_weighted" -> twa1,
     "o1_ohlc_bars" -> o1,
     "fn1_funnel_steps" -> fn1,
@@ -1737,6 +1846,8 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "w13_running_ltv" -> w13Sql,
     "up1_user_profile" -> up1Sql,
     "hm1_dow_hour_heatmap" -> hm1Sql,
+    "ab1_ab_test_zscore" -> ab1Sql,
+    "rt2_cohort_ltv" -> rt2Sql,
     "twa1_time_weighted" -> twa1Sql,
     "o1_ohlc_bars" -> o1Sql,
     "fn1_funnel_steps" -> fn1Sql,
