@@ -1770,7 +1770,49 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |SELECT user_id, true_n, TRUE AS cms_lower_ok, TRUE AS cms_within_bound
       |FROM c ORDER BY true_n DESC, user_id LIMIT 20""".stripMargin
 
+  // RB1: robust outlier detection via median absolute deviation — the
+  // scale-safe alternative to z1's mean/stddev z-score when the value
+  // distribution is heavy-tailed (median and MAD have a 50% breakdown
+  // point; mean/stddev have 0%). Two exact-percentile aggregations over
+  // the fact table plus a scoring pass; the per-type (med, mad) relation
+  // is group-cardinality-sized, so both re-joins broadcast — at 100 TB the
+  // fact table is scanned three times but never shuffled on anything wider
+  // than event_type. Outlier rule: |value − med| > 3·1.4826·mad (1.4826
+  // makes MAD consistent with σ under normality).
+  def rb1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(percentile(abs($"value" - $"med"), lit(0.5)).as("mad"),
+        max($"med").as("med"))
+    ev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(max($"med"), 9).as("med"), round(max($"mad"), 9).as("mad"),
+        sum(when(abs($"value" - $"med") > lit(3.0) * lit(1.4826) * $"mad", 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy($"event_type")
+  }
+  val rb1Sql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |mad AS (
+      |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+      |    MAX(m.med) AS med
+      |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+      |SELECT e.event_type, COUNT(*) AS n, round(MAX(m.med), 9) AS med,
+      |  round(MAX(m.mad), 9) AS mad,
+      |  CAST(SUM(CASE WHEN abs(e.value - m.med) > 3.0 * 1.4826 * m.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e JOIN mad m USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rb1_mad_outliers" -> rb1,
     "cms1_countmin_freq" -> cms1,
     "w10_winsorized_stats" -> w10,
     "im1_incremental_agg" -> im1,
@@ -1827,6 +1869,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "rb1_mad_outliers" -> rb1Sql,
     "cms1_countmin_freq" -> cms1Sql,
     "w10_winsorized_stats" -> w10Sql,
     "im1_incremental_agg" -> im1Sql,

@@ -1178,6 +1178,26 @@ object LlmQueries extends graft.core.QueryModule {
        |SELECT doc_id, CAST(SUM((tid+7)*pos*pos) AS BIGINT) % $P AS fp
        |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // FH1: hashing-trick vectorizer — the fixed-dimension sparse bag-of-words
+  // a 100 TB featurization stage feeds to a linear model (no vocabulary
+  // broadcast at inference time: the feature index is a pure function of
+  // the token). feat = ((69069·tid + 12345) mod P) mod 64 stands in for a
+  // string hash with cross-engine determinism (same LCG-on-tid trick as the
+  // minhash family; 69069 ⊥ P so the map doesn't degenerate). One hash
+  // aggregation on (doc_id, feat) — token stream never shuffles any wider.
+  def fh1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docTids(s, dir)
+      .filter($"doc_id" < 200)
+      .withColumn("feat", (($"tid" * 69069L + 12345L) % P) % 64L)
+      .groupBy($"doc_id", $"feat").agg(count(lit(1)).as("v"))
+      .orderBy($"doc_id", $"feat")
+  }
+  val fh1Sql: String =
+    s"""$duckTokCtes
+       |SELECT doc_id, ((tid * 69069 + 12345) % $P) % 64 AS feat, COUNT(*) AS v
+       |FROM ids WHERE doc_id < 200 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // M1: multimodal binary-column metadata — opaque bytes + typed metadata;
   // the decode stage itself is stubbed (see graft.multimodal), the Spark
   // plumbing (binary cast, sizes, chunking) is real.
@@ -1926,6 +1946,7 @@ object LlmQueries extends graft.core.QueryModule {
     "t2_quality_score" -> t2,
     "t3_token_stats" -> t3,
     "t4_fingerprint" -> t4,
+    "fh1_feature_hashing" -> fh1,
     "t6_bm25_score" -> t6,
     "t7_repetition_filter" -> t7,
     "t8_unigram_logprob" -> t8,
@@ -1972,6 +1993,7 @@ object LlmQueries extends graft.core.QueryModule {
     "t2_quality_score" -> t2Sql,
     "t3_token_stats" -> t3Sql,
     "t4_fingerprint" -> t4Sql,
+    "fh1_feature_hashing" -> fh1Sql,
     "t6_bm25_score" -> t6Sql,
     "t7_repetition_filter" -> t7Sql,
     "t8_unigram_logprob" -> t8Sql,

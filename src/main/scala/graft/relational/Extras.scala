@@ -674,7 +674,77 @@ object Extras extends graft.core.QueryModule {
       |    AND (b.o_totalprice > a.o_totalprice OR b.od_us < a.od_us))
       |ORDER BY o_totalprice DESC, od_us, o_orderkey""".stripMargin
 
+  // DL1: transposition-aware fuzzy linkage — unrestricted Damerau-
+  // Levenshtein as a native codegen'd Catalyst expression (Spark ships no
+  // transposition edit distance; graft.functions.DamerauLevenshtein matches
+  // DuckDB's byte-based semantics exactly). Same block-then-verify shape as
+  // fz1 plus a byte-length band (|len(a)-len(b)| is a DL lower bound, so
+  // the band is a free pre-filter that prunes the quadratic verify stage
+  // before any DP matrix is allocated). Both distances emitted so the
+  // oracle cross-checks dl <= lev on every surviving pair.
+  def dl1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Tables.part(s, dir).select($"p_name").distinct()
+      .withColumn("noun", element_at(split($"p_name", " "), 2))
+    val a = names.select($"p_name".as("name_a"), $"noun")
+    val b = names.select($"p_name".as("name_b"), $"noun")
+    a.join(b, "noun")
+      .filter($"name_a" < $"name_b")
+      .filter(abs(length($"name_a") - length($"name_b")) <= 2)
+      .withColumn("dl", graft.functions.DamerauLevenshtein.dl($"name_a", $"name_b"))
+      .filter($"dl" <= 2)
+      .select($"name_a", $"name_b", $"dl".cast("long").as("dl"),
+        levenshtein($"name_a", $"name_b").cast("long").as("lev"))
+      .orderBy($"name_a", $"name_b")
+  }
+  val dl1Sql: String =
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |b AS (SELECT p_name, string_split(p_name, ' ')[2] AS noun FROM names)
+      |SELECT a.p_name AS name_a, c.p_name AS name_b,
+      |  CAST(damerau_levenshtein(a.p_name, c.p_name) AS BIGINT) AS dl,
+      |  CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS lev
+      |FROM b a JOIN b c ON a.noun = c.noun AND a.p_name < c.p_name
+      |WHERE abs(length(a.p_name) - length(c.p_name)) <= 2
+      |  AND damerau_levenshtein(a.p_name, c.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
+  // SKEW1: key-skew audit on the fact table's join/agg key — the
+  // repartition/salting advisor every 100 TB shuffle plan starts from.
+  // Two hash aggregations: per-key counts (THE shuffle any groupBy on this
+  // key would pay), then a single-row fold; the per-key relation re-joins
+  // the 1-row stats via a broadcast crossJoin (scalar, never a shuffle).
+  // hot = keys above 2x the mean — the population AQE skew-join handling
+  // or salting would target; hot_rows_share says how much of the table
+  // they drag.
+  def skew1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    val base = counts.agg(count(lit(1)).as("n_keys"),
+      sum($"cnt").as("n_rows"), max($"cnt").as("max_cnt"), avg($"cnt").as("avg"))
+    counts.crossJoin(broadcast(base))
+      .withColumn("hot", ($"cnt" > $"avg" * 2).cast("long"))
+      .agg(max($"n_keys").as("n_keys"), max($"n_rows").as("n_rows"),
+        max($"max_cnt").as("max_cnt"), round(max($"avg"), 9).as("avg_cnt"),
+        round(max($"max_cnt") / max($"avg"), 9).as("skew_ratio"),
+        sum($"hot").as("n_hot_keys"),
+        round(sum(when($"hot" === 1, $"cnt").otherwise(0L)).cast("double") /
+          max($"n_rows"), 9).as("hot_rows_share"))
+  }
+  val skew1Sql: String =
+    """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+      |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |        MAX(cnt) AS max_cnt, AVG(cnt) AS avg FROM c)
+      |SELECT n_keys, n_rows, max_cnt, round(avg, 9) AS avg_cnt,
+      |  round(max_cnt / avg, 9) AS skew_ratio,
+      |  CAST(SUM(CASE WHEN cnt > avg * 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys,
+      |  round(CAST(SUM(CASE WHEN cnt > avg * 2 THEN cnt ELSE 0 END) AS DOUBLE)
+      |    / n_rows, 9) AS hot_rows_share
+      |FROM c, s GROUP BY n_keys, n_rows, max_cnt, avg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dl1_damerau_linkage" -> dl1,
+    "skew1_key_skew_audit" -> skew1,
     "sky1_pareto_front" -> sky1,
     "ka1_k_anonymity" -> ka1,
     "w12_range_frame" -> w12,
@@ -698,6 +768,8 @@ object Extras extends graft.core.QueryModule {
     "g3_grouping_sets" -> g3,
   )
   val oracles: Map[String, String] = Map(
+    "dl1_damerau_linkage" -> dl1Sql,
+    "skew1_key_skew_audit" -> skew1Sql,
     "sky1_pareto_front" -> sky1Sql,
     "ka1_k_anonymity" -> ka1Sql,
     "w12_range_frame" -> w12Sql,
