@@ -237,7 +237,98 @@ object GraphQueries extends graft.core.QueryModule {
     head + rounds + "\nSELECT node, label FROM l3 ORDER BY node"
   }
 
+  /** bfs1: multi-source BFS reachability levels over the same bipartite
+    * customer–supplier graph as pr1, seeded at nation-0 customers — the
+    * depth-bounded traversal primitive the fixpoint family (pr1/lp1/c1)
+    * doesn't cover ("what's within k hops of the trusted seed set").
+    * Output is the per-level histogram with an id-sum checksum, so the
+    * hash check pins every node to its exact hop distance. Oracle
+    * unrolls the 3 rounds as chained CTEs (same device as kc1/lp1).
+    */
+  def bfs1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    // bipartite + e0 distinct ⇒ the swapped union is already duplicate-free
+    val sym = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+    val sources = Tables.customer(s, dir)
+      .filter($"c_nationkey" === 0).select(($"c_custkey" * 2).as("v"))
+    graft.operators.Bfs.levels(sym, sources, maxDepth = 3)
+      .groupBy($"level")
+      .agg(count(lit(1)).as("n_nodes"), sum($"v").as("sum_ids"))
+      .orderBy($"level")
+  }
+
+  val bfs1Sql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |sym AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      |l0 AS (SELECT DISTINCT c_custkey * 2 AS v FROM customer WHERE c_nationkey = 0),
+      |l1 AS (SELECT DISTINCT s.b AS v FROM sym s JOIN l0 ON s.a = l0.v
+      |       WHERE s.b NOT IN (SELECT v FROM l0)),
+      |l2 AS (SELECT DISTINCT s.b AS v FROM sym s JOIN l1 ON s.a = l1.v
+      |       WHERE s.b NOT IN (SELECT v FROM l0 UNION ALL SELECT v FROM l1)),
+      |l3 AS (SELECT DISTINCT s.b AS v FROM sym s JOIN l2 ON s.a = l2.v
+      |       WHERE s.b NOT IN (SELECT v FROM l0 UNION ALL SELECT v FROM l1
+      |                         UNION ALL SELECT v FROM l2)),
+      |lv AS (SELECT 0 AS level, v FROM l0 UNION ALL SELECT 1, v FROM l1
+      |       UNION ALL SELECT 2, v FROM l2 UNION ALL SELECT 3, v FROM l3)
+      |SELECT CAST(level AS INT) AS level, COUNT(*) AS n_nodes,
+      |  CAST(SUM(v) AS BIGINT) AS sum_ids
+      |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** mb1: market-basket association rules on the order→brand bipartite
+    * projection — support / confidence / lift for co-purchased brand
+    * pairs, the curation analogue being "which source×topic combinations
+    * co-occur in a shard". The pair stage self-joins baskets on the order
+    * key, so the blowup per order is C(brands-in-order, 2) — bounded by
+    * basket size, never corpus-quadratic; brand supports are a
+    * dictionary-sized relation and broadcast back onto the pairs.
+    */
+  def mb1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bask = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"p_brand".as("b")).distinct()
+    val nb = bask.agg(countDistinct($"ok").as("n"))
+    val supp = bask.groupBy($"b").agg(count(lit(1)).as("s"))
+    val pairs = bask.toDF("ok", "brand_a")
+      .join(bask.toDF("ok", "brand_b"), "ok")
+      .filter($"brand_a" < $"brand_b")
+      .groupBy($"brand_a", $"brand_b").agg(count(lit(1)).as("supp_ab"))
+    pairs
+      .join(broadcast(supp.toDF("brand_a", "sa")), "brand_a")
+      .join(broadcast(supp.toDF("brand_b", "sb")), "brand_b")
+      .crossJoin(broadcast(nb))
+      .filter($"supp_ab" >= 10)
+      .select($"brand_a", $"brand_b", $"supp_ab",
+        round($"supp_ab".cast("double") / $"sa", 9).as("conf"),
+        round($"supp_ab".cast("double") * $"n" / ($"sa" * $"sb"), 9).as("lift"))
+      .orderBy($"brand_a", $"brand_b")
+  }
+
+  val mb1Sql: String =
+    """WITH bask AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n FROM bask),
+      |supp AS (SELECT b, COUNT(*) AS s FROM bask GROUP BY 1),
+      |pairs AS (SELECT a.b AS brand_a, c.b AS brand_b, COUNT(*) AS supp_ab
+      |          FROM bask a JOIN bask c ON a.ok = c.ok AND a.b < c.b
+      |          GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, supp_ab,
+      |  round(CAST(supp_ab AS DOUBLE) / sa.s, 9) AS conf,
+      |  round(CAST(supp_ab AS DOUBLE) * (SELECT n FROM n) / (sa.s * sb.s), 9) AS lift
+      |FROM pairs JOIN supp sa ON brand_a = sa.b JOIN supp sb ON brand_b = sb.b
+      |WHERE supp_ab >= 10
+      |ORDER BY brand_a, brand_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bfs1_reachability_levels" -> bfs1,
+    "mb1_market_basket" -> mb1,
     "pr1_pagerank" -> pr1,
     "bf1_bloom_semijoin" -> bf1,
     "tc1_triangle_count" -> tc1,
@@ -246,6 +337,8 @@ object GraphQueries extends graft.core.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "bfs1_reachability_levels" -> bfs1Sql,
+    "mb1_market_basket" -> mb1Sql,
     "pr1_pagerank" -> pr1Sql,
     "bf1_bloom_semijoin" -> bf1Sql,
     "tc1_triangle_count" -> tc1Sql,

@@ -166,7 +166,8 @@ class PlanAuditSpec extends SparkTestBase {
       "t12_vocab_coverage",  // 1-row broadcast of the corpus token total
       "pca1_reconstruction_audit", // 4 local flag rows × 1-row exact-trace broadcast
       "th1_theta_sketch_ops",      // three 1-row sketch/exact-count scalars combined
-      "skew1_key_skew_audit")      // 1-row corpus stats broadcast onto per-key counts
+      "skew1_key_skew_audit",      // 1-row corpus stats broadcast onto per-key counts
+      "mb1_market_basket")         // 1-row basket-count broadcast (lift denominator)
     // iterative operators run actions while BUILDING the frame — profile
     // their final stage only (loop internals are audited by their specs)
     val violations = for {
