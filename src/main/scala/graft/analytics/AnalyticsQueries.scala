@@ -1105,6 +1105,25 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
       |ORDER BY l.event_id""".stripMargin
 
+  // AO3: the SAME as-of enrichment as ao_asof_join, through the native
+  // whole-operator path (graft.plans.AsOfJoinExec: custom logical node →
+  // planner strategy → streaming two-pointer merge exec) — hash-checked
+  // against the identical DuckDB ASOF oracle, so the physical operator is
+  // correctness-gated, not just spec-tested. Cheaper shape than ao's
+  // union+window: each side shuffles at its own width and the merge holds
+  // one payload row instead of window buffers.
+  def asofNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("us", unix_micros($"ts"))
+    val left = ev.filter($"event_type" =!= "signup")
+      .select($"user_id", $"us", $"event_id")
+    val right = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"us", $"event_id".as("signup_id"))
+    graft.plans.NativeAsOf.backward(left, right, "user_id", "us", Seq("signup_id"))
+      .select($"event_id", $"signup_id")
+      .orderBy($"event_id")
+  }
+
   // AO2: FORWARD as-of join — each non-signup event enriched with the next
   // (or simultaneous) signup. Oracle trick: DuckDB ASOF is backward-only,
   // so the oracle negates the timestamps (min us' >= us ⇔ max -us' <= -us).
@@ -1843,6 +1862,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "sm1_bottomk_sample" -> sm1,
     "w9_percent_rank" -> w9,
     "ao_asof_join" -> asof,
+    "ao3_asof_native" -> asofNative,
     "ao2_asof_forward" -> asofForward,
     "x1_powerlaw_psd" -> x1,
     "st2_sliding_window" -> sliding,
@@ -1900,6 +1920,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "sm1_bottomk_sample" -> sm1Sql,
     "w9_percent_rank" -> w9Sql,
     "ao_asof_join" -> asofSql,
+    "ao3_asof_native" -> asofSql,
     "ao2_asof_forward" -> asofForwardSql,
     "x1_powerlaw_psd" -> x1Sql,
     "st2_sliding_window" -> slidingSql,

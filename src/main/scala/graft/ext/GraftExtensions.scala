@@ -53,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SimHash16(children.head)
       }))
     ext.injectOptimizerRule(_ => NativeDotRewrite)
+    // whole-operator escalation (SURVEY §2.9 path c): plans
+    // graft.plans.AsOfJoinNode into the streaming-merge AsOfJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
