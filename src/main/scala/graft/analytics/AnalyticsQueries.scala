@@ -1830,7 +1830,99 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |FROM events e JOIN mad m USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // PATH1: top user-journey paths — the ordered event-type sequence of
+  // each 30-min-gap session (same session rule as w_sessionize), counted
+  // corpus-wide. The path is truncated to the session's first 8 events
+  // BEFORE collect_list (row_number filter), so per-group state is O(8)
+  // no matter how long a bot session runs — the unbounded collect_list
+  // is the scale trap this query deliberately avoids. Struct-sort on
+  // (us, event_id) makes the within-session order total, so the path
+  // string is deterministic.
+  def path1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val sess = Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev", lag($"us", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev".isNull || $"us" - $"prev" > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sess", sum($"new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val w2 = Window.partitionBy($"user_id", $"sess").orderBy($"us", $"event_id")
+    sess.withColumn("rk", row_number().over(w2)).filter($"rk" <= 8)
+      .groupBy($"user_id", $"sess")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(us, event_id, event_type)))," +
+          " x -> x.event_type)"), ">").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path").limit(20)
+  }
+  val path1Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts)) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM t),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess
+      |                               ORDER BY us, event_id) AS rk
+      |  FROM s),
+      |p AS (
+      |  SELECT user_id, sess,
+      |    string_agg(event_type, '>' ORDER BY us, event_id) AS path
+      |  FROM r WHERE rk <= 8 GROUP BY 1, 2)
+      |SELECT path, COUNT(*) AS n_sessions FROM p
+      |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
+  // GINI1: activity-concentration audit — the Gini coefficient and
+  // top-decile share of per-user event counts, the "is one crawler 40% of
+  // the corpus" readout run before any per-user quota. The global sort
+  // that Gini's rank formula needs goes through GlobalRank.withRowNumber
+  // (range-partitioned rank, no single-partition stage); the Σ r·x_r
+  // moment is summed in DECIMAL(38,0) so both engines are exact and the
+  // one double conversion happens at the very end.
+  def gini1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.GlobalRank.withRowNumber(
+      counts, Seq($"cnt", $"user_id"), rn = "rk", nTotal = Some("n"))
+    ranked
+      .agg(max($"n").as("n_users"), sum($"cnt").as("total_events"),
+        sum(($"rk" * $"cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("s"),
+        sum(when($"rk" > $"n" - expr("n div 10"), $"cnt").otherwise(0L)).as("td"))
+      .select($"n_users", $"total_events",
+        round(lit(2.0) * $"s".cast("double") /
+          ($"n_users".cast("double") * $"total_events".cast("double")) -
+          ($"n_users".cast("double") + lit(1.0)) / $"n_users".cast("double"), 9)
+          .as("gini"),
+        round($"td".cast("double") / $"total_events".cast("double"), 9)
+          .as("top_decile_share"))
+  }
+  val gini1Sql: String =
+    """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+      |m AS (SELECT COUNT(*) AS n, SUM(cnt) AS tot FROM c),
+      |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS rk FROM c),
+      |a AS (SELECT CAST(SUM(CAST(rk * cnt AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+      |        CAST(SUM(CASE WHEN rk > n - n // 10 THEN cnt ELSE 0 END) AS BIGINT) AS td,
+      |        MAX(n) AS n, CAST(MAX(tot) AS BIGINT) AS tot
+      |      FROM r, m)
+      |SELECT n AS n_users, tot AS total_events,
+      |  round(2.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+      |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 9) AS gini,
+      |  round(CAST(td AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS top_decile_share
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "path1_user_journeys" -> path1,
+    "gini1_activity_concentration" -> gini1,
     "rb1_mad_outliers" -> rb1,
     "cms1_countmin_freq" -> cms1,
     "w10_winsorized_stats" -> w10,
@@ -1889,6 +1981,8 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "path1_user_journeys" -> path1Sql,
+    "gini1_activity_concentration" -> gini1Sql,
     "rb1_mad_outliers" -> rb1Sql,
     "cms1_countmin_freq" -> cms1Sql,
     "w10_winsorized_stats" -> w10Sql,
