@@ -1198,6 +1198,31 @@ object LlmQueries extends graft.core.QueryModule {
        |SELECT doc_id, ((tid * 69069 + 12345) % $P) % 64 AS feat, COUNT(*) AS v
        |FROM ids WHERE doc_id < 200 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // CL1: text normalization — the cleaning stage that runs BEFORE exact
+  // dedup so near-identical formatting variants collapse to one hash
+  // (lowercase, non-alphanumerics → space, whitespace squeeze, trim).
+  // Pure codegen'd string expressions per row, no shuffle at all; the
+  // md5-of-normalized digest is exactly what d1's grouping key becomes
+  // when the corpus is dirty. Regex classes are deliberately minimal
+  // ([^a-z0-9 ], ' +') so RE2-family (Spark) and DuckDB's engine agree.
+  def cl1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"doc_id" < 200)
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " ")))
+      .select($"doc_id", length($"norm").cast("long").as("n_chars"),
+        md5($"norm").as("digest"))
+      .orderBy($"doc_id")
+  }
+  val cl1Sql: String =
+    """SELECT doc_id,
+      |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS digest
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   // M1: multimodal binary-column metadata — opaque bytes + typed metadata;
   // the decode stage itself is stubbed (see graft.multimodal), the Spark
   // plumbing (binary cast, sizes, chunking) is real.
@@ -1947,6 +1972,7 @@ object LlmQueries extends graft.core.QueryModule {
     "t3_token_stats" -> t3,
     "t4_fingerprint" -> t4,
     "fh1_feature_hashing" -> fh1,
+    "cl1_text_clean" -> cl1,
     "t6_bm25_score" -> t6,
     "t7_repetition_filter" -> t7,
     "t8_unigram_logprob" -> t8,
@@ -1994,6 +2020,7 @@ object LlmQueries extends graft.core.QueryModule {
     "t3_token_stats" -> t3Sql,
     "t4_fingerprint" -> t4Sql,
     "fh1_feature_hashing" -> fh1Sql,
+    "cl1_text_clean" -> cl1Sql,
     "t6_bm25_score" -> t6Sql,
     "t7_repetition_filter" -> t7Sql,
     "t8_unigram_logprob" -> t8Sql,
