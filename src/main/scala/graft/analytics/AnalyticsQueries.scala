@@ -1920,7 +1920,100 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  round(CAST(td AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS top_decile_share
       |FROM a""".stripMargin
 
+  // HLL1: HyperLogLog distinct-count sketch (m = 64 registers) next to the
+  // exact count — the industry-standard mergeable cardinality sketch
+  // alongside the KMV family (sk1/th1/au2). Register state is ≤ 64 bytes
+  // per group no matter the corpus, so rolling/unioned variants shuffle
+  // O(m) instead of O(distinct). Cross-engine bit-exactness trick: with an
+  // 18-bit suffix, Σ 2^−M_j = (Σ 2^(19−M_j)) / 2^19 — an INTEGER sum, so
+  // the harmonic estimate is one double division from exact longs and
+  // hash-matches DuckDB; empty registers contribute V·2^19 arithmetically
+  // (no 64-row completion join). rho comes from an 18-branch threshold
+  // ladder (exact integer compares — floor(log2) is a cross-libm trap).
+  // Hash = the engine's deterministic LCG discipline, not an engine hash.
+  def hll1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_type", $"user_id")
+    // xor-shift-multiply avalanche (xxhash32 shape), 32-bit state so no
+    // bigint multiply can overflow in either engine. A single LCG is NOT
+    // enough here: its arithmetic-progression lattice biases the
+    // leading-zero statistic HLL reads (measured +86% on sequential ids).
+    val hashed = ev
+      .withColumn("h0", ($"user_id" * lit(2654435761L) + lit(12345L)) % lit(4294967296L))
+      .withColumn("h1", expr("h0 ^ shiftright(h0, 16)"))
+      .withColumn("h2", ($"h1" * lit(49632381L)) % lit(4294967296L))
+      .withColumn("h3", expr("h2 ^ shiftright(h2, 13)"))
+      .withColumn("h4", ($"h3" * lit(179424673L)) % lit(4294967296L))
+      .withColumn("h", expr("(h4 ^ shiftright(h4, 16)) % 16777216"))
+      .withColumn("reg", $"h" % 64)
+      .withColumn("w", expr("h div 64"))
+    var rho: org.apache.spark.sql.Column = when($"w" >= lit(1L << 17), 1)
+    for (k <- 2 to 18) rho = rho.when($"w" >= lit(1L << (18 - k)), k)
+    val regs = hashed.withColumn("rho", rho.otherwise(19))
+      .groupBy($"event_type", $"reg").agg(max($"rho").as("m"))
+    val sket = regs.groupBy($"event_type").agg(
+      count(lit(1)).as("nreg"),
+      sum(expr("shiftleft(cast(1 as bigint), 19 - m)")).as("s_nonempty"))
+      .withColumn("v_empty", lit(64L) - $"nreg")
+      .withColumn("s_sum", $"s_nonempty" + $"v_empty" * lit(524288L))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"))
+    sket.join(broadcast(exact), "event_type")
+      .withColumn("est_raw",
+        lit(0.709) * lit(4096.0) * lit(524288.0) / $"s_sum")
+      .withColumn("used_linear", $"est_raw" <= 160.0 && $"v_empty" > 0)
+      .withColumn("est0", when($"used_linear",
+        lit(64.0) * log(lit(64.0) / $"v_empty")).otherwise($"est_raw"))
+      .select($"event_type", $"n_exact", $"v_empty", $"s_sum",
+        round($"est_raw", 6).as("est_raw"), $"used_linear",
+        round($"est0", 6).as("est"),
+        (abs($"est0" - $"n_exact") / $"n_exact" <= 0.3).as("within_tolerance"))
+      .orderBy($"event_type")
+  }
+  val hll1Sql: String = {
+    val ladder = (1 to 18)
+      .map(k => s"WHEN w >= ${1L << (18 - k)} THEN $k").mkString(" ")
+    s"""WITH e0 AS (SELECT event_type, user_id,
+       |              (user_id * 2654435761 + 12345) %% 4294967296 AS h0
+       |            FROM events),
+       |e1 AS (SELECT event_type, user_id, xor(h0, h0 >> 16) AS h1 FROM e0),
+       |e2 AS (SELECT event_type, user_id, (h1 * 49632381) %% 4294967296 AS h2 FROM e1),
+       |e3 AS (SELECT event_type, user_id, xor(h2, h2 >> 13) AS h3 FROM e2),
+       |e4 AS (SELECT event_type, user_id, (h3 * 179424673) %% 4294967296 AS h4 FROM e3),
+       |e AS (SELECT event_type, user_id, xor(h4, h4 >> 16) %% 16777216 AS h FROM e4),
+       |b AS (SELECT event_type, h %% 64 AS reg, h // 64 AS w FROM e),
+       |r AS (SELECT event_type, reg,
+       |        MAX(CASE $ladder ELSE 19 END) AS m
+       |      FROM b GROUP BY 1, 2),
+       |k AS (SELECT event_type, COUNT(*) AS nreg,
+       |        CAST(SUM(CAST(1 AS BIGINT) << (19 - m)) AS BIGINT) AS sn
+       |      FROM r GROUP BY 1),
+       |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       |      FROM e GROUP BY 1),
+       |j AS (SELECT k.event_type, n_exact,
+       |        CAST(64 - nreg AS BIGINT) AS v_empty,
+       |        sn + CAST(64 - nreg AS BIGINT) * 524288 AS s_sum
+       |      FROM k JOIN x ON k.event_type = x.event_type),
+       |f AS (SELECT *,
+       |        CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+       |          * CAST(524288 AS DOUBLE) / s_sum AS est_raw
+       |      FROM j),
+       |g AS (SELECT *,
+       |        (est_raw <= CAST(160 AS DOUBLE) AND v_empty > 0) AS used_linear
+       |      FROM f),
+       |z AS (SELECT *,
+       |        CASE WHEN used_linear
+       |          THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v_empty)
+       |          ELSE est_raw END AS est0
+       |      FROM g)
+       |SELECT event_type, n_exact, v_empty, s_sum, round(est_raw, 6) AS est_raw,
+       |  used_linear, round(est0, 6) AS est,
+       |  (abs(est0 - n_exact) / n_exact <= CAST(0.3 AS DOUBLE)) AS within_tolerance
+       |FROM z ORDER BY event_type""".stripMargin.replace("%%", "%")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hll1_hyperloglog" -> hll1,
     "path1_user_journeys" -> path1,
     "gini1_activity_concentration" -> gini1,
     "rb1_mad_outliers" -> rb1,
@@ -1981,6 +2074,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "hll1_hyperloglog" -> hll1Sql,
     "path1_user_journeys" -> path1Sql,
     "gini1_activity_concentration" -> gini1Sql,
     "rb1_mad_outliers" -> rb1Sql,
