@@ -2012,7 +2012,58 @@ object AnalyticsQueries extends graft.core.QueryModule {
        |FROM z ORDER BY event_type""".stripMargin.replace("%%", "%")
   }
 
+  // RFM1: recency/frequency/monetary quintile segmentation — the classic
+  // customer-value grid, scored the scale-safe way: each metric's NTILE(5)
+  // comes from GlobalRank's range-partitioned row number +
+  // `ntileFromRank` (exact NTILE bucket arithmetic), so there is NO
+  // global single-partition window anywhere. Three rank passes over the
+  // user-sized frame (already orders of magnitude smaller than the fact
+  // table), then one hash agg to the ≤125-cell grid with a CASE segment
+  // label. Monetary stays exact DECIMAL cents through the ranking.
+  def rfm1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.events(s, dir).filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(max(unix_micros($"ts")).as("r"),
+        count(lit(1)).as("f"), sum(vdec($"value")).as("m"))
+    def score(df: DataFrame, metric: String, out: String): DataFrame = {
+      val ranked = graft.operators.GlobalRank.withRowNumber(
+        df, Seq(col(metric), col("user_id")), rn = "__rn", nTotal = Some("__n"))
+      ranked.withColumn(out,
+        graft.operators.GlobalRank.ntileFromRank($"__rn", $"__n", 5))
+        .drop("__rn", "__n")
+    }
+    val scored = score(score(score(p, "r", "r_score"), "f", "f_score"), "m", "m_score")
+    scored
+      .withColumn("segment",
+        when($"r_score" >= 4 && $"f_score" >= 4, "loyal_high_value")
+          .when($"r_score" <= 2 && $"f_score" >= 4, "at_risk")
+          .when($"r_score" >= 4 && $"f_score" <= 2, "recent_light")
+          .otherwise("regular"))
+      .groupBy($"r_score", $"f_score", $"m_score", $"segment")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+  val rfm1Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, MAX(epoch_us(ts)) AS r, COUNT(*) AS f,
+      |    SUM(CAST(value AS DECIMAL(12,2))) AS m
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |q AS (
+      |  SELECT user_id,
+      |    NTILE(5) OVER (ORDER BY r, user_id) AS r_score,
+      |    NTILE(5) OVER (ORDER BY f, user_id) AS f_score,
+      |    NTILE(5) OVER (ORDER BY m, user_id) AS m_score
+      |  FROM p)
+      |SELECT r_score, f_score, m_score,
+      |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'loyal_high_value'
+      |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+      |       WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_light'
+      |       ELSE 'regular' END AS segment,
+      |  COUNT(*) AS n_users
+      |FROM q GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rfm1_rfm_segmentation" -> rfm1,
     "hll1_hyperloglog" -> hll1,
     "path1_user_journeys" -> path1,
     "gini1_activity_concentration" -> gini1,
@@ -2074,6 +2125,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "rfm1_rfm_segmentation" -> rfm1Sql,
     "hll1_hyperloglog" -> hll1Sql,
     "path1_user_journeys" -> path1Sql,
     "gini1_activity_concentration" -> gini1Sql,

@@ -364,7 +364,40 @@ object CorpusQueries extends graft.core.QueryModule {
       |  md5(string_agg(text, chr(1) ORDER BY rank)) AS content_md5
       |FROM r GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  /** msf1: ORDER-INSENSITIVE multiset fingerprint per (lang, source) —
+    * the complement of mf1's order-sensitive shard digest: two pipelines
+    * that produce the same document MULTISET in any order get the same
+    * digest (commutative sum of per-row hashes, each reduced mod 1000003
+    * so a 100 TB partition can never overflow the long sum). The
+    * `order_free` flag is computed, not asserted: the digest is
+    * re-derived through a deliberately different plan (repartition(7) on
+    * the hash) and compared — a hash-equal oracle row proves both that
+    * DuckDB agrees on the digest AND that the two Spark plans agreed
+    * with each other. */
+  def msf1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir).select($"lang", $"source",
+      (conv(substring(md5($"text"), 1, 14), 16, 10).cast("long") % 1000003L).as("h"))
+    val direct = base.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"h").as("digest"))
+    val reshuffled = base.repartition(7, $"h").groupBy($"lang", $"source")
+      .agg(sum($"h").as("digest2"))
+    direct.join(reshuffled, Seq("lang", "source"))
+      .select($"lang", $"source", $"n_docs", $"digest",
+        ($"digest" === $"digest2").as("order_free"))
+      .orderBy($"lang", $"source")
+  }
+  val msf1Sql: String =
+    """WITH h AS (
+      |  SELECT lang, source,
+      |    CAST(concat('0x', substring(md5(text), 1, 14)) AS BIGINT) % 1000003 AS h
+      |  FROM documents)
+      |SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(h) AS BIGINT) AS digest,
+      |  TRUE AS order_free
+      |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "msf1_multiset_fingerprint" -> msf1,
     "tm1_training_manifest" -> tm1,
     "mf1_manifest_fingerprint" -> mf1,
     "pack1_sequence_packing" -> pack1,
@@ -376,6 +409,7 @@ object CorpusQueries extends graft.core.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "msf1_multiset_fingerprint" -> msf1Sql,
     "tm1_training_manifest" -> tm1Sql,
     "mf1_manifest_fingerprint" -> mf1Sql,
     "pack1_sequence_packing" -> pack1Sql,
