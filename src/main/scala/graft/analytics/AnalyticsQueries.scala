@@ -2062,7 +2062,214 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  COUNT(*) AS n_users
       |FROM q GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3""".stripMargin
 
+  // BF1: Bloom-filter membership sketch — the semi-join pruning primitive.
+  // At 100 TB the canonical use is shipping a kilobyte-sized bit array of
+  // the dimension side's keys to every fact-scan task so non-matching rows
+  // die at the scan (Spark's own runtime row-group filtering works exactly
+  // this way); here the filter is built as a first-class mergeable
+  // aggregate: each member key explodes into k=3 (word, bit-mask) rows and
+  // `bit_or` folds them into ≤ m/32 words — associative, commutative,
+  // constant-size state, identical in both engines. Sizing is
+  // data-adaptive (smallest power of two ≥ 32·n via an integer threshold
+  // ladder, never floating log2), so the realized false-positive audit
+  // holds at every SF instead of saturating when the corpus grows. Probes
+  // are the member set (zero false negatives is a STRUCTURAL guarantee the
+  // query asserts) plus a shifted-id non-member population for the
+  // realized FP rate. Hash = the engine-neutral avalanche discipline from
+  // hll1 (a bare LCG's lattice would stripe the bit positions), with the
+  // first multiply pre-reduced mod 2^31 so no bigint product can overflow.
+  def bf1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val members = Tables.events(s, dir)
+      .filter($"event_type" === "purchase").select($"user_id").distinct()
+    // smallest power of two >= 32*n, j in 9..30 (integer compares only)
+    var mCase = when(lit(32L) * $"n" <= lit(512L), 512L)
+    for (j <- 10 to 30)
+      mCase = mCase.when(lit(32L) * $"n" <= lit(1L << j), 1L << j)
+    val size = members.agg(count(lit(1)).as("n"))
+      .withColumn("m_bits", mCase.otherwise(1L << 30)).select($"m_bits")
+    // k=3 avalanched hashes -> bit position in [0, m_bits); the first
+    // multiply is pre-reduced mod 2^31 so id*prime stays inside a long.
+    def chain(p: String, a: Long, b: Long, c: Long)(d: DataFrame): DataFrame = d
+      .withColumn(s"${p}0",
+        (($"id" % lit(2147483648L)) * lit(a) + lit(b)) % lit(4294967296L))
+      .withColumn(s"${p}1", expr(s"${p}0 ^ shiftright(${p}0, 16)"))
+      .withColumn(s"${p}2", ($"${p}1" * lit(c)) % lit(4294967296L))
+      .withColumn(p, expr(s"${p}2 ^ shiftright(${p}2, 13)") % $"m_bits")
+    def withBits(df: DataFrame): DataFrame =
+      chain("pc", 3266489917L, 98765L, 668265263L)(
+        chain("pb", 2246822519L, 54321L, 179424673L)(
+          chain("pa", 2654435761L, 12345L, 49632381L)(df)))
+        .select($"id", $"is_member", explode(array($"pa", $"pb", $"pc")).as("p"))
+        .withColumn("word", expr("p div 32"))
+        .withColumn("mask", expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))"))
+    val probes = members.select($"user_id".as("id"), lit(true).as("is_member"))
+      .union(members.select(($"user_id" + lit(1000000007L)).as("id"),
+        lit(false).as("is_member")))
+    val pw = withBits(probes.crossJoin(broadcast(size)))
+    val filterWords = pw.filter($"is_member")
+      .groupBy($"word").agg(expr("bit_or(mask)").as("bits"))
+    val probed = pw
+      .join(broadcast(filterWords), Seq("word"), "left")
+      .groupBy($"id", $"is_member")
+      .agg(sum(when($"bits".isNotNull &&
+        ($"bits".bitwiseAND($"mask") === $"mask"), 1L).otherwise(0L)).as("hits"))
+    probed.agg(
+      count(lit(1)).as("n_probes"),
+      sum(when($"is_member", 1L).otherwise(0L)).as("n_members"),
+      sum(when($"is_member" && $"hits" < 3L, 1L).otherwise(0L)).as("false_negatives"),
+      sum(when(!$"is_member" && $"hits" === 3L, 1L).otherwise(0L)).as("n_false_pos"),
+      sum(when(!$"is_member", 1L).otherwise(0L)).as("n_nonmembers"))
+      .crossJoin(broadcast(size))
+      .select($"m_bits", $"n_members", $"n_probes", $"false_negatives",
+        $"n_false_pos",
+        round($"n_false_pos".cast("double") / $"n_nonmembers", 9).as("fp_rate"),
+        ($"n_false_pos".cast("double") / $"n_nonmembers" <= 0.01).as("fp_within_bound"))
+  }
+  val bf1Sql: String = {
+    val ladder = (9 to 30)
+      .map(j => s"WHEN 32 * n <= ${1L << j} THEN CAST(${1L << j} AS BIGINT)")
+      .mkString(" ")
+    s"""WITH members AS (
+       |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+       |size AS (
+       |  SELECT CASE $ladder ELSE CAST(${1L << 30} AS BIGINT) END AS m_bits
+       |  FROM (SELECT COUNT(*) AS n FROM members)),
+       |probes AS (
+       |  SELECT user_id AS id, TRUE AS is_member FROM members
+       |  UNION ALL
+       |  SELECT user_id + 1000000007, FALSE FROM members),
+       |h0 AS (
+       |  SELECT id, is_member, m_bits,
+       |    ((id %% 2147483648) * 2654435761 + 12345) %% 4294967296 AS a0,
+       |    ((id %% 2147483648) * 2246822519 + 54321) %% 4294967296 AS b0,
+       |    ((id %% 2147483648) * 3266489917 + 98765) %% 4294967296 AS c0
+       |  FROM probes, size),
+       |h2 AS (
+       |  SELECT id, is_member, m_bits,
+       |    (xor(a0, a0 >> 16) * 49632381) %% 4294967296 AS a2,
+       |    (xor(b0, b0 >> 16) * 179424673) %% 4294967296 AS b2,
+       |    (xor(c0, c0 >> 16) * 668265263) %% 4294967296 AS c2
+       |  FROM h0),
+       |pp AS (
+       |  SELECT id, is_member,
+       |    xor(a2, a2 >> 13) %% m_bits AS p1,
+       |    xor(b2, b2 >> 13) %% m_bits AS p2,
+       |    xor(c2, c2 >> 13) %% m_bits AS p3
+       |  FROM h2),
+       |pe AS (
+       |  SELECT id, is_member, p1 AS p FROM pp
+       |  UNION ALL SELECT id, is_member, p2 FROM pp
+       |  UNION ALL SELECT id, is_member, p3 FROM pp),
+       |pw AS (
+       |  SELECT id, is_member, p // 32 AS word,
+       |    CAST(1 AS BIGINT) << CAST(p %% 32 AS INT) AS mask
+       |  FROM pe),
+       |fw AS (SELECT word, bit_or(mask) AS bits FROM pw WHERE is_member GROUP BY 1),
+       |probed AS (
+       |  SELECT pw.id, pw.is_member,
+       |    SUM(CASE WHEN fw.bits IS NOT NULL AND (fw.bits & pw.mask) = pw.mask
+       |      THEN 1 ELSE 0 END) AS hits
+       |  FROM pw LEFT JOIN fw USING (word) GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_probes,
+       |    CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       |    CAST(SUM(CASE WHEN is_member AND hits < 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS false_negatives,
+       |    CAST(SUM(CASE WHEN NOT is_member AND hits = 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_false_pos,
+       |    CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_nonmembers
+       |  FROM probed)
+       |SELECT m_bits, n_members, n_probes, false_negatives, n_false_pos,
+       |  round(CAST(n_false_pos AS DOUBLE) / n_nonmembers, 9) AS fp_rate,
+       |  (CAST(n_false_pos AS DOUBLE) / n_nonmembers <= 0.01) AS fp_within_bound
+       |FROM agg, size""".stripMargin.replace("%%", "%")
+  }
+
+  // QSK1: mergeable equi-width histogram quantile sketch — approximate
+  // p50/p90/p99 from a 32-bucket count vector next to the exact
+  // percentiles. The sketch state is ≤ 32 longs per group and merges by
+  // vector addition (the property that makes it a SKETCH: per-partition
+  // histograms combine without re-touching rows, unlike the exact
+  // percentile whose state is the whole value multiset) — at 100 TB the
+  // exact columns here are the audit, not the plan. Estimates interpolate
+  // linearly inside the crossing bucket; the realized |est − exact| is
+  // reported against a 2-bucket-width bound, all arithmetic in identical
+  // operand order so both engines derive the same flags. Bucket edges come
+  // from a per-type (min, max) pass that broadcasts back — group-sized,
+  // never a wide shuffle.
+  def qsk1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"value".isNotNull).select($"event_type", $"value")
+    val stats = ev.groupBy($"event_type").agg(
+      min($"value").as("mn"), max($"value").as("mx"), count(lit(1)).as("n"),
+      percentile($"value", lit(0.5)).as("ex50"),
+      percentile($"value", lit(0.9)).as("ex90"),
+      percentile($"value", lit(0.99)).as("ex99"))
+      .withColumn("w", ($"mx" - $"mn") / lit(32.0))
+    val counts = ev.join(broadcast(stats.select($"event_type", $"mn", $"w")), "event_type")
+      .withColumn("b", least(lit(31L), floor(($"value" - $"mn") / $"w")))
+      .groupBy($"event_type", $"b").agg(count(lit(1)).as("cnt"))
+    val win = Window.partitionBy($"event_type").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum($"cnt").over(win))
+      .withColumn("cum_prev", $"cum" - $"cnt")
+    val qs = Seq(0.5, 0.9, 0.99).toDF("q")
+    cum.join(broadcast(stats), "event_type")
+      .crossJoin(broadcast(qs))
+      .withColumn("target", $"q" * $"n")
+      .filter($"cum" >= $"target" && $"cum_prev" < $"target")
+      .withColumn("est",
+        $"mn" + $"w" * ($"b" + ($"target" - $"cum_prev") / $"cnt"))
+      .withColumn("exact", when($"q" === 0.5, $"ex50")
+        .when($"q" === 0.9, $"ex90").otherwise($"ex99"))
+      .select($"event_type", $"q", $"n",
+        round($"est", 9).as("est"), round($"exact", 9).as("exact"),
+        round(abs($"est" - $"exact"), 9).as("abs_err"),
+        (abs($"est" - $"exact") <= lit(2.0) * $"w" + lit(1e-9)).as("within_sketch_bound"))
+      .orderBy($"event_type", $"q")
+  }
+  val qsk1Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |stats AS (
+      |  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx,
+      |    COUNT(*) AS n,
+      |    quantile_cont(value, 0.5) AS ex50,
+      |    quantile_cont(value, 0.9) AS ex90,
+      |    quantile_cont(value, 0.99) AS ex99,
+      |    (MAX(value) - MIN(value)) / CAST(32 AS DOUBLE) AS w
+      |  FROM ev GROUP BY 1),
+      |counts AS (
+      |  SELECT e.event_type,
+      |    least(CAST(31 AS BIGINT), CAST(floor((e.value - s.mn) / s.w) AS BIGINT)) AS b,
+      |    COUNT(*) AS cnt
+      |  FROM ev e JOIN stats s USING (event_type) GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, b, cnt,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM counts),
+      |qs AS (SELECT CAST(0.5 AS DOUBLE) AS q UNION ALL
+      |       SELECT CAST(0.9 AS DOUBLE) UNION ALL SELECT CAST(0.99 AS DOUBLE)),
+      |sel AS (
+      |  SELECT c.event_type, q.q, s.n, c.b, c.cnt, c.cum - c.cnt AS cum_prev,
+      |    c.cum, s.mn, s.w, s.ex50, s.ex90, s.ex99, q.q * s.n AS target
+      |  FROM cum c JOIN stats s USING (event_type) CROSS JOIN qs q),
+      |hit AS (
+      |  SELECT *, mn + w * (b + (target - cum_prev) / cnt) AS est,
+      |    CASE WHEN q = 0.5 THEN ex50 WHEN q = 0.9 THEN ex90 ELSE ex99 END AS exact
+      |  FROM sel WHERE cum >= target AND cum_prev < target)
+      |SELECT event_type, q, n, round(est, 9) AS est, round(exact, 9) AS exact,
+      |  round(abs(est - exact), 9) AS abs_err,
+      |  (abs(est - exact) <= 2.0 * w + 1e-9) AS within_sketch_bound
+      |FROM hit ORDER BY event_type, q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bf1_bloom_membership" -> bf1,
+    "qsk1_quantile_sketch" -> qsk1,
     "rfm1_rfm_segmentation" -> rfm1,
     "hll1_hyperloglog" -> hll1,
     "path1_user_journeys" -> path1,
@@ -2125,6 +2332,8 @@ object AnalyticsQueries extends graft.core.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "bf1_bloom_membership" -> bf1Sql,
+    "qsk1_quantile_sketch" -> qsk1Sql,
     "rfm1_rfm_segmentation" -> rfm1Sql,
     "hll1_hyperloglog" -> hll1Sql,
     "path1_user_journeys" -> path1Sql,

@@ -167,7 +167,9 @@ class PlanAuditSpec extends SparkTestBase {
       "pca1_reconstruction_audit", // 4 local flag rows × 1-row exact-trace broadcast
       "th1_theta_sketch_ops",      // three 1-row sketch/exact-count scalars combined
       "skew1_key_skew_audit",      // 1-row corpus stats broadcast onto per-key counts
-      "mb1_market_basket")         // 1-row basket-count broadcast (lift denominator)
+      "mb1_market_basket",         // 1-row basket-count broadcast (lift denominator)
+      "bf1_bloom_membership",      // 1-row filter-size broadcast onto members/probes
+      "qsk1_quantile_sketch")      // 3-row quantile-target broadcast onto 32-bucket frames
     // iterative operators run actions while BUILDING the frame — profile
     // their final stage only (loop internals are audited by their specs)
     val violations = for {
