@@ -1272,7 +1272,10 @@ object LlmQueries extends graft.core.QueryModule {
   // At 100 TB: one pass over the token stream + a broadcast — no shuffle
   // beyond the per-doc groupBy.
   private val Bm25Terms = Seq("data", "query", "scan", "join")
-  def t6(s: SparkSession, dir: String): DataFrame = {
+  /** Shared BM25 scorer: (doc_id, dl, bm25raw) for docs matching >=1 query
+    * term — the exact expression tree t6's oracle hash-matches, reused
+    * unrounded by rrf1's sparse ranking leg. */
+  private def bm25Docs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tfAggs = Bm25Terms.zipWithIndex.map { case (t, i) =>
       sum(when($"tok" === t, 1L).otherwise(0L)).as(s"tf$i")
@@ -1292,29 +1295,97 @@ object LlmQueries extends graft.core.QueryModule {
     }
     perDoc.crossJoin(broadcast(stats))
       .filter(Bm25Terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
-      .select($"doc_id", $"dl".as("n_tokens"),
-        round(Bm25Terms.indices.map(term).reduce(_ + _), 6).as("bm25"))
+      .select($"doc_id", $"dl",
+        Bm25Terms.indices.map(term).reduce(_ + _).as("bm25raw"))
+  }
+  def t6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bm25Docs(s, dir)
+      .select($"doc_id", $"dl".as("n_tokens"), round($"bm25raw", 6).as("bm25"))
       .orderBy($"doc_id")
   }
-  val t6Sql: String = {
-    val tfDefs = Bm25Terms.zipWithIndex.map { case (t, i) =>
-      s"CAST(SUM(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i"
-    }.mkString(", ")
-    val dfDefs = Bm25Terms.indices.map(i =>
-      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(", ")
-    val terms = Bm25Terms.indices.map { i =>
-      val tf = s"CAST(tf$i AS DOUBLE)"
-      val dfi = s"CAST(df$i AS DOUBLE)"
-      val idf = s"ln(1.0 + ((CAST(n_docs AS DOUBLE) - $dfi) + 0.5) / ($dfi + 0.5))"
-      s"$idf * ($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
-    }.mkString(" + ")
-    val tfSum = Bm25Terms.indices.map(i => s"tf$i").mkString(" + ")
+  // Shared DuckDB fragments for the BM25 score (t6 + rrf1's sparse leg).
+  private val bm25TfDefs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+    s"CAST(SUM(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i"
+  }.mkString(", ")
+  private val bm25DfDefs = Bm25Terms.indices.map(i =>
+    s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(", ")
+  private val bm25TermsSql = Bm25Terms.indices.map { i =>
+    val tf = s"CAST(tf$i AS DOUBLE)"
+    val dfi = s"CAST(df$i AS DOUBLE)"
+    val idf = s"ln(1.0 + ((CAST(n_docs AS DOUBLE) - $dfi) + 0.5) / ($dfi + 0.5))"
+    s"$idf * ($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
+  }.mkString(" + ")
+  private val bm25TfSum = Bm25Terms.indices.map(i => s"tf$i").mkString(" + ")
+  private val bm25DuckCtes =
     s"""$duckTokCtes,
-       |pd AS (SELECT doc_id, COUNT(*) AS dl, $tfDefs FROM pt GROUP BY 1),
-       |st AS (SELECT COUNT(*) AS n_docs, $dfDefs,
-       |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM pd)
-       |SELECT doc_id, dl AS n_tokens, round($terms, 6) AS bm25
-       |FROM pd CROSS JOIN st WHERE $tfSum > 0 ORDER BY doc_id""".stripMargin
+       |pd AS (SELECT doc_id, COUNT(*) AS dl, $bm25TfDefs FROM pt GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_docs, $bm25DfDefs,
+       |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM pd)""".stripMargin
+  val t6Sql: String =
+    s"""$bm25DuckCtes
+       |SELECT doc_id, dl AS n_tokens, round($bm25TermsSql, 6) AS bm25
+       |FROM pd CROSS JOIN st WHERE $bm25TfSum > 0 ORDER BY doc_id""".stripMargin
+
+  // RRF1: hybrid retrieval — reciprocal-rank fusion (Cormack et al.,
+  // SIGIR 2009) of the dense leg (brute cosine vs the vec_id=0 query,
+  // s1's machinery) and the sparse leg (BM25 vs the fixed term set, t6's
+  // scorer, unrounded). Each leg keeps only its global top-50
+  // (TakeOrderedAndProject — a per-partition heap then a k-row merge, the
+  // scale path for top-k); ranks are assigned to the 50-row lists by
+  // GlobalRank (no single-partition window anywhere), and the fusion is a
+  // full-outer join of two k-row frames: rrf = Σ 1/(60 + rank) over the
+  // legs that retrieved the doc. At 100 TB both legs stay one scan + one
+  // bounded top-k; the fusion cost is O(k). Embedding vec_id doubles as
+  // the retrieval doc_id (the tables ship aligned id spaces).
+  def rrf1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), $"n2".as("qn2"))
+    val denseTop = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id".as("doc_id"),
+        (VectorOps.dotNative($"embedding", $"qe") /
+          (sqrt($"n2") * sqrt($"qn2"))).as("cos"))
+      .orderBy($"cos".desc, $"doc_id").limit(50)
+    val dense = graft.operators.GlobalRank
+      .withRowNumber(denseTop, Seq($"cos".desc, $"doc_id"), "dr", nTotal = None)
+      .select($"doc_id", $"dr")
+    val sparseTop = bm25Docs(s, dir)
+      .orderBy($"bm25raw".desc, $"doc_id").limit(50)
+    val sparse = graft.operators.GlobalRank
+      .withRowNumber(sparseTop, Seq($"bm25raw".desc, $"doc_id"), "sr", nTotal = None)
+      .select($"doc_id", $"sr")
+    dense.join(sparse, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + $"dr".cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + $"sr".cast("double")), lit(0.0)))
+      .orderBy($"rrf".desc, $"doc_id").limit(20)
+      .select($"doc_id", $"dr".as("dense_rank"), $"sr".as("sparse_rank"),
+        round($"rrf", 9).as("rrf_score"))
+  }
+  val rrf1Sql: String = {
+    val qcos = VectorOps.cosineSqlDuck("a.embedding", "qv.qe", 64)
+    s"""$bm25DuckCtes,
+       |scored AS (SELECT doc_id, $bm25TermsSql AS bm25raw
+       |           FROM pd CROSS JOIN st WHERE $bm25TfSum > 0),
+       |sparse AS (SELECT doc_id, sr FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25raw DESC, doc_id) AS sr
+       |    FROM scored) t WHERE sr <= 50),
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |dcos AS (SELECT a.vec_id AS doc_id, $qcos AS cos
+       |         FROM embeddings a, qv WHERE a.vec_id <> 0),
+       |dense AS (SELECT doc_id, dr FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS dr
+       |    FROM dcos) t WHERE dr <= 50),
+       |fused AS (SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id, d.dr, s.sr,
+       |    COALESCE(1.0 / (60.0 + CAST(d.dr AS DOUBLE)), 0.0) +
+       |    COALESCE(1.0 / (60.0 + CAST(s.sr AS DOUBLE)), 0.0) AS rrf
+       |  FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id)
+       |SELECT doc_id, dr AS dense_rank, sr AS sparse_rank,
+       |  round(rrf, 9) AS rrf_score
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   }
 
   // T7: repetition statistics (Gopher-style quality rules) — most-frequent
@@ -1974,6 +2045,7 @@ object LlmQueries extends graft.core.QueryModule {
     "fh1_feature_hashing" -> fh1,
     "cl1_text_clean" -> cl1,
     "t6_bm25_score" -> t6,
+    "rrf1_hybrid_fusion" -> rrf1,
     "t7_repetition_filter" -> t7,
     "t8_unigram_logprob" -> t8,
     "t9_tfidf_topterms" -> t9,
@@ -2022,6 +2094,7 @@ object LlmQueries extends graft.core.QueryModule {
     "fh1_feature_hashing" -> fh1Sql,
     "cl1_text_clean" -> cl1Sql,
     "t6_bm25_score" -> t6Sql,
+    "rrf1_hybrid_fusion" -> rrf1Sql,
     "t7_repetition_filter" -> t7Sql,
     "t8_unigram_logprob" -> t8Sql,
     "t9_tfidf_topterms" -> t9Sql,

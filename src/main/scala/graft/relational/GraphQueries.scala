@@ -326,8 +326,70 @@ object GraphQueries extends graft.core.QueryModule {
       |WHERE supp_ab >= 10
       |ORDER BY brand_a, brand_b""".stripMargin
 
+  // CF1: item-item collaborative filtering — co-occurrence cosine over the
+  // customer×part purchase matrix, the classic "customers who bought X also
+  // bought Y" recommender primitive (distinct from mb1's basket-grain
+  // association rules: customer grain, cosine geometry, bounded profiles).
+  // The quadratic pair blowup is bounded STRUCTURALLY: each customer's
+  // profile is capped at its 20 most-purchased items (row_number window
+  // partitioned by the high-cardinality customer key — each group is one
+  // customer, never a funnel), so the self-join emits ≤ C(20,2)=190 pairs
+  // per customer regardless of corpus size. Item supports are a
+  // dictionary-sized broadcast; the only wide shuffle is the (a,b) pair
+  // count. Top-20 by unrounded cosine (identical expression both engines),
+  // keys as the tiebreak.
+  def cf1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ul = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_custkey".as("cust"), $"l_partkey".as("item"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"cust").orderBy($"cnt".desc, $"item")
+    val capped = ul.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 20).select($"cust", $"item")
+    val supp = capped.groupBy($"item").agg(count(lit(1)).as("ni"))
+    val pairs = capped.toDF("cust", "ia")
+      .join(capped.toDF("cust", "ib"), "cust")
+      .filter($"ia" < $"ib")
+      .groupBy($"ia", $"ib").agg(count(lit(1)).as("co"))
+    pairs.filter($"co" >= 2)
+      .join(broadcast(supp.toDF("ia", "na")), "ia")
+      .join(broadcast(supp.toDF("ib", "nb")), "ib")
+      .withColumn("cosr", $"co".cast("double") /
+        (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))))
+      .orderBy($"cosr".desc, $"ia", $"ib").limit(20)
+      .select($"ia".as("item_a"), $"ib".as("item_b"), $"co", $"na", $"nb",
+        round($"cosr", 9).as("cosine"))
+  }
+
+  val cf1Sql: String =
+    """WITH ul AS (
+      |  SELECT o_custkey AS cust, l_partkey AS item, COUNT(*) AS cnt
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),
+      |capped AS (
+      |  SELECT cust, item FROM (
+      |    SELECT cust, item,
+      |      ROW_NUMBER() OVER (PARTITION BY cust ORDER BY cnt DESC, item) AS rk
+      |    FROM ul) t WHERE rk <= 20),
+      |supp AS (SELECT item, COUNT(*) AS ni FROM capped GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.item AS ia, b.item AS ib, COUNT(*) AS co
+      |  FROM capped a JOIN capped b ON a.cust = b.cust AND a.item < b.item
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT ia, ib, co, na.ni AS na, nb.ni AS nb,
+      |    CAST(co AS DOUBLE) / (sqrt(CAST(na.ni AS DOUBLE)) * sqrt(CAST(nb.ni AS DOUBLE))) AS cosr
+      |  FROM pairs JOIN supp na ON ia = na.item JOIN supp nb ON ib = nb.item
+      |  WHERE co >= 2)
+      |SELECT ia AS item_a, ib AS item_b, co, na, nb, round(cosr, 9) AS cosine
+      |FROM scored ORDER BY cosr DESC, ia, ib LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bfs1_reachability_levels" -> bfs1,
+    "cf1_item_similarity" -> cf1,
     "mb1_market_basket" -> mb1,
     "pr1_pagerank" -> pr1,
     "bf1_bloom_semijoin" -> bf1,
@@ -338,6 +400,7 @@ object GraphQueries extends graft.core.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "bfs1_reachability_levels" -> bfs1Sql,
+    "cf1_item_similarity" -> cf1Sql,
     "mb1_market_basket" -> mb1Sql,
     "pr1_pagerank" -> pr1Sql,
     "bf1_bloom_semijoin" -> bf1Sql,
