@@ -435,6 +435,57 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  ROUND(CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
       |FROM c JOIN t ON c.src = t.src ORDER BY c.src, c.dst""".stripMargin
 
+  // SEQ1: skip-bigram sequence mining — co-occurring event-type pairs
+  // within a gap of ≤3 positions in each user's timeline, the
+  // PrefixSpan-style generalization of mk1's adjacent-only transitions
+  // (a funnel with an interposed page-view is invisible to mk1; seq1
+  // counts it under gap 2/3). NO self-join: three lead() offsets over ONE
+  // user-keyed window emit ≤3 pairs per row, so the blowup is a fixed
+  // constant and the only shuffle beyond the window sort is the pair
+  // count — at 100 TB this is the same single user-partitioned pass mk1
+  // does. skip_ratio = share of occurrences that needed the gap.
+  def seq1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val l = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("n1", lead($"event_type", 1).over(w))
+      .withColumn("n2", lead($"event_type", 2).over(w))
+      .withColumn("n3", lead($"event_type", 3).over(w))
+    l.select($"event_type".as("src"), explode(array(
+        struct(lit(1).as("gap"), $"n1".as("dst")),
+        struct(lit(2).as("gap"), $"n2".as("dst")),
+        struct(lit(3).as("gap"), $"n3".as("dst")))).as("p"))
+      .select($"src", $"p.gap".as("gap"), $"p.dst".as("dst"))
+      .filter($"dst".isNotNull)
+      .groupBy($"src", $"dst")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"gap" === 1, 1L).otherwise(0L)).as("n_adj"),
+        sum(when($"gap" > 1, 1L).otherwise(0L)).as("n_skip"))
+      .select($"src", $"dst", $"n_total", $"n_adj", $"n_skip",
+        round($"n_skip".cast("double") / $"n_total".cast("double"), 9)
+          .as("skip_ratio"))
+      .orderBy($"src", $"dst")
+  }
+  val seq1Sql: String =
+    """WITH l AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type, 1) OVER w AS n1,
+      |    lead(event_type, 2) OVER w AS n2,
+      |    lead(event_type, 3) OVER w AS n3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |p AS (
+      |  SELECT src, 1 AS gap, n1 AS dst FROM l WHERE n1 IS NOT NULL
+      |  UNION ALL SELECT src, 2, n2 FROM l WHERE n2 IS NOT NULL
+      |  UNION ALL SELECT src, 3, n3 FROM l WHERE n3 IS NOT NULL)
+      |SELECT src, dst, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN gap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_adj,
+      |  CAST(SUM(CASE WHEN gap > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_skip,
+      |  round(CAST(SUM(CASE WHEN gap > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |        CAST(COUNT(*) AS DOUBLE), 9) AS skip_ratio
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // AT1: last-touch attribution — each purchase attributed to the user's
   // most recent click within 24 h, via the [[graft.operators.AsOfJoin]]
   // union+window technique (one user-keyed shuffle, linear per-partition
@@ -2284,6 +2335,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "z1_event_anomaly" -> z1,
     "reg1_linear_trend" -> reg1,
     "mk1_markov_transitions" -> mk1,
+    "seq1_skip_bigrams" -> seq1,
     "at1_attribution" -> at1,
     "au1_rolling_active_users" -> au1,
     "au2_rolling_sketch_mau" -> au2,
@@ -2348,6 +2400,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "z1_event_anomaly" -> z1Sql,
     "reg1_linear_trend" -> reg1Sql,
     "mk1_markov_transitions" -> mk1Sql,
+    "seq1_skip_bigrams" -> seq1Sql,
     "at1_attribution" -> at1Sql,
     "au1_rolling_active_users" -> au1Sql,
     "au2_rolling_sketch_mau" -> au2Sql,

@@ -742,7 +742,62 @@ object Extras extends graft.core.QueryModule {
       |    / n_rows, 9) AS hot_rows_share
       |FROM c, s GROUP BY n_keys, n_rows, max_cnt, avg""".stripMargin
 
+  // RI1: referential-integrity audit of the whole star schema — one row
+  // per foreign-key edge with its orphan count. Each edge is ONE pass:
+  // fact LEFT JOIN dim on the key (dims broadcast; the lineitem→orders
+  // edge is the lone big–big sort-merge) counting rows and null-probe
+  // misses together — never a separate COUNT job per side. The
+  // events.user_id→customer edge crosses the behavioral/relational domain
+  // boundary — the edge most likely to go red after an upstream
+  // regeneration, which is exactly what the audit exists to catch (the
+  // oracle pins whatever the orphan count is, zero or not). At 100 TB
+  // this is the data-contract gate run before every training export —
+  // cheap (counts only), embarrassingly parallel across edges.
+  def ri1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, fact: DataFrame, fk: String,
+             dim: DataFrame, pk: String): DataFrame =
+      fact.select(col(fk).as("k"))
+        .join(dim.select(col(pk).as("k"), lit(1).as("hit")), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), $"n_rows", $"n_orphans",
+          ($"n_orphans" === 0L).as("ok"))
+    val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir); val r = Tables.region(s, dir)
+    Seq(
+      edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+      edge("events.user_id->customer", Tables.events(s, dir), "user_id", c, "c_custkey"),
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem.l_partkey->part", li, "l_partkey", Tables.part(s, dir), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+      edge("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"),
+      edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+      edge("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey"))
+      .reduce(_ unionAll _)
+      .orderBy($"fk_edge")
+  }
+  val ri1Sql: String = {
+    def edge(name: String, fact: String, fk: String, dim: String, pk: String) =
+      s"""SELECT '$name' AS fk_edge, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN d.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+         |  CAST(SUM(CASE WHEN d.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0 AS ok
+         |FROM $fact f LEFT JOIN $dim d ON f.$fk = d.$pk""".stripMargin
+    Seq(
+      edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+      edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ri1_referential_integrity" -> ri1,
     "dl1_damerau_linkage" -> dl1,
     "skew1_key_skew_audit" -> skew1,
     "sky1_pareto_front" -> sky1,
@@ -768,6 +823,7 @@ object Extras extends graft.core.QueryModule {
     "g3_grouping_sets" -> g3,
   )
   val oracles: Map[String, String] = Map(
+    "ri1_referential_integrity" -> ri1Sql,
     "dl1_damerau_linkage" -> dl1Sql,
     "skew1_key_skew_audit" -> skew1Sql,
     "sky1_pareto_front" -> sky1Sql,
