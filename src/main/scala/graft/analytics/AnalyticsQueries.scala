@@ -435,6 +435,48 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  ROUND(CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
       |FROM c JOIN t ON c.src = t.src ORDER BY c.src, c.dst""".stripMargin
 
+  // BLB1: bag of little bootstraps (Kleiner et al., JRSS-B 2014) — the
+  // scale-correct bootstrap: resampling n rows with replacement B times is
+  // a non-starter at 100 TB, but hashing rows into s=8 disjoint subsets
+  // and giving each of 16 replicates deterministic multinomial-ish integer
+  // weights (avalanched hash of (event_id, replicate) → 0..6) needs ONE
+  // pass — the 16× explode collapses in the map-side combine to 128
+  // partial rows per task. Weighted sums route through DECIMAL(12,2) ×
+  // integer weight (exact, order-free on both engines); one double
+  // division per (subset, replicate) at the end. The replicate means ARE
+  // the output — spread across replicates within a subset is the CI width.
+  def blb1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reps = (0 until 16).map(i => lit(i.toLong))
+    Tables.events(s, dir).filter($"value".isNotNull)
+      .select($"event_id", ($"event_id" % 8).as("subset"), $"value")
+      .withColumn("r", explode(array(reps: _*)))
+      .withColumn("h0", (($"event_id" % lit(2147483648L)) * lit(2654435761L)
+        + lit(12345L) + $"r" * lit(1442695041L)) % lit(4294967296L))
+      .withColumn("w", expr("(h0 ^ shiftright(h0, 16)) % 7"))
+      .groupBy($"subset", $"r")
+      .agg(count(lit(1)).as("n"), sum($"w").as("wsum"),
+        sum(vdec($"value") * $"w").as("vsum"))
+      .select($"subset", $"r".as("replicate"), $"n", $"wsum",
+        round($"vsum".cast("double") / $"wsum".cast("double"), 9).as("boot_mean"))
+      .orderBy($"subset", $"replicate")
+  }
+  val blb1Sql: String =
+    """WITH reps AS (SELECT unnest(range(0, 16)) AS r),
+      |e AS (SELECT event_id, event_id % 8 AS subset, value
+      |      FROM events WHERE value IS NOT NULL),
+      |x AS (
+      |  SELECT subset, r, value,
+      |    ((event_id % 2147483648) * 2654435761 + 12345 + r * 1442695041)
+      |      % 4294967296 AS h0
+      |  FROM e CROSS JOIN reps),
+      |wt AS (SELECT subset, r, value, xor(h0, h0 >> 16) % 7 AS w FROM x)
+      |SELECT subset, CAST(r AS BIGINT) AS replicate, COUNT(*) AS n,
+      |  CAST(SUM(w) AS BIGINT) AS wsum,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(12,2)) * w) AS DOUBLE) /
+      |        CAST(SUM(w) AS DOUBLE), 9) AS boot_mean
+      |FROM wt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // SEQ1: skip-bigram sequence mining — co-occurring event-type pairs
   // within a gap of ≤3 positions in each user's timeline, the
   // PrefixSpan-style generalization of mk1's adjacent-only transitions
@@ -2336,6 +2378,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "reg1_linear_trend" -> reg1,
     "mk1_markov_transitions" -> mk1,
     "seq1_skip_bigrams" -> seq1,
+    "blb1_little_bootstraps" -> blb1,
     "at1_attribution" -> at1,
     "au1_rolling_active_users" -> au1,
     "au2_rolling_sketch_mau" -> au2,
@@ -2401,6 +2444,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "reg1_linear_trend" -> reg1Sql,
     "mk1_markov_transitions" -> mk1Sql,
     "seq1_skip_bigrams" -> seq1Sql,
+    "blb1_little_bootstraps" -> blb1Sql,
     "at1_attribution" -> at1Sql,
     "au1_rolling_active_users" -> au1Sql,
     "au2_rolling_sketch_mau" -> au2Sql,

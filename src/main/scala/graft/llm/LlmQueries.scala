@@ -766,6 +766,52 @@ object LlmQueries extends graft.core.QueryModule {
        |SELECT rk, tok, c, round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_frac
        |FROM r, t WHERE rk <= 20 ORDER BY rk""".stripMargin
 
+  // VP1: vocabulary pruning under token-coverage targets — the tokenizer
+  // sizing question "how small a vocab still covers 90/95/99% of the token
+  // stream?" (t12 shows the top of the curve; vp1 inverts it). Frequency
+  // ranking and the cumulative-coverage sweep run on the vocabulary-sized
+  // counts table via GlobalRank's prefix machinery (two bounded range
+  // shuffles, never a single-partition window over the corpus); the target
+  // test is ALL-INTEGER — cum·den ≥ num·total with (9/10, 19/20, 99/100)
+  // threshold fractions — so the boundary term is bit-exact on both
+  // engines, no double comparison anywhere near the cut.
+  def vp1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = docTokens(s, dir).groupBy($"tok").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum($"c").cast("long").as("t"),
+      count(lit(1)).cast("long").as("n_vocab"))
+    val cum = graft.operators.GlobalRank.withPrefixSum(
+      counts, Seq($"c".desc, $"tok"), $"c", out = "cum")
+    val rk = graft.operators.GlobalRank.withRowNumber(
+      cum, Seq($"c".desc, $"tok"), rn = "rk", nTotal = None)
+    val targets = Seq((9L, 10L), (19L, 20L), (99L, 100L)).toDF("num", "den")
+    rk.crossJoin(broadcast(tot)).crossJoin(broadcast(targets))
+      .filter($"cum" * $"den" >= $"num" * $"t" &&
+        ($"cum" - $"c") * $"den" < $"num" * $"t")
+      .select(
+        round($"num".cast("double") / $"den".cast("double"), 2).as("target"),
+        $"rk".cast("long").as("vocab_size"), $"n_vocab",
+        $"cum".as("covered_tokens"), $"t".as("total_tokens"),
+        round($"cum".cast("double") / $"t".cast("double"), 9).as("coverage"))
+      .orderBy($"target")
+  }
+  val vp1Sql: String =
+    s"""$duckTokCtes,
+       |c AS (SELECT tok, COUNT(*) AS c FROM pt GROUP BY tok),
+       |r AS (SELECT tok, c,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rk,
+       |        CAST(SUM(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |      FROM c),
+       |t AS (SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n_vocab FROM c),
+       |tg AS (SELECT 9 AS num, 10 AS den UNION ALL SELECT 19, 20
+       |       UNION ALL SELECT 99, 100)
+       |SELECT round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 2) AS target,
+       |  rk AS vocab_size, n_vocab, cum AS covered_tokens, t AS total_tokens,
+       |  round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 9) AS coverage
+       |FROM r, t, tg
+       |WHERE cum * den >= num * t AND (cum - c) * den < num * t
+       |ORDER BY target""".stripMargin
+
   // QZ1: scalar int8 quantization of the embedding table + quantized-route
   // top-k with an exact-route recall audit — the memory-side half of an ANN
   // index (FAISS's SQ8 shape): 4 bytes/dim → 1 byte/dim, distances computed
@@ -1326,6 +1372,92 @@ object LlmQueries extends graft.core.QueryModule {
     s"""$bm25DuckCtes
        |SELECT doc_id, dl AS n_tokens, round($bm25TermsSql, 6) AS bm25
        |FROM pd CROSS JOIN st WHERE $bm25TfSum > 0 ORDER BY doc_id""".stripMargin
+
+  // SPM1: distributed sparse×dense matrix multiply — doc-topic scoring as
+  // SpMM: the sparse side is the (doc, tid) token stream, the dense side a
+  // vocab×4 topic-weight matrix REPRESENTED FUNCTIONALLY (integer LCG of
+  // (tid, topic) → weight in [-10, 10]) so nothing is materialized or even
+  // broadcast — the classic hashing-trick scoring layer (fh1's vectorizer
+  // upgraded to a matrix product). One pass over the token stream, one
+  // doc-keyed shuffle carrying 4 longs per doc; argmax is a flat CASE over
+  // the pivoted columns, never a window. All-integer math → bit-exact on
+  // both engines. At 100 TB this is exactly how a linear scorer runs over
+  // a corpus: scan + map-side partial sums + tiny per-doc state.
+  def spm1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def w(t: Int): Column =
+      (($"tid" * lit(1103515245L) + lit(12345L) +
+        lit(t.toLong) * lit(2654435761L)) % lit(1000003L)) % lit(21L) - lit(10L)
+    val topicSums = (0 until 4).map(t => sum(w(t)).as(s"s$t"))
+    val sc = docTids(s, dir).groupBy($"doc_id")
+      .agg(topicSums.head, topicSums.tail: _*)
+    sc.select($"doc_id",
+        when($"s0" >= $"s1" && $"s0" >= $"s2" && $"s0" >= $"s3", 0L)
+          .when($"s1" >= $"s2" && $"s1" >= $"s3", 1L)
+          .when($"s2" >= $"s3", 2L).otherwise(3L).as("best_topic"),
+        greatest($"s0", $"s1", $"s2", $"s3").as("best_score"),
+        $"s0", $"s1", $"s2", $"s3")
+      .orderBy($"doc_id")
+  }
+  val spm1Sql: String = {
+    val sums = (0 until 4).map(t =>
+      s"CAST(SUM(((tid * 1103515245 + 12345 + $t * 2654435761) % 1000003) % 21 - 10) AS BIGINT) AS s$t")
+      .mkString(",\n|    ")
+    s"""$duckTokCtes,
+       |sc AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM ids GROUP BY 1)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+       |       WHEN s1 >= s2 AND s1 >= s3 THEN 1
+       |       WHEN s2 >= s3 THEN 2 ELSE 3 END AS BIGINT) AS best_topic,
+       |  greatest(s0, s1, s2, s3) AS best_score, s0, s1, s2, s3
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // PAD1: length-bucketed batching efficiency — the pad-waste audit of the
+  // power-of-two bucketing a training dataloader applies before batching
+  // (complement of pack1's first-fit packing: pack1 ELIMINATES padding by
+  // concatenation, pad1 MEASURES what naive bucketing costs). Bucket =
+  // smallest power of two ≥ doc length, floor 16, cap 1024 with overflow
+  // truncated — an integer threshold ladder, never floating log2. One
+  // doc-length aggregate feeding one ≤8-row bucket rollup.
+  def pad1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dl = docTokens(s, dir).groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    var b = when($"dl" <= 16L, 16L)
+    for (j <- 5 to 10) b = b.when($"dl" <= (1L << j), 1L << j)
+    dl.withColumn("bucket", b.otherwise(1024L))
+      .withColumn("kept", least($"dl", lit(1024L)))
+      .groupBy($"bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"kept").as("sum_tokens"),
+        sum($"bucket" - $"kept").as("sum_padding"),
+        sum($"dl" - $"kept").as("sum_truncated"))
+      .select($"bucket", $"n_docs", $"sum_tokens", $"sum_padding",
+        $"sum_truncated",
+        round($"sum_padding".cast("double") /
+          ($"sum_padding" + $"sum_tokens").cast("double"), 9).as("pad_frac"))
+      .orderBy($"bucket")
+  }
+  val pad1Sql: String = {
+    val ladder = (4 to 10).map(j => s"WHEN dl <= ${1L << j} THEN CAST(${1L << j} AS BIGINT)")
+      .mkString(" ")
+    s"""$duckTokCtes,
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM pt GROUP BY 1),
+       |bk AS (
+       |  SELECT CASE $ladder ELSE CAST(1024 AS BIGINT) END AS bucket,
+       |    least(dl, 1024) AS kept, dl
+       |  FROM dl)
+       |SELECT bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(kept) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(bucket - kept) AS BIGINT) AS sum_padding,
+       |  CAST(SUM(dl - kept) AS BIGINT) AS sum_truncated,
+       |  round(CAST(SUM(bucket - kept) AS DOUBLE) /
+       |        CAST(SUM(bucket - kept) + SUM(kept) AS DOUBLE), 9) AS pad_frac
+       |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // RRF1: hybrid retrieval — reciprocal-rank fusion (Cormack et al.,
   // SIGIR 2009) of the dense leg (brute cosine vs the vec_id=0 query,
@@ -2046,6 +2178,9 @@ object LlmQueries extends graft.core.QueryModule {
     "cl1_text_clean" -> cl1,
     "t6_bm25_score" -> t6,
     "rrf1_hybrid_fusion" -> rrf1,
+    "spm1_doc_topic_scores" -> spm1,
+    "vp1_vocab_prune" -> vp1,
+    "pad1_batch_pad_audit" -> pad1,
     "t7_repetition_filter" -> t7,
     "t8_unigram_logprob" -> t8,
     "t9_tfidf_topterms" -> t9,
@@ -2095,6 +2230,9 @@ object LlmQueries extends graft.core.QueryModule {
     "cl1_text_clean" -> cl1Sql,
     "t6_bm25_score" -> t6Sql,
     "rrf1_hybrid_fusion" -> rrf1Sql,
+    "spm1_doc_topic_scores" -> spm1Sql,
+    "vp1_vocab_prune" -> vp1Sql,
+    "pad1_batch_pad_audit" -> pad1Sql,
     "t7_repetition_filter" -> t7Sql,
     "t8_unigram_logprob" -> t8Sql,
     "t9_tfidf_topterms" -> t9Sql,

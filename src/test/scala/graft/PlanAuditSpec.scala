@@ -170,7 +170,8 @@ class PlanAuditSpec extends SparkTestBase {
       "mb1_market_basket",         // 1-row basket-count broadcast (lift denominator)
       "bf1_bloom_membership",      // 1-row filter-size broadcast onto members/probes
       "qsk1_quantile_sketch",      // 3-row quantile-target broadcast onto 32-bucket frames
-      "rrf1_hybrid_fusion")        // 1-row query vector + 1-row BM25 corpus stats
+      "rrf1_hybrid_fusion",        // 1-row query vector + 1-row BM25 corpus stats
+      "vp1_vocab_prune")           // 1-row totals + 3-row coverage targets
     // iterative operators run actions while BUILDING the frame — profile
     // their final stage only (loop internals are audited by their specs)
     val violations = for {
