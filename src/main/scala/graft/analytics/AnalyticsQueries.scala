@@ -435,6 +435,63 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  ROUND(CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
       |FROM c JOIN t ON c.src = t.src ORDER BY c.src, c.dst""".stripMargin
 
+  // MW1: Mann–Whitney U — the nonparametric two-sample test ab1's z-test
+  // can't replace when the metric is skewed. The rank-sum is computed
+  // WITHOUT ranking rows: group to distinct cent values (exact integer
+  // cents via the DECIMAL route), one GlobalRank prefix sum of the B-side
+  // counts, then 2·U_A = Σ_v nA(v)·(2·cumB_less(v) + nB(v)) — doubling
+  // clears the tie half-ranks so the statistic is an exact INTEGER
+  // (DECIMAL(38,0) against overflow at corpus scale) on both engines; the
+  // z readout is the only double. Scale: one value-keyed aggregate (
+  // cardinality = distinct prices, not rows) + one bounded range shuffle.
+  def mw1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"value".isNotNull && $"event_type" === "purchase")
+      .select((vdec($"value") * 100).cast("long").as("cents"),
+        ($"user_id" % 2).as("grp"))
+    val byV = ev.groupBy($"cents").agg(
+      sum(when($"grp" === 0, 1L).otherwise(0L)).as("na"),
+      sum(when($"grp" === 1, 1L).otherwise(0L)).as("nb"))
+    val cums = graft.operators.GlobalRank.withPrefixSum(
+      byV, Seq($"cents"), $"nb", out = "cumb")
+    cums.agg(
+        sum($"na").cast("long").as("n_a"),
+        sum($"nb").cast("long").as("n_b"),
+        sum($"na".cast(DecimalType(38, 0)) *
+          (lit(2L) * ($"cumb" - $"nb") + $"nb")).cast(DecimalType(38, 0))
+          .as("u2_a"))
+      .select($"n_a", $"n_b", $"u2_a",
+        (lit(2L) * $"n_a".cast(DecimalType(38, 0)) * $"n_b" - $"u2_a")
+          .cast(DecimalType(38, 0)).as("u2_b"),
+        round(($"u2_a".cast("double") -
+            $"n_a".cast("double") * $"n_b".cast("double")) /
+          (lit(2.0) * sqrt($"n_a".cast("double") * $"n_b".cast("double") *
+            ($"n_a".cast("double") + $"n_b".cast("double") + lit(1.0)) /
+            lit(12.0))), 9).as("z"))
+  }
+  val mw1Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    user_id % 2 AS grp
+      |  FROM events WHERE value IS NOT NULL AND event_type = 'purchase'),
+      |v AS (SELECT cents,
+      |        CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |        CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |      FROM e GROUP BY 1),
+      |c AS (SELECT na, nb,
+      |        CAST(SUM(nb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+      |      FROM v),
+      |t AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b,
+      |        CAST(SUM(CAST(na AS DECIMAL(38,0)) * (2 * (cumb - nb) + nb)) AS DECIMAL(38,0)) AS u2_a
+      |      FROM c)
+      |SELECT n_a, n_b, u2_a,
+      |  CAST(2 * CAST(n_a AS DECIMAL(38,0)) * n_b - u2_a AS DECIMAL(38,0)) AS u2_b,
+      |  round((CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+      |    (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
+      |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) / 12.0)), 9) AS z
+      |FROM t""".stripMargin
+
   // BLB1: bag of little bootstraps (Kleiner et al., JRSS-B 2014) — the
   // scale-correct bootstrap: resampling n rows with replacement B times is
   // a non-starter at 100 TB, but hashing rows into s=8 disjoint subsets
@@ -2379,6 +2436,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "mk1_markov_transitions" -> mk1,
     "seq1_skip_bigrams" -> seq1,
     "blb1_little_bootstraps" -> blb1,
+    "mw1_mann_whitney" -> mw1,
     "at1_attribution" -> at1,
     "au1_rolling_active_users" -> au1,
     "au2_rolling_sketch_mau" -> au2,
@@ -2445,6 +2503,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "mk1_markov_transitions" -> mk1Sql,
     "seq1_skip_bigrams" -> seq1Sql,
     "blb1_little_bootstraps" -> blb1Sql,
+    "mw1_mann_whitney" -> mw1Sql,
     "at1_attribution" -> at1Sql,
     "au1_rolling_active_users" -> au1Sql,
     "au2_rolling_sketch_mau" -> au2Sql,

@@ -708,6 +708,48 @@ object Extras extends graft.core.QueryModule {
       |  AND damerau_levenshtein(a.p_name, c.p_name) <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
+  // SNB1: sorted-neighborhood blocking — the third blocking strategy of
+  // the entity-resolution family (dl1 blocks by a shared noun, d9 by
+  // prefix tokens; SNB sorts on a normalized key and compares each record
+  // only to its w nearest neighbors IN SORT ORDER, catching near-dupes
+  // that share no block key). The global sort is GlobalRank's range
+  // shuffle (never a single-partition window); the neighbor pairing is an
+  // EQUI-join — each row projects (rn + off) for off ∈ 1..3 and joins back
+  // on rn — so candidate volume is exactly 3n regardless of key skew, the
+  // property that makes SNB the safe choice when hash blocks explode.
+  // Distance = codegen'd Damerau–Levenshtein on the 24-char keys.
+  def snb1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = Tables.documents(s, dir)
+      .select($"doc_id", substring(lower($"text"), 1, 24).as("key"))
+    val r = graft.operators.GlobalRank.withRowNumber(
+      k, Seq($"key", $"doc_id"), rn = "rn", nTotal = None)
+    val probes = r
+      .withColumn("off", explode(array(lit(1L), lit(2L), lit(3L))))
+      .select($"doc_id".as("doc_a"), $"key".as("key_a"),
+        ($"rn" + $"off").as("rn"), $"off")
+    probes.join(r.select($"doc_id".as("doc_b"), $"key".as("key_b"), $"rn"),
+        Seq("rn"))
+      .withColumn("dl", graft.functions.DamerauLevenshtein.dl($"key_a", $"key_b"))
+      .filter($"dl" <= 8)
+      .select($"doc_a", $"doc_b", $"off", $"dl".cast("long").as("dl"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+  val snb1Sql: String =
+    """WITH k AS (SELECT doc_id, substr(lower(text), 1, 24) AS key FROM documents),
+      |r AS (SELECT doc_id, key,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) AS BIGINT) AS rn
+      |      FROM k),
+      |o AS (SELECT unnest([1, 2, 3]) AS off),
+      |p AS (SELECT a.doc_id AS doc_a, a.key AS key_a, a.rn + o.off AS rn,
+      |        CAST(o.off AS BIGINT) AS off
+      |      FROM r a CROSS JOIN o)
+      |SELECT p.doc_a, b.doc_id AS doc_b, p.off,
+      |  CAST(damerau_levenshtein(p.key_a, b.key) AS BIGINT) AS dl
+      |FROM p JOIN r b USING (rn)
+      |WHERE damerau_levenshtein(p.key_a, b.key) <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // SKEW1: key-skew audit on the fact table's join/agg key — the
   // repartition/salting advisor every 100 TB shuffle plan starts from.
   // Two hash aggregations: per-key counts (THE shuffle any groupBy on this
@@ -798,6 +840,7 @@ object Extras extends graft.core.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ri1_referential_integrity" -> ri1,
+    "snb1_sorted_neighborhood" -> snb1,
     "dl1_damerau_linkage" -> dl1,
     "skew1_key_skew_audit" -> skew1,
     "sky1_pareto_front" -> sky1,
@@ -824,6 +867,7 @@ object Extras extends graft.core.QueryModule {
   )
   val oracles: Map[String, String] = Map(
     "ri1_referential_integrity" -> ri1Sql,
+    "snb1_sorted_neighborhood" -> snb1Sql,
     "dl1_damerau_linkage" -> dl1Sql,
     "skew1_key_skew_audit" -> skew1Sql,
     "sky1_pareto_front" -> sky1Sql,
