@@ -435,6 +435,88 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  ROUND(CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
       |FROM c JOIN t ON c.src = t.src ORDER BY c.src, c.dst""".stripMargin
 
+  // CUPED1: variance-reduced experiment readout (Deng et al., WSDM 2013) —
+  // the industry-standard upgrade to ab1's raw z-test: regress the
+  // experiment-period metric on the pre-period covariate and compare
+  // ADJUSTED means. The time split is the integer midpoint of the global
+  // ts_ns range (1-row broadcast); per-user pre/post sums are exact
+  // integer cents, so the pooled moments (Σpre, Σpost, Σpre², Σpre·post —
+  // DECIMAL(38,0) against corpus-scale overflow) are bit-exact on both
+  // engines and θ = cov/var is the first double. One user-keyed aggregate
+  // + a 2-row variant rollup; nothing wider than a user shuffles.
+  def cuped1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"value".isNotNull && $"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("ts_us"),
+        (vdec($"value") * 100).cast("long").as("cents"))
+    val mid = ev.agg(min($"ts_us").as("mn"), max($"ts_us").as("mx"))
+      .select(($"mn" + expr("(mx - mn) div 2")).as("mid")) // integer midpoint
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy($"user_id")
+      .agg(sum(when($"ts_us" < $"mid", $"cents").otherwise(0L)).as("pre"),
+        sum(when($"ts_us" >= $"mid", $"cents").otherwise(0L)).as("post"))
+      .withColumn("variant", $"user_id" % 2)
+    val d38 = DecimalType(38, 0)
+    val mom = perUser.agg(
+      count(lit(1)).as("n"),
+      sum($"pre".cast(d38)).as("sp"), sum($"post".cast(d38)).as("so"),
+      sum(($"pre".cast(d38) * $"pre").cast(d38)).as("spp"),
+      sum(($"pre".cast(d38) * $"post").cast(d38)).as("spo"))
+    perUser.groupBy($"variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"pre".cast(d38)).as("vp"), sum($"post".cast(d38)).as("vo"))
+      .crossJoin(broadcast(mom))
+      .withColumn("theta",
+        (($"n".cast("double") * $"spo".cast("double") -
+          $"sp".cast("double") * $"so".cast("double")) /
+         ($"n".cast("double") * $"spp".cast("double") -
+          $"sp".cast("double") * $"sp".cast("double"))))
+      .withColumn("mean_pre", $"vp".cast("double") / $"n_users".cast("double"))
+      .withColumn("mean_post", $"vo".cast("double") / $"n_users".cast("double"))
+      .withColumn("grand_pre", $"sp".cast("double") / $"n".cast("double"))
+      .select($"variant", $"n_users",
+        round($"mean_post", 9).as("mean_post"),
+        round($"mean_post" - $"theta" * ($"mean_pre" - $"grand_pre"), 9)
+          .as("mean_adjusted"),
+        round($"theta", 9).as("theta"))
+      .orderBy($"variant")
+  }
+  val cuped1Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL AND event_type = 'purchase'),
+      |m AS (SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // 2 AS mid FROM e),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN ts_us < mid THEN cents ELSE 0 END) AS BIGINT) AS pre,
+      |    CAST(SUM(CASE WHEN ts_us >= mid THEN cents ELSE 0 END) AS BIGINT) AS post,
+      |    user_id % 2 AS variant
+      |  FROM e, m GROUP BY user_id),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(pre AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sp,
+      |    CAST(SUM(CAST(post AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS so,
+      |    CAST(SUM(CAST(pre AS DECIMAL(38,0)) * pre) AS DECIMAL(38,0)) AS spp,
+      |    CAST(SUM(CAST(pre AS DECIMAL(38,0)) * post) AS DECIMAL(38,0)) AS spo
+      |  FROM u),
+      |v AS (
+      |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(CAST(pre AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS vp,
+      |    CAST(SUM(CAST(post AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS vo
+      |  FROM u GROUP BY 1)
+      |SELECT variant, n_users,
+      |  round(CAST(vo AS DOUBLE) / CAST(n_users AS DOUBLE), 9) AS mean_post,
+      |  round(CAST(vo AS DOUBLE) / CAST(n_users AS DOUBLE) -
+      |    ((CAST(n AS DOUBLE) * CAST(spo AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(so AS DOUBLE)) /
+      |     (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) *
+      |    (CAST(vp AS DOUBLE) / CAST(n_users AS DOUBLE) - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+      |    AS mean_adjusted,
+      |  round((CAST(n AS DOUBLE) * CAST(spo AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(so AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)), 9) AS theta
+      |FROM v, mo ORDER BY variant""".stripMargin
+
   // MW1: Mann–Whitney U — the nonparametric two-sample test ab1's z-test
   // can't replace when the metric is skewed. The rank-sum is computed
   // WITHOUT ranking rows: group to distinct cent values (exact integer
@@ -2437,6 +2519,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "seq1_skip_bigrams" -> seq1,
     "blb1_little_bootstraps" -> blb1,
     "mw1_mann_whitney" -> mw1,
+    "cuped1_variance_reduction" -> cuped1,
     "at1_attribution" -> at1,
     "au1_rolling_active_users" -> au1,
     "au2_rolling_sketch_mau" -> au2,
@@ -2504,6 +2587,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "seq1_skip_bigrams" -> seq1Sql,
     "blb1_little_bootstraps" -> blb1Sql,
     "mw1_mann_whitney" -> mw1Sql,
+    "cuped1_variance_reduction" -> cuped1Sql,
     "at1_attribution" -> at1Sql,
     "au1_rolling_active_users" -> au1Sql,
     "au2_rolling_sketch_mau" -> au2Sql,

@@ -766,6 +766,104 @@ object LlmQueries extends graft.core.QueryModule {
        |SELECT rk, tok, c, round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_frac
        |FROM r, t WHERE rk <= 20 ORDER BY rk""".stripMargin
 
+  // PQ1: product quantization (Jégou et al., TPAMI 2011) — the memory-side
+  // ANN step past qz1's scalar quantization: the 64-dim space splits into
+  // M=8 subspaces of 8 dims; each subvector is coded as its nearest of 4
+  // fixed centroids (vec_ids 1–4 sliced per subspace, s3's deterministic
+  // seeding), and query distance is ADC — Σ_m table[m][code_m] with the
+  // 8×4 distance table precomputed ONCE on the 1-row centroid frame and
+  // broadcast. Per-row work is 32 subvector distances + flat CASE argmins
+  // (staged intermediate columns keep every codegen method small); at
+  // scale the codes are 8 bytes/vector and the scan never touches floats.
+  // Top-10 by ADC distance, exact L2² alongside (same unrolled summation
+  // tree both engines) so the approximation error is visible in the row.
+  def pq1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    def dsq(x: Column, c: Column, m: Int): Column =
+      (0 until 8).map { i =>
+        val idx = m * 8 + i + 1
+        val d = element_at(x, idx).cast("double") - element_at(c, idx).cast("double")
+        d * d
+      }.reduce(_ + _)
+    val cents0 = e.filter($"vec_id" <= 4).agg(
+      first(when($"vec_id" === 0, $"embedding"), ignoreNulls = true).as("qe"),
+      (1 to 4).map(c =>
+        first(when($"vec_id" === c, $"embedding"), ignoreNulls = true).as(s"ce$c")): _*)
+    val cents = (for { m <- 0 until 8; c <- 1 to 4 } yield (m, c))
+      .foldLeft(cents0) { case (df, (m, c)) =>
+        df.withColumn(s"t_${m}_$c", dsq(col("qe"), col(s"ce$c"), m)) }
+    val base = e.filter($"vec_id" =!= 0).crossJoin(broadcast(cents))
+    val withD = (for { m <- 0 until 8; c <- 1 to 4 } yield (m, c))
+      .foldLeft(base) { case (df, (m, c)) =>
+        df.withColumn(s"d_${m}_$c", dsq($"embedding", col(s"ce$c"), m)) }
+    val withCodes = (0 until 8).foldLeft(withD) { (df, m) =>
+      def d(c: Int) = col(s"d_${m}_$c")
+      df.withColumn(s"code_$m",
+        when(d(1) <= d(2) && d(1) <= d(3) && d(1) <= d(4), 1)
+          .when(d(2) <= d(3) && d(2) <= d(4), 2)
+          .when(d(3) <= d(4), 3).otherwise(4))
+    }
+    val adist = (0 until 8).map { m =>
+      when(col(s"code_$m") === 1, col(s"t_${m}_1"))
+        .when(col(s"code_$m") === 2, col(s"t_${m}_2"))
+        .when(col(s"code_$m") === 3, col(s"t_${m}_3"))
+        .otherwise(col(s"t_${m}_4"))
+    }.reduce(_ + _)
+    withCodes
+      .withColumn("adist", adist)
+      .withColumn("l2",
+        VectorOps.dotNative($"embedding", $"embedding") +
+        VectorOps.dotNative($"qe", $"qe") -
+        lit(2.0) * VectorOps.dotNative($"embedding", $"qe"))
+      .orderBy($"adist".asc, $"vec_id").limit(10)
+      .select($"vec_id", round($"adist", 9).as("adist"),
+        round($"l2", 9).as("l2_exact"))
+  }
+  val pq1Sql: String = {
+    def dsqS(x: String, c: String, m: Int): String =
+      (0 until 8).map { i =>
+        val idx = m * 8 + i + 1
+        s"(CAST($x[$idx] AS DOUBLE) - CAST($c[$idx] AS DOUBLE)) * " +
+          s"(CAST($x[$idx] AS DOUBLE) - CAST($c[$idx] AS DOUBLE))"
+      }.mkString(" + ")
+    val tCols = (for { m <- 0 until 8; c <- 1 to 4 } yield
+      s"${dsqS("qe", s"ce$c", m)} AS t_${m}_$c").mkString(",\n|    ")
+    val dCols = (for { m <- 0 until 8; c <- 1 to 4 } yield
+      s"${dsqS("embedding", s"ce$c", m)} AS d_${m}_$c").mkString(",\n|    ")
+    val codeCols = (0 until 8).map { m =>
+      def d(c: Int) = s"d_${m}_$c"
+      s"CASE WHEN ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} AND ${d(1)} <= ${d(4)} THEN 1 " +
+        s"WHEN ${d(2)} <= ${d(3)} AND ${d(2)} <= ${d(4)} THEN 2 " +
+        s"WHEN ${d(3)} <= ${d(4)} THEN 3 ELSE 4 END AS code_$m"
+    }.mkString(",\n|    ")
+    val adistExpr = (0 until 8).map { m =>
+      s"(CASE code_$m WHEN 1 THEN t_${m}_1 WHEN 2 THEN t_${m}_2 " +
+        s"WHEN 3 THEN t_${m}_3 ELSE t_${m}_4 END)"
+    }.mkString(" + ")
+    val l2 = s"(${VectorOps.dotSqlDuck("embedding", "embedding", 64)}) + " +
+      s"(${VectorOps.dotSqlDuck("qe", "qe", 64)}) - " +
+      s"2.0 * (${VectorOps.dotSqlDuck("embedding", "qe", 64)})"
+    s"""WITH cents AS (SELECT
+       |    (SELECT embedding FROM embeddings WHERE vec_id = 0) AS qe,
+       |    (SELECT embedding FROM embeddings WHERE vec_id = 1) AS ce1,
+       |    (SELECT embedding FROM embeddings WHERE vec_id = 2) AS ce2,
+       |    (SELECT embedding FROM embeddings WHERE vec_id = 3) AS ce3,
+       |    (SELECT embedding FROM embeddings WHERE vec_id = 4) AS ce4),
+       |ct AS (SELECT *,
+       |    $tCols
+       |  FROM cents),
+       |dd AS (SELECT e.vec_id, e.embedding, c.*,
+       |    $dCols
+       |  FROM embeddings e CROSS JOIN ct c WHERE e.vec_id <> 0),
+       |cd AS (SELECT *,
+       |    $codeCols
+       |  FROM dd),
+       |res AS (SELECT vec_id, $adistExpr AS adist, $l2 AS l2 FROM cd)
+       |SELECT vec_id, round(adist, 9) AS adist, round(l2, 9) AS l2_exact
+       |FROM res ORDER BY adist, vec_id LIMIT 10""".stripMargin
+  }
+
   // VP1: vocabulary pruning under token-coverage targets — the tokenizer
   // sizing question "how small a vocab still covers 90/95/99% of the token
   // stream?" (t12 shows the top of the curve; vp1 inverts it). Frequency
@@ -2163,6 +2261,7 @@ object LlmQueries extends graft.core.QueryModule {
     "r1_ann_recall" -> r1,
     "s5_ann_ivf_multiprobe" -> s5,
     "qz1_int8_quant_ann" -> qz1,
+    "pq1_product_quant" -> pq1,
     "t12_vocab_coverage" -> t12,
     "rp1_random_projection" -> rp1,
     "t5_regex_tokens" -> t5,
@@ -2215,6 +2314,7 @@ object LlmQueries extends graft.core.QueryModule {
     "r1_ann_recall" -> r1Sql,
     "s5_ann_ivf_multiprobe" -> s5Sql,
     "qz1_int8_quant_ann" -> qz1Sql,
+    "pq1_product_quant" -> pq1Sql,
     "t12_vocab_coverage" -> t12Sql,
     "rp1_random_projection" -> rp1Sql,
     "t5_regex_tokens" -> t5Sql,

@@ -171,7 +171,9 @@ class PlanAuditSpec extends SparkTestBase {
       "bf1_bloom_membership",      // 1-row filter-size broadcast onto members/probes
       "qsk1_quantile_sketch",      // 3-row quantile-target broadcast onto 32-bucket frames
       "rrf1_hybrid_fusion",        // 1-row query vector + 1-row BM25 corpus stats
-      "vp1_vocab_prune")           // 1-row totals + 3-row coverage targets
+      "vp1_vocab_prune",           // 1-row totals + 3-row coverage targets
+      "cuped1_variance_reduction", // 1-row midpoint + 1-row pooled moments
+      "pq1_product_quant")         // 1-row centroid + distance-table broadcast
     // iterative operators run actions while BUILDING the frame — profile
     // their final stage only (loop internals are audited by their specs)
     val violations = for {
