@@ -56,6 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator escalation (SURVEY §2.9 path c): plans
     // graft.plans.AsOfJoinNode into the streaming-merge AsOfJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // second native-exec family member: keyed band join with band-bounded
+    // buffering (graft.plans.BandJoinNode -> BandJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
   }
 }
 

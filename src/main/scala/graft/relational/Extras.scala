@@ -206,6 +206,41 @@ object Extras extends graft.core.QueryModule {
       |FROM s LEFT JOIN ev e ON e.us > s.us AND e.us <= s.us + 3600000000
       |GROUP BY signup_id ORDER BY signup_id""".stripMargin
 
+  // RJ2: keyed band join on the NATIVE exec — per-user activity in the
+  // hour after each signup via [[graft.plans.BandJoinExec]] (logical node →
+  // strategy → physical two-pointer merge whose buffer is bounded by band
+  // occupancy, not key-group size — the hot-key-safe shape; see
+  // BandJoinPlan.scala). rj1 is the unkeyed bucketized variant; rj2 adds
+  // the user key and exercises the whole-operator ladder. Oracle = DuckDB's
+  // native inequality join (IEJoin) over the same predicate.
+  def rj2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("ts"))
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id", $"ts")
+    val pts = ev.select($"user_id", $"ts",
+      $"event_id".as("pid"), $"event_type".as("ptype"))
+    graft.plans.NativeBandJoin.after(signups, pts, "user_id", "ts",
+        Seq("pid", "ptype"), band = 3600000000L)
+      .groupBy($"signup_id")
+      .agg(count(lit(1)).as("n_band"),
+        countDistinct($"ptype").as("n_types"),
+        min($"pid").as("first_pid"))
+      .orderBy($"signup_id")
+  }
+  val rj2Sql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      |            FROM events),
+      |s AS (SELECT event_id AS signup_id, user_id, us FROM ev
+      |      WHERE event_type = 'signup')
+      |SELECT s.signup_id, COUNT(*) AS n_band,
+      |  CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types,
+      |  MIN(e.event_id) AS first_pid
+      |FROM s JOIN ev e ON e.user_id = s.user_id
+      |  AND e.us > s.us AND e.us <= s.us + 3600000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // OI1: interval×interval overlap join — signup attention windows (1 h)
   // overlapping purchase windows (30 min), via
   // [[graft.operators.RangeJoin.intervalOverlap]] (both sides explode into
@@ -861,6 +896,7 @@ object Extras extends graft.core.QueryModule {
     "q8_market_share" -> q8,
     "q13_cust_distribution" -> q13,
     "rj1_range_join_count" -> rj1,
+    "rj2_band_join_native" -> rj2,
     "oi1_interval_overlap" -> oi1,
     "w8_lead_lag" -> w8,
     "g3_grouping_sets" -> g3,
@@ -888,6 +924,7 @@ object Extras extends graft.core.QueryModule {
     "q8_market_share" -> q8Sql,
     "q13_cust_distribution" -> q13Sql,
     "rj1_range_join_count" -> rj1Sql,
+    "rj2_band_join_native" -> rj2Sql,
     "oi1_interval_overlap" -> oi1Sql,
     "w8_lead_lag" -> w8Sql,
     "g3_grouping_sets" -> g3Sql,
