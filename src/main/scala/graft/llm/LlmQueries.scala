@@ -864,6 +864,126 @@ object LlmQueries extends graft.core.QueryModule {
        |FROM res ORDER BY adist, vec_id LIMIT 10""".stripMargin
   }
 
+  // EMB2: matryoshka truncation audit (Kusupati et al., NeurIPS 2022 —
+  // MRL-style nested embeddings) — retrieval quality when the index stores
+  // only the FIRST 16 of 64 dims (4× memory/bandwidth cut, the standard
+  // cheap tier of a two-stage retriever). Top-10 under prefix-cosine
+  // flagged against the full-dimension exact top-10; both legs are one
+  // scan + bounded TakeOrdered against the 1-row broadcast query. The
+  // 16-dim cosine is the same unrolled left-assoc summation text on both
+  // engines (VectorOps.cosineSql*), so ranking ties break identically.
+  def emb2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"), $"n2".as("qn2"))
+    val base = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+    val full = base
+      .withColumn("cos", VectorOps.dotNative($"embedding", $"qe") /
+        (sqrt($"n2") * sqrt($"qn2")))
+      .orderBy($"cos".desc, $"vec_id").limit(10)
+      .select($"vec_id", lit(true).as("hit"))
+    base
+      .withColumn("cos16", expr(VectorOps.cosineSqlSpark("embedding", "qe", 16)))
+      .orderBy($"cos16".desc, $"vec_id").limit(10)
+      .join(broadcast(full), Seq("vec_id"), "left")
+      .select($"vec_id", round($"cos16", 9).as("cos16"),
+        coalesce($"hit", lit(false)).as("in_full_topk"))
+      .orderBy($"vec_id")
+  }
+  val emb2Sql: String = {
+    val cos64 = VectorOps.cosineSqlDuck("embedding", "qe", 64)
+    val cos16 = VectorOps.cosineSqlDuck("embedding", "qe", 16)
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |base AS (SELECT a.vec_id, a.embedding, q.qe
+       |         FROM embeddings a, q WHERE a.vec_id <> 0),
+       |full64 AS (SELECT vec_id FROM (
+       |    SELECT vec_id, $cos64 AS cos FROM base
+       |    ORDER BY cos DESC, vec_id LIMIT 10) t),
+       |t16 AS (SELECT vec_id, $cos16 AS cos16 FROM base
+       |        ORDER BY cos16 DESC, vec_id LIMIT 10)
+       |SELECT t.vec_id, round(t.cos16, 9) AS cos16,
+       |  (f.vec_id IS NOT NULL) AS in_full_topk
+       |FROM t16 t LEFT JOIN full64 f USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // NDCG1: ranking-quality audit of the LSH route — r1 measures RECALL of
+  // the bucket probe; NDCG@10 additionally weighs WHERE the survivors
+  // land (graded relevance 11−exact_rank, discounted by 1/log2(rank+1)).
+  // The discount is FIXED-POINT: w_k = round(1e9 / log2(k+1)) computed
+  // once and embedded as the same ten integer literals in both engines, so
+  // DCG/IDCG are exact integer sums (the integer-scaled-PageRank
+  // discipline) and the final ratio is the only double. Both lists are
+  // bounded top-10s (TakeOrdered + GlobalRank on 10-row frames); the
+  // audit join is O(k).
+  def ndcg1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wArr = array(NdcgW.map(lit(_)): _*)
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bk", expr(VectorOps.bucketSqlSpark("embedding", 8)))
+      .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), $"bk".as("qbk"), $"n2".as("qn2"))
+    val exactTop = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .withColumn("cos", VectorOps.dotNative($"embedding", $"qe") /
+        (sqrt($"n2") * sqrt($"qn2")))
+      .orderBy($"cos".desc, $"vec_id").limit(10)
+    val exact = graft.operators.GlobalRank
+      .withRowNumber(exactTop, Seq($"cos".desc, $"vec_id"), "er", nTotal = None)
+      .select($"vec_id", (lit(11L) - $"er").as("rel"), $"er")
+    val approxTop = e.filter($"vec_id" =!= 0)
+      .join(broadcast(q), $"bk" === $"qbk")
+      .withColumn("cos", VectorOps.dotNative($"embedding", $"qe") /
+        (sqrt($"n2") * sqrt($"qn2")))
+      .orderBy($"cos".desc, $"vec_id").limit(10)
+    val approx = graft.operators.GlobalRank
+      .withRowNumber(approxTop, Seq($"cos".desc, $"vec_id"), "ar", nTotal = None)
+      .select($"vec_id", $"ar")
+    val d = approx
+      .join(broadcast(exact.select($"vec_id", $"rel")), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_approx"),
+        sum(when($"rel".isNotNull, 1L).otherwise(0L)).as("n_overlap"),
+        sum(coalesce($"rel", lit(0L)) *
+          element_at(wArr, $"ar".cast("int"))).as("dcg_scaled"))
+    val i = exact.agg(
+      sum($"rel" * element_at(wArr, $"er".cast("int"))).as("idcg_scaled"))
+    d.crossJoin(broadcast(i))
+      .select($"n_approx", $"n_overlap", $"dcg_scaled", $"idcg_scaled",
+        round($"dcg_scaled".cast("double") / $"idcg_scaled".cast("double"), 9)
+          .as("ndcg"))
+  }
+  /** Fixed-point NDCG discounts: round(1e9 / log2(k+1)), k = 1..10 —
+    * generated once, embedded identically in the Column tree and the SQL. */
+  private val NdcgW: Seq[Long] =
+    (1 to 10).map(k => math.round(1e9 / (math.log(k + 1.0) / math.log(2.0))))
+  val ndcg1Sql: String = {
+    val cos = VectorOps.cosineSqlDuck("a.embedding", "q.qe", 64)
+    def wCase(r: String) = (1 to 10)
+      .map(k => s"WHEN $k THEN ${NdcgW(k - 1)}").mkString(s"CASE $r ", " ", " END")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${VectorOps.bucketSqlDuck("embedding", 8)} AS bk
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qe, bk AS qbk FROM b WHERE vec_id = 0),
+       |ex AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS er
+       |       FROM (SELECT a.vec_id, $cos AS cos
+       |             FROM embeddings a, q WHERE a.vec_id <> 0) t),
+       |exact AS (SELECT vec_id, 11 - er AS rel, er FROM ex WHERE er <= 10),
+       |ap AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS ar
+       |       FROM (SELECT a.vec_id, $cos AS cos
+       |             FROM b a, q WHERE a.bk = q.qbk AND a.vec_id <> 0) t),
+       |approx AS (SELECT vec_id, ar FROM ap WHERE ar <= 10),
+       |d AS (SELECT COUNT(*) AS n_approx,
+       |        CAST(SUM(CASE WHEN e.rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |        CAST(SUM(COALESCE(e.rel, 0) * (${wCase("a.ar")})) AS BIGINT) AS dcg_scaled
+       |      FROM approx a LEFT JOIN exact e USING (vec_id)),
+       |i AS (SELECT CAST(SUM(rel * (${wCase("er")})) AS BIGINT) AS idcg_scaled
+       |      FROM exact)
+       |SELECT n_approx, n_overlap, dcg_scaled, idcg_scaled,
+       |  round(CAST(dcg_scaled AS DOUBLE) / CAST(idcg_scaled AS DOUBLE), 9) AS ndcg
+       |FROM d, i""".stripMargin
+  }
+
   // VP1: vocabulary pruning under token-coverage targets — the tokenizer
   // sizing question "how small a vocab still covers 90/95/99% of the token
   // stream?" (t12 shows the top of the curve; vp1 inverts it). Frequency
@@ -2262,6 +2382,8 @@ object LlmQueries extends graft.core.QueryModule {
     "s5_ann_ivf_multiprobe" -> s5,
     "qz1_int8_quant_ann" -> qz1,
     "pq1_product_quant" -> pq1,
+    "emb2_matryoshka_recall" -> emb2,
+    "ndcg1_lsh_ranking_quality" -> ndcg1,
     "t12_vocab_coverage" -> t12,
     "rp1_random_projection" -> rp1,
     "t5_regex_tokens" -> t5,
@@ -2315,6 +2437,8 @@ object LlmQueries extends graft.core.QueryModule {
     "s5_ann_ivf_multiprobe" -> s5Sql,
     "qz1_int8_quant_ann" -> qz1Sql,
     "pq1_product_quant" -> pq1Sql,
+    "emb2_matryoshka_recall" -> emb2Sql,
+    "ndcg1_lsh_ranking_quality" -> ndcg1Sql,
     "t12_vocab_coverage" -> t12Sql,
     "rp1_random_projection" -> rp1Sql,
     "t5_regex_tokens" -> t5Sql,

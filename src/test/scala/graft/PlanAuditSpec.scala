@@ -173,7 +173,9 @@ class PlanAuditSpec extends SparkTestBase {
       "rrf1_hybrid_fusion",        // 1-row query vector + 1-row BM25 corpus stats
       "vp1_vocab_prune",           // 1-row totals + 3-row coverage targets
       "cuped1_variance_reduction", // 1-row midpoint + 1-row pooled moments
-      "pq1_product_quant")         // 1-row centroid + distance-table broadcast
+      "pq1_product_quant",         // 1-row centroid + distance-table broadcast
+      "emb2_matryoshka_recall",    // 1-row query vector, both legs
+      "ndcg1_lsh_ranking_quality") // 1-row query vector + 1-row IDCG scalar
     // iterative operators run actions while BUILDING the frame — profile
     // their final stage only (loop internals are audited by their specs)
     val violations = for {
