@@ -68,6 +68,14 @@ for name in sorted(oracle):
 
 matched = [(s, d) for _, s, d in rows if d is not None]
 ts, td = sum(s for s, _ in matched), sum(d for _, d in matched)
+# The aggregate ratio over 200+ queries is dominated by Spark's fixed
+# per-query job floor (~0.2-0.5s of scheduling/codegen per tiny query at
+# local[32]) against DuckDB's ~ms embedded floor — a constant that
+# VANISHES at scale (SCALING.md: slopes ≤~1 into sf1). Report the
+# work-bound subset (oracle itself ≥ 0.5s) alongside, where engine
+# efficiency rather than the floor is what's measured.
+heavy = [(s, d) for _, s, d in rows if d is not None and d >= 0.5]
+th, dh = sum(s for s, _ in heavy), sum(d for _, d in heavy)
 
 lines = [
     "# ORACLE_BENCH — Spark (local[32]) vs DuckDB, same parquet, sf0.1\n",
@@ -76,6 +84,15 @@ lines = [
     f"Capped queries (> {cap:.0f}s in DuckDB) are excluded from BOTH totals.\n",
     f"**Matched total ({len(matched)} queries): Spark {ts:.1f}s vs DuckDB"
     f" {td:.1f}s — ratio {ts / td:.2f}x**\n",
+    f"**Work-bound subset (DuckDB ≥ 0.5s, {len(heavy)} queries): Spark"
+    f" {th:.1f}s vs DuckDB {dh:.1f}s — ratio {th / dh:.2f}x**" if heavy else "",
+    "",
+    "The full-inventory ratio carries Spark's fixed per-query job floor",
+    "(~0.2–0.5 s scheduling + codegen at local[32]) multiplied by 200+",
+    "sub-second queries — a CONSTANT per query, not a slope; SCALING.md's",
+    "sf1 decade shows per-query growth ≤~1.1x per 10x data while the",
+    "floor stays flat. The work-bound subset compares the engines where",
+    "the oracle itself does real work.\n",
     "| query | spark s | duckdb s | spark/duck |",
     "|---|---|---|---|",
 ]

@@ -435,6 +435,36 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  ROUND(CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
       |FROM c JOIN t ON c.src = t.src ORDER BY c.src, c.dst""".stripMargin
 
+  // DP1: thresholded noisy histogram release — the standard privacy
+  // release mechanism shape (k-suppression + additive cell noise) over the
+  // (event_type, day) histogram: cells under 25 contributors are DROPPED,
+  // surviving counts are perturbed by a deterministic md5-derived integer
+  // in [-3, 3] (a stand-in for the Laplace draw — the pipeline shape is
+  // the point; a real deployment swaps the noise source). One hash
+  // aggregate over the fact table; noise derives from the CELL KEY so the
+  // release is reproducible and cross-engine exact. Complements ka1's
+  // k-anonymity audit with the release step itself.
+  def dp1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= 25L)
+      .withColumn("noise",
+        (conv(substring(md5(concat($"event_type", lit("|"), $"day")), 1, 14),
+          16, 10).cast("long") % 7L) - 3L)
+      .select($"event_type", $"day", ($"c" + $"noise").as("released"))
+      .orderBy($"event_type", $"day")
+  }
+  val dp1Sql: String =
+    """WITH h AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day,
+      |  c + (CAST(concat('0x', substring(md5(event_type || '|' || day), 1, 14))
+      |         AS BIGINT) % 7 - 3) AS released
+      |FROM h WHERE c >= 25 ORDER BY event_type, day""".stripMargin
+
   // CUPED1: variance-reduced experiment readout (Deng et al., WSDM 2013) —
   // the industry-standard upgrade to ab1's raw z-test: regress the
   // experiment-period metric on the pre-period covariate and compare
@@ -2520,6 +2550,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "blb1_little_bootstraps" -> blb1,
     "mw1_mann_whitney" -> mw1,
     "cuped1_variance_reduction" -> cuped1,
+    "dp1_noisy_release" -> dp1,
     "at1_attribution" -> at1,
     "au1_rolling_active_users" -> au1,
     "au2_rolling_sketch_mau" -> au2,
@@ -2588,6 +2619,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "blb1_little_bootstraps" -> blb1Sql,
     "mw1_mann_whitney" -> mw1Sql,
     "cuped1_variance_reduction" -> cuped1Sql,
+    "dp1_noisy_release" -> dp1Sql,
     "at1_attribution" -> at1Sql,
     "au1_rolling_active_users" -> au1Sql,
     "au2_rolling_sketch_mau" -> au2Sql,

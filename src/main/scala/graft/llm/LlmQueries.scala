@@ -864,6 +864,47 @@ object LlmQueries extends graft.core.QueryModule {
        |FROM res ORDER BY adist, vec_id LIMIT 10""".stripMargin
   }
 
+  // BP1: corpus-level boilerplate mining — the 3-gram shingles present in
+  // the most DOCUMENTS (headers, footers, licence lines — the strings a
+  // curation pipeline blacklists before dedup, since boilerplate inflates
+  // every pairwise similarity). Complements ds1 (within-pair spans) and
+  // d4 (pairwise Jaccard): this is the corpus-wide table. Reuses the
+  // memoized distinct shingle substrate, one groupBy + bounded top-20;
+  // doc-share denominator is a 1-row broadcast.
+  def bp1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs_total"))
+    docShingles(s, dir)
+      .groupBy($"sh").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"n_docs".desc, $"sh").limit(20)
+      .crossJoin(broadcast(nd))
+      .select($"sh", $"n_docs", $"n_docs_total",
+        round($"n_docs".cast("double") / $"n_docs_total".cast("double"), 9)
+          .as("doc_share"))
+      .orderBy($"n_docs".desc, $"sh")
+  }
+  val bp1Sql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |pt AS (
+      |  SELECT doc_id, s.pos AS pos, s.tok AS tok
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(toks, (x, i) -> struct_pack(pos := i, tok := x))) AS s
+      |        FROM dt) t),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |         SELECT doc_id,
+      |           tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w AS sh,
+      |           lead(tok, 2) OVER w AS t2
+      |         FROM pt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) q
+      |       WHERE t2 IS NOT NULL),
+      |top AS (SELECT sh, COUNT(*) AS n_docs FROM sh GROUP BY 1
+      |        ORDER BY n_docs DESC, sh LIMIT 20),
+      |nd AS (SELECT COUNT(*) AS n_docs_total FROM documents)
+      |SELECT sh, n_docs, n_docs_total,
+      |  round(CAST(n_docs AS DOUBLE) / CAST(n_docs_total AS DOUBLE), 9) AS doc_share
+      |FROM top, nd ORDER BY n_docs DESC, sh""".stripMargin
+
   // EMB2: matryoshka truncation audit (Kusupati et al., NeurIPS 2022 —
   // MRL-style nested embeddings) — retrieval quality when the index stores
   // only the FIRST 16 of 64 dims (4× memory/bandwidth cut, the standard
@@ -2384,6 +2425,7 @@ object LlmQueries extends graft.core.QueryModule {
     "pq1_product_quant" -> pq1,
     "emb2_matryoshka_recall" -> emb2,
     "ndcg1_lsh_ranking_quality" -> ndcg1,
+    "bp1_boilerplate_ngrams" -> bp1,
     "t12_vocab_coverage" -> t12,
     "rp1_random_projection" -> rp1,
     "t5_regex_tokens" -> t5,
@@ -2439,6 +2481,7 @@ object LlmQueries extends graft.core.QueryModule {
     "pq1_product_quant" -> pq1Sql,
     "emb2_matryoshka_recall" -> emb2Sql,
     "ndcg1_lsh_ranking_quality" -> ndcg1Sql,
+    "bp1_boilerplate_ngrams" -> bp1Sql,
     "t12_vocab_coverage" -> t12Sql,
     "rp1_random_projection" -> rp1Sql,
     "t5_regex_tokens" -> t5Sql,

@@ -785,6 +785,66 @@ object Extras extends graft.core.QueryModule {
       |WHERE damerau_levenshtein(p.key_a, b.key) <= 8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // AMS1: AMS F2 sketch (Alon–Matias–Szegedy, STOC '96) — the second
+  // frequency moment Σ_k c_k², which IS the self-join size of lineitem on
+  // l_partkey and the statistic a distributed optimizer needs to size a
+  // skewed shuffle join before running it. Eight independent ±1-hash
+  // estimators (avalanched, r-salted) are each ONE sum over the scan —
+  // sketch state is 8 longs total, merged associatively — against the
+  // exact F2 from the per-key count aggregate. All-integer signs, sums and
+  // squares (DECIMAL(38,0) for the squares at corpus scale); the relative
+  // error of the estimator mean is the only double.
+  def ams1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_partkey".as("k"))
+    // staged columns: avalanche state h_r first, then the ±1 sign s_r
+    // (expr() references them by name; keeps each codegen expr small)
+    val withH = (0 until 8).foldLeft(li) { (df, r) =>
+      df.withColumn(s"h$r",
+        (($"k" % lit(2147483648L)) * lit(2654435761L) + lit(12345L) +
+          lit(r.toLong) * lit(1442695041L)) % lit(4294967296L))
+    }
+    val withS = (0 until 8).foldLeft(withH) { (df, r) =>
+      df.withColumn(s"s$r",
+        lit(1L) - lit(2L) * expr(s"((h$r ^ shiftright(h$r, 16)) div 128) % 2"))
+    }
+    val sumCols = (0 until 8).map(r => sum(col(s"s$r")).as(s"sum$r"))
+    val sk = withS.agg(sumCols.head, sumCols.tail: _*)
+    val d38 = DecimalType(38, 0)
+    val estCols = (0 until 8).map(r =>
+      (col(s"sum$r").cast(d38) * col(s"sum$r")).cast(d38).as(s"est$r"))
+    val ests = sk.select(estCols: _*)
+    val exact = li.groupBy($"k").agg(count(lit(1)).as("c"))
+      .agg(sum(($"c".cast(d38) * $"c").cast(d38)).cast(d38).as("exact_f2"))
+    val meanEst = (0 until 8).map(r => col(s"est$r").cast("double")).reduce(_ + _) / lit(8.0)
+    ests.crossJoin(broadcast(exact))
+      .select(($"exact_f2" +: (0 until 8).map(r => col(s"est$r"))) :+
+        round((meanEst - $"exact_f2".cast("double")) / $"exact_f2".cast("double"), 9)
+          .as("mean_rel_err"): _*)
+  }
+  val ams1Sql: String = {
+    val hDefs = (0 until 8).map(r =>
+      s"((k % 2147483648) * 2654435761 + 12345 + CAST($r AS BIGINT) * 1442695041) % 4294967296 AS h$r")
+      .mkString(", ")
+    val sDefs = (0 until 8).map(r =>
+      s"1 - 2 * ((xor(h$r, h$r >> 16) // 128) % 2) AS s$r").mkString(", ")
+    val sums = (0 until 8).map(r => s"CAST(SUM(s$r) AS BIGINT) AS sum$r").mkString(", ")
+    val ests = (0 until 8).map(r =>
+      s"CAST(CAST(sum$r AS DECIMAL(38,0)) * sum$r AS DECIMAL(38,0)) AS est$r").mkString(", ")
+    val meanEst = "(" + (0 until 8).map(r => s"CAST(est$r AS DOUBLE)").mkString(" + ") + ") / 8.0"
+    s"""WITH li AS (SELECT l_partkey AS k FROM lineitem),
+       |h AS (SELECT k, $hDefs FROM li),
+       |sg AS (SELECT $sDefs FROM h),
+       |sk AS (SELECT $sums FROM sg),
+       |es AS (SELECT $ests FROM sk),
+       |ex AS (SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS exact_f2
+       |       FROM (SELECT k, COUNT(*) AS c FROM li GROUP BY k) t)
+       |SELECT exact_f2, ${(0 until 8).map(r => s"est$r").mkString(", ")},
+       |  round(($meanEst - CAST(exact_f2 AS DOUBLE)) / CAST(exact_f2 AS DOUBLE), 9)
+       |    AS mean_rel_err
+       |FROM es, ex""".stripMargin
+  }
+
   // SKEW1: key-skew audit on the fact table's join/agg key — the
   // repartition/salting advisor every 100 TB shuffle plan starts from.
   // Two hash aggregations: per-key counts (THE shuffle any groupBy on this
@@ -897,6 +957,7 @@ object Extras extends graft.core.QueryModule {
     "q13_cust_distribution" -> q13,
     "rj1_range_join_count" -> rj1,
     "rj2_band_join_native" -> rj2,
+    "ams1_f2_sketch" -> ams1,
     "oi1_interval_overlap" -> oi1,
     "w8_lead_lag" -> w8,
     "g3_grouping_sets" -> g3,
@@ -925,6 +986,7 @@ object Extras extends graft.core.QueryModule {
     "q13_cust_distribution" -> q13Sql,
     "rj1_range_join_count" -> rj1Sql,
     "rj2_band_join_native" -> rj2Sql,
+    "ams1_f2_sketch" -> ams1Sql,
     "oi1_interval_overlap" -> oi1Sql,
     "w8_lead_lag" -> w8Sql,
     "g3_grouping_sets" -> g3Sql,

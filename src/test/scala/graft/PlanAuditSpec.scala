@@ -175,7 +175,9 @@ class PlanAuditSpec extends SparkTestBase {
       "cuped1_variance_reduction", // 1-row midpoint + 1-row pooled moments
       "pq1_product_quant",         // 1-row centroid + distance-table broadcast
       "emb2_matryoshka_recall",    // 1-row query vector, both legs
-      "ndcg1_lsh_ranking_quality") // 1-row query vector + 1-row IDCG scalar
+      "ndcg1_lsh_ranking_quality", // 1-row query vector + 1-row IDCG scalar
+      "ams1_f2_sketch",            // 1-row sketch estimates × 1-row exact F2
+      "bp1_boilerplate_ngrams")    // 1-row doc-count denominator broadcast
     // iterative operators run actions while BUILDING the frame — profile
     // their final stage only (loop internals are audited by their specs)
     val violations = for {
