@@ -435,6 +435,62 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  ROUND(CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
       |FROM c JOIN t ON c.src = t.src ORDER BY c.src, c.dst""".stripMargin
 
+  // AC1: lag-1 autocorrelation of the daily event series per type — the
+  // persistence diagnostic behind fc1's naive backtest (naive forecasting
+  // is only defensible when r₁ is high; this measures it). The lead()
+  // window runs over the ALREADY-AGGREGATED (type, day) table — bounded by
+  // types×days, never the fact table (mk1's rule) — and the correlation
+  // moments are exact integers in DECIMAL(38,0); Pearson r is one double
+  // expression mirrored verbatim in the oracle.
+  def ac1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val pairs = daily.withColumn("nxt", lead($"c", 1).over(w))
+      .filter($"nxt".isNotNull)
+    val d38 = DecimalType(38, 0)
+    pairs.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"c".cast(d38)).as("sx"), sum($"nxt".cast(d38)).as("sy"),
+        sum(($"c".cast(d38) * $"nxt").cast(d38)).as("sxy"),
+        sum(($"c".cast(d38) * $"c").cast(d38)).as("sxx"),
+        sum(($"nxt".cast(d38) * $"nxt").cast(d38)).as("syy"))
+      .select($"event_type", $"n_pairs",
+        round(($"n_pairs".cast("double") * $"sxy".cast("double") -
+            $"sx".cast("double") * $"sy".cast("double")) /
+          sqrt(($"n_pairs".cast("double") * $"sxx".cast("double") -
+              $"sx".cast("double") * $"sx".cast("double")) *
+            ($"n_pairs".cast("double") * $"syy".cast("double") -
+              $"sy".cast("double") * $"sy".cast("double"))), 9).as("r1"))
+      .orderBy($"event_type")
+  }
+  val ac1Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, c,
+      |    lead(c) OVER (PARTITION BY event_type ORDER BY day) AS nxt
+      |  FROM daily),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |    CAST(SUM(CAST(nxt AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |    CAST(SUM(CAST(c AS DECIMAL(38,0)) * nxt) AS DECIMAL(38,0)) AS sxy,
+      |    CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(SUM(CAST(nxt AS DECIMAL(38,0)) * nxt) AS DECIMAL(38,0)) AS syy
+      |  FROM p WHERE nxt IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_pairs,
+      |  round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |      (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS r1
+      |FROM m ORDER BY event_type""".stripMargin
+
   // DP1: thresholded noisy histogram release — the standard privacy
   // release mechanism shape (k-suppression + additive cell noise) over the
   // (event_type, day) histogram: cells under 25 contributors are DROPPED,
@@ -2551,6 +2607,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "mw1_mann_whitney" -> mw1,
     "cuped1_variance_reduction" -> cuped1,
     "dp1_noisy_release" -> dp1,
+    "ac1_daily_autocorrelation" -> ac1,
     "at1_attribution" -> at1,
     "au1_rolling_active_users" -> au1,
     "au2_rolling_sketch_mau" -> au2,
@@ -2620,6 +2677,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "mw1_mann_whitney" -> mw1Sql,
     "cuped1_variance_reduction" -> cuped1Sql,
     "dp1_noisy_release" -> dp1Sql,
+    "ac1_daily_autocorrelation" -> ac1Sql,
     "at1_attribution" -> at1Sql,
     "au1_rolling_active_users" -> au1Sql,
     "au2_rolling_sketch_mau" -> au2Sql,
