@@ -491,6 +491,62 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS r1
       |FROM m ORDER BY event_type""".stripMargin
 
+  // SAX1: symbolic aggregate approximation (Lin et al., DMKD 2007) — the
+  // time-series indexing primitive: each type's daily-count series is
+  // piecewise-aggregate-approximated into 8 equal segments and each
+  // segment mean discretized against the GLOBAL quartiles into a 4-letter
+  // alphabet, so similar shapes share symbols and a 100 TB series store
+  // can be equijoined on SAX words instead of scanned. All windows run
+  // over the aggregated types×days table (mk1's rule); breakpoints are a
+  // 3-value broadcast; both paa and breakpoints are rounded to 6 decimals
+  // BEFORE the comparison so the letter boundaries are engine-exact.
+  def sax1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val nW = Window.partitionBy($"event_type")
+    val seg = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nd", count(lit(1)).over(nW))
+      .withColumn("seg", expr("((rn - 1) * 8) div nd"))
+      .groupBy($"event_type", $"seg")
+      .agg(round(sum($"c").cast("double") / count(lit(1)).cast("double"), 6)
+        .as("paa"))
+    val br = seg.agg(
+      round(percentile($"paa", lit(0.25)), 6).as("b1"),
+      round(percentile($"paa", lit(0.5)), 6).as("b2"),
+      round(percentile($"paa", lit(0.75)), 6).as("b3"))
+    seg.crossJoin(broadcast(br))
+      .select($"event_type", $"seg", $"paa",
+        when($"paa" <= $"b1", "a").when($"paa" <= $"b2", "b")
+          .when($"paa" <= $"b3", "c").otherwise("d").as("symbol"))
+      .orderBy($"event_type", $"seg")
+  }
+  val sax1Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, c,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM daily),
+      |seg AS (
+      |  SELECT event_type, ((rn - 1) * 8) // nd AS seg,
+      |    round(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS paa
+      |  FROM r GROUP BY 1, 2),
+      |br AS (
+      |  SELECT round(quantile_cont(paa, 0.25), 6) AS b1,
+      |    round(quantile_cont(paa, 0.5), 6) AS b2,
+      |    round(quantile_cont(paa, 0.75), 6) AS b3
+      |  FROM seg)
+      |SELECT event_type, CAST(seg AS BIGINT) AS seg, paa,
+      |  CASE WHEN paa <= b1 THEN 'a' WHEN paa <= b2 THEN 'b'
+      |       WHEN paa <= b3 THEN 'c' ELSE 'd' END AS symbol
+      |FROM seg, br ORDER BY event_type, seg""".stripMargin
+
   // DP1: thresholded noisy histogram release — the standard privacy
   // release mechanism shape (k-suppression + additive cell noise) over the
   // (event_type, day) histogram: cells under 25 contributors are DROPPED,
@@ -2608,6 +2664,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "cuped1_variance_reduction" -> cuped1,
     "dp1_noisy_release" -> dp1,
     "ac1_daily_autocorrelation" -> ac1,
+    "sax1_series_symbolization" -> sax1,
     "at1_attribution" -> at1,
     "au1_rolling_active_users" -> au1,
     "au2_rolling_sketch_mau" -> au2,
@@ -2678,6 +2735,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "cuped1_variance_reduction" -> cuped1Sql,
     "dp1_noisy_release" -> dp1Sql,
     "ac1_daily_autocorrelation" -> ac1Sql,
+    "sax1_series_symbolization" -> sax1Sql,
     "at1_attribution" -> at1Sql,
     "au1_rolling_active_users" -> au1Sql,
     "au2_rolling_sketch_mau" -> au2Sql,
