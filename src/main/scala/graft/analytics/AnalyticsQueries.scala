@@ -491,6 +491,91 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS r1
       |FROM m ORDER BY event_type""".stripMargin
 
+  // HLL2: sketch ROLL-UP — the mergeability property that makes sketches
+  // the 100 TB answer: per-DAY HLL registers are precomputed once, and any
+  // date range is answered by a register-wise max over the daily sketches
+  // — no rescan of the raw events, state 64 bytes per day. The query
+  // PROVES the property in-band: `merge_equals_direct` compares the
+  // harmonic sum of the day-merged registers against a sketch computed
+  // directly on the full range (bit-equal by construction — max is
+  // associative), alongside the estimate vs the exact distinct. Hash
+  // chain identical to hll1's avalanche (see there for why a lone LCG
+  // biases the leading-zero statistic).
+  def hll2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"user_id")
+    val hashed = ev
+      .withColumn("h0", ($"user_id" * lit(2654435761L) + lit(12345L)) % lit(4294967296L))
+      .withColumn("h1", expr("h0 ^ shiftright(h0, 16)"))
+      .withColumn("h2", ($"h1" * lit(49632381L)) % lit(4294967296L))
+      .withColumn("h3", expr("h2 ^ shiftright(h2, 13)"))
+      .withColumn("h4", ($"h3" * lit(179424673L)) % lit(4294967296L))
+      .withColumn("h", expr("(h4 ^ shiftright(h4, 16)) % 16777216"))
+      .withColumn("reg", $"h" % 64)
+      .withColumn("w", expr("h div 64"))
+    var rho: org.apache.spark.sql.Column = when($"w" >= lit(1L << 17), 1)
+    for (k <- 2 to 18) rho = rho.when($"w" >= lit(1L << (18 - k)), k)
+    val withRho = hashed.withColumn("rho", rho.otherwise(19))
+    val daily = withRho.groupBy($"day", $"reg").agg(max($"rho").as("m"))
+    val merged = daily.groupBy($"reg").agg(max($"m").as("m"))
+    val direct = withRho.groupBy($"reg").agg(max($"rho").as("m"))
+    def ssum(regs: DataFrame, out: String) = regs.agg(
+        count(lit(1)).as("nreg"),
+        sum(expr("shiftleft(cast(1 as bigint), 19 - m)")).as("s_ne"))
+      .select((lit(64L) - $"nreg").as(s"ve_$out"),
+        ($"s_ne" + (lit(64L) - $"nreg") * lit(524288L)).as(s"s_$out"))
+    val nd = ev.agg(countDistinct($"day").as("n_days"),
+      countDistinct($"user_id").as("n_exact"))
+    ssum(merged, "merged").crossJoin(broadcast(ssum(direct, "direct")))
+      .crossJoin(broadcast(nd))
+      .withColumn("est_raw",
+        lit(0.709) * lit(4096.0) * lit(524288.0) / $"s_merged")
+      .withColumn("used_linear", $"est_raw" <= 160.0 && $"ve_merged" > 0)
+      .withColumn("est0", when($"used_linear",
+        lit(64.0) * log(lit(64.0) / $"ve_merged")).otherwise($"est_raw"))
+      .select($"n_days", $"n_exact", $"ve_merged".as("v_empty"),
+        $"s_merged".as("s_sum_merged"), $"s_direct".as("s_sum_direct"),
+        ($"s_merged" === $"s_direct").as("merge_equals_direct"),
+        round($"est0", 6).as("est"),
+        (abs($"est0" - $"n_exact") / $"n_exact" <= 0.3).as("within_tolerance"))
+  }
+  val hll2Sql: String = {
+    val ladder = (1 to 18)
+      .map(k => s"WHEN w >= ${1L << (18 - k)} THEN $k").mkString(" ")
+    s"""WITH ev AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+       |e0 AS (SELECT day, user_id,
+       |         (user_id * 2654435761 + 12345) % 4294967296 AS h0 FROM ev),
+       |e1 AS (SELECT day, user_id, xor(h0, h0 >> 16) AS h1 FROM e0),
+       |e2 AS (SELECT day, user_id, (h1 * 49632381) % 4294967296 AS h2 FROM e1),
+       |e3 AS (SELECT day, user_id, xor(h2, h2 >> 13) AS h3 FROM e2),
+       |e4 AS (SELECT day, user_id, (h3 * 179424673) % 4294967296 AS h4 FROM e3),
+       |eh AS (SELECT day, user_id, xor(h4, h4 >> 16) % 16777216 AS h FROM e4),
+       |er AS (SELECT day, h % 64 AS reg, h // 64 AS w FROM eh),
+       |rr AS (SELECT day, reg, CASE $ladder ELSE 19 END AS rho FROM er),
+       |daily AS (SELECT day, reg, MAX(rho) AS m FROM rr GROUP BY 1, 2),
+       |merged AS (SELECT reg, MAX(m) AS m FROM daily GROUP BY 1),
+       |direct AS (SELECT reg, MAX(rho) AS m FROM rr GROUP BY 1),
+       |sm AS (SELECT CAST(64 - COUNT(*) AS BIGINT) AS ve_merged,
+       |         CAST(SUM(1::BIGINT << (19 - m)) + (64 - COUNT(*)) * 524288 AS BIGINT) AS s_merged
+       |       FROM merged),
+       |sd AS (SELECT CAST(SUM(1::BIGINT << (19 - m)) + (64 - COUNT(*)) * 524288 AS BIGINT) AS s_direct
+       |       FROM direct),
+       |nd AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+       |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM ev),
+       |j AS (SELECT *, 0.709 * 4096.0 * 524288.0 / s_merged AS est_raw,
+       |        (0.709 * 4096.0 * 524288.0 / s_merged <= 160.0 AND ve_merged > 0) AS used_linear
+       |      FROM sm, sd, nd)
+       |SELECT n_days, n_exact, ve_merged AS v_empty,
+       |  s_merged AS s_sum_merged, s_direct AS s_sum_direct,
+       |  (s_merged = s_direct) AS merge_equals_direct,
+       |  round(CASE WHEN used_linear THEN 64.0 * ln(64.0 / ve_merged)
+       |        ELSE est_raw END, 6) AS est,
+       |  (abs(CASE WHEN used_linear THEN 64.0 * ln(64.0 / ve_merged)
+       |        ELSE est_raw END - n_exact) / n_exact <= 0.3) AS within_tolerance
+       |FROM j""".stripMargin
+  }
+
   // SAX1: symbolic aggregate approximation (Lin et al., DMKD 2007) — the
   // time-series indexing primitive: each type's daily-count series is
   // piecewise-aggregate-approximated into 8 equal segments and each
@@ -2665,6 +2750,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "dp1_noisy_release" -> dp1,
     "ac1_daily_autocorrelation" -> ac1,
     "sax1_series_symbolization" -> sax1,
+    "hll2_sketch_rollup" -> hll2,
     "at1_attribution" -> at1,
     "au1_rolling_active_users" -> au1,
     "au2_rolling_sketch_mau" -> au2,
@@ -2736,6 +2822,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "dp1_noisy_release" -> dp1Sql,
     "ac1_daily_autocorrelation" -> ac1Sql,
     "sax1_series_symbolization" -> sax1Sql,
+    "hll2_sketch_rollup" -> hll2Sql,
     "at1_attribution" -> at1Sql,
     "au1_rolling_active_users" -> au1Sql,
     "au2_rolling_sketch_mau" -> au2Sql,

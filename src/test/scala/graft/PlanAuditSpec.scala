@@ -178,7 +178,8 @@ class PlanAuditSpec extends SparkTestBase {
       "ndcg1_lsh_ranking_quality", // 1-row query vector + 1-row IDCG scalar
       "ams1_f2_sketch",            // 1-row sketch estimates × 1-row exact F2
       "bp1_boilerplate_ngrams",    // 1-row doc-count denominator broadcast
-      "sax1_series_symbolization") // 1-row quartile-breakpoint broadcast
+      "sax1_series_symbolization", // 1-row quartile-breakpoint broadcast
+      "hll2_sketch_rollup")        // three 1-row sketch/exact scalars combined
     // iterative operators run actions while BUILDING the frame — profile
     // their final stage only (loop internals are audited by their specs)
     val violations = for {
