@@ -770,9 +770,12 @@ object AnalyticsQueries extends graft.core.QueryModule {
         sum($"na".cast(DecimalType(38, 0)) *
           (lit(2L) * ($"cumb" - $"nb") + $"nb")).cast(DecimalType(38, 0))
           .as("u2_a"))
-      .select($"n_a", $"n_b", $"u2_a",
+      // BIGINT readout: 2·U ≤ 2·n_a·n_b (~2e6 at sf0.1, ~2e8 at sf1) —
+      // decades of long headroom, and BIGINT hash-matches across engines
+      // where DECIMAL(38,0) reads back as float64 in DuckDB's client
+      .select($"n_a", $"n_b", $"u2_a".cast("long").as("u2_a"),
         (lit(2L) * $"n_a".cast(DecimalType(38, 0)) * $"n_b" - $"u2_a")
-          .cast(DecimalType(38, 0)).as("u2_b"),
+          .cast("long").as("u2_b"),
         round(($"u2_a".cast("double") -
             $"n_a".cast("double") * $"n_b".cast("double")) /
           (lit(2.0) * sqrt($"n_a".cast("double") * $"n_b".cast("double") *
@@ -794,8 +797,8 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |t AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b,
       |        CAST(SUM(CAST(na AS DECIMAL(38,0)) * (2 * (cumb - nb) + nb)) AS DECIMAL(38,0)) AS u2_a
       |      FROM c)
-      |SELECT n_a, n_b, u2_a,
-      |  CAST(2 * CAST(n_a AS DECIMAL(38,0)) * n_b - u2_a AS DECIMAL(38,0)) AS u2_b,
+      |SELECT n_a, n_b, CAST(u2_a AS BIGINT) AS u2_a,
+      |  CAST(2 * CAST(n_a AS DECIMAL(38,0)) * n_b - u2_a AS BIGINT) AS u2_b,
       |  round((CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
       |    (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
       |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) / 12.0)), 9) AS z

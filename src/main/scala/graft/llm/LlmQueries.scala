@@ -390,9 +390,18 @@ object LlmQueries extends graft.core.QueryModule {
       .orderBy($"cluster_id")
   }
   /** Shared SQL for the chunked-simhash pair table (d6 + the c1/c2
-    * closure): mirrors [[TextOps.simhashChunks]] + [[simhashPairs0]]
-    * mixer-for-mixer so DuckDB reproduces the Spark pairs bit-exactly. */
-  private def chunkPairCtes: String = {
+    * closure): mirrors [[TextOps.simhashChunks]] mixer-for-mixer so DuckDB
+    * reproduces the Spark hashes bit-exactly. Two candidate generators:
+    * `naive = true` enumerates ALL ordered doc pairs and filters by
+    * hamming — the independent oracle d6 is checked against, so a hash
+    * match PROVES the banded join's candidate set is complete (pigeonhole:
+    * ≤3 differing bits over 4 chunks leaves one chunk equal, so banding
+    * loses nothing). `naive = false` mirrors the band joins — used by the
+    * c1/c2 recursive-closure oracles where the pair table (already proven
+    * equal by d6) feeds a much heavier recursive CTE. */
+  private def chunkPairCtes: String = chunkPairCtes0(naive = false)
+  private def chunkPairCtesNaive: String = chunkPairCtes0(naive = true)
+  private def chunkPairCtes0(naive: Boolean): String = {
     val sums = graft.text.TextOps.ChunkParams.zipWithIndex.flatMap { case ((a, b), c) =>
       (0 until 16).map(j =>
         s"CAST(SUM(((((tid*$a+$b) % ${graft.text.TextOps.ChunkPrime}) >> $j) & 1)*2-1) AS BIGINT) AS s${c}_$j")
@@ -401,11 +410,16 @@ object LlmQueries extends graft.core.QueryModule {
       (0 until 16).map(j => s"(CASE WHEN s${c}_$j > 0 THEN ${1L << j} ELSE 0 END)")
         .mkString("CAST(", " + ", s" AS BIGINT) AS sh$c")
     }.mkString(", ")
-    val bandJoins = graft.text.TextOps.ChunkParams.indices.map { c =>
-      s"""  SELECT a.doc_id AS da, b2.doc_id AS db,
-         |    ${graft.text.TextOps.ChunkParams.indices.map(k => s"a.sh$k AS sh${k}a, b2.sh$k AS sh${k}b").mkString(", ")}
-         |  FROM sh a JOIN sh b2 ON a.sh$c = b2.sh$c AND a.doc_id < b2.doc_id""".stripMargin
-    }.mkString("\n  UNION\n")
+    val shCols = graft.text.TextOps.ChunkParams.indices
+      .map(k => s"a.sh$k AS sh${k}a, b2.sh$k AS sh${k}b").mkString(", ")
+    val bandJoins =
+      if (naive)
+        s"""  SELECT a.doc_id AS da, b2.doc_id AS db, $shCols
+           |  FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id""".stripMargin
+      else graft.text.TextOps.ChunkParams.indices.map { c =>
+        s"""  SELECT a.doc_id AS da, b2.doc_id AS db, $shCols
+           |  FROM sh a JOIN sh b2 ON a.sh$c = b2.sh$c AND a.doc_id < b2.doc_id""".stripMargin
+      }.mkString("\n  UNION\n")
     val ham = graft.text.TextOps.ChunkParams.indices
       .map(c => s"bit_count(xor(sh${c}a, sh${c}b))").mkString(" + ")
     s"""dids AS (SELECT DISTINCT doc_id, tid FROM ids),
@@ -420,7 +434,7 @@ object LlmQueries extends graft.core.QueryModule {
 
   val d6Sql: String =
     s"""$duckTokCtes,
-       |$chunkPairCtes
+       |$chunkPairCtesNaive
        |SELECT da, db, hamming FROM pairs
        |ORDER BY da, db""".stripMargin
 

@@ -817,8 +817,13 @@ object Extras extends graft.core.QueryModule {
     val exact = li.groupBy($"k").agg(count(lit(1)).as("c"))
       .agg(sum(($"c".cast(d38) * $"c").cast(d38)).cast(d38).as("exact_f2"))
     val meanEst = (0 until 8).map(r => col(s"est$r").cast("double")).reduce(_ + _) / lit(8.0)
+    // readout in BIGINT: the DECIMAL(38,0) internals guard the multiply,
+    // but the emitted values fit a long with decades of headroom and
+    // BIGINT round-trips identically through every client (DuckDB reads
+    // DECIMAL(38,0) back as float64, which breaks value-hash parity)
     ests.crossJoin(broadcast(exact))
-      .select(($"exact_f2" +: (0 until 8).map(r => col(s"est$r"))) :+
+      .select(($"exact_f2".cast("long").as("exact_f2") +:
+        (0 until 8).map(r => col(s"est$r").cast("long").as(s"est$r"))) :+
         round((meanEst - $"exact_f2".cast("double")) / $"exact_f2".cast("double"), 9)
           .as("mean_rel_err"): _*)
   }
@@ -839,7 +844,8 @@ object Extras extends graft.core.QueryModule {
        |es AS (SELECT $ests FROM sk),
        |ex AS (SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS exact_f2
        |       FROM (SELECT k, COUNT(*) AS c FROM li GROUP BY k) t)
-       |SELECT exact_f2, ${(0 until 8).map(r => s"est$r").mkString(", ")},
+       |SELECT CAST(exact_f2 AS BIGINT) AS exact_f2,
+       |  ${(0 until 8).map(r => s"CAST(est$r AS BIGINT) AS est$r").mkString(", ")},
        |  round(($meanEst - CAST(exact_f2 AS DOUBLE)) / CAST(exact_f2 AS DOUBLE), 9)
        |    AS mean_rel_err
        |FROM es, ex""".stripMargin

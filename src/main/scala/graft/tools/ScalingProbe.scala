@@ -156,11 +156,13 @@ object ScalingProbe {
         |IDENTICAL timestamps, so oi1's overlap-pair OUTPUT grows ×k² by
         |construction (measured: 847,198 pairs at sf0.1 → 84,719,800 at
         |sf1) — a slope near 1 there means per-pair cost FELL; density
-        |growth is inherent to overlap-join semantics, not the plan. d6's
-        |slope is LSH band saturation: fixed-width bands (two 8-bit
-        |bands → 256 buckets each) give a fixed bucket count, so candidate
-        |pairs grow ~n²/buckets once n passes it — the standard recall/cost dial (more/wider
-        |bands), not a join defect. tc1's edge list and wedge count both
+        |growth is inherent to overlap-join semantics, not the plan. d6
+        |bands a 64-bit simhash as four 16-bit chunks (65,536 buckets per
+        |band — exact for hamming ≤ 3 by pigeonhole, and proven complete by
+        |the naive all-pairs DuckDB oracle): random band collisions cost
+        |~n²/65,536 per band, so saturation starts near 65k docs per chunk
+        |value rather than the 256-bucket knee the round-5 two-8-bit-band
+        |code measured (slope 1.13 then). tc1's edge list and wedge count both
         |grow exactly ×10 (measured in DuckDB), so its row measures join
         |strategy, not algorithmic blowup — beyond broadcast size the
         |operator now forces SHUFFLE_HASH probes so the ~80·|E| wedge
