@@ -11,7 +11,7 @@ object Bench {
     // once (one cheap query per table family) so per-query numbers measure
     // the engine, not first-call classloading or cold parquet reads.
     Seq("q1_pricing_summary", // lineitem
-        "q13_cust_distribution", // orders + customer
+        "q13_customer_distribution", // orders + customer
         "q5_local_supplier", // supplier + nation + region
         "q19_disjunctive_revenue", // part
         "t3_token_stats", // documents

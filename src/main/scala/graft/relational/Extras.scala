@@ -144,26 +144,9 @@ object Extras extends graft.core.QueryModule {
        |GROUP BY 1 ORDER BY o_year""".stripMargin
   }
 
-  // Q13: customer order-count distribution — left outer join keeps
-  // zero-order customers; COUNT(col) skips the nulls.
-  def q13(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ord = Tables.orders(s, dir).filter($"o_orderpriority" =!= "1-URGENT")
-    val perCust = Tables.customer(s, dir)
-      .join(ord, $"c_custkey" === $"o_custkey", "left_outer")
-      .groupBy($"c_custkey")
-      .agg(count($"o_orderkey").as("c_count"))
-    perCust.groupBy($"c_count").agg(count(lit(1)).as("custdist"))
-      .orderBy($"custdist".desc, $"c_count".desc)
-  }
-  val q13Sql: String =
-    """WITH c_orders AS (
-      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
-      |  FROM customer LEFT OUTER JOIN orders
-      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-      |  GROUP BY c_custkey)
-      |SELECT c_count, COUNT(*) AS custdist FROM c_orders
-      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+  // Q13 lives in Tpch2 (q13_customer_distribution) — the variant that
+  // pushes the aggregate below the outer join; the legacy duplicate that
+  // sat here was retired (same query family registered twice).
 
   // G2: pivot — revenue matrix returnflag x linestatus (dynamic columns
   // via groupBy().pivot(); oracle mirrors with conditional aggregation).
@@ -960,7 +943,6 @@ object Extras extends graft.core.QueryModule {
     "g4_cube" -> g4,
     "a2_global_tspan" -> a2,
     "q8_market_share" -> q8,
-    "q13_cust_distribution" -> q13,
     "rj1_range_join_count" -> rj1,
     "rj2_band_join_native" -> rj2,
     "ams1_f2_sketch" -> ams1,
@@ -989,7 +971,6 @@ object Extras extends graft.core.QueryModule {
     "g4_cube" -> g4Sql,
     "a2_global_tspan" -> a2Sql,
     "q8_market_share" -> q8Sql,
-    "q13_cust_distribution" -> q13Sql,
     "rj1_range_join_count" -> rj1Sql,
     "rj2_band_join_native" -> rj2Sql,
     "ams1_f2_sketch" -> ams1Sql,

@@ -82,10 +82,21 @@ object ScaleData {
       "l_partkey"  -> off(partS)(i)(col("l_partkey")),
       "l_suppkey"  -> off(suppS)(i)(col("l_suppkey")))))
     // raw load: keep the file's own ts encoding; Tables.events would add
-    // derived columns that don't belong in the fixture
-    write("events", replicate(Tables.load(spark, src, "events"), k)(i => Map(
+    // derived columns that don't belong in the fixture.
+    // Replica timestamps shift by i whole periods (span + 2-day buffer,
+    // day-aligned): identical replica timestamps would otherwise
+    // manufacture ×k² interval-overlap output (round-5 slope table needed
+    // a prose apology for oi1). Day alignment preserves hour-of-day
+    // distributions; disjoint periods model "k× longer retention at the
+    // same traffic rate" — constant density, the scale model under which
+    // a plan slope is attributable to the plan.
+    val rawEv = Tables.load(spark, src, "events")
+    val periodDays = rawEv
+      .agg(datediff(max(col("ts")), min(col("ts")))).head().getInt(0) + 2
+    write("events", replicate(rawEv, k)(i => Map(
       "event_id" -> off(evS)(i)(col("event_id")),
-      "user_id"  -> off(userS)(i)(col("user_id")))))
+      "user_id"  -> off(userS)(i)(col("user_id")),
+      "ts"       -> expr(s"timestampadd(DAY, ${i * periodDays}, ts)"))))
     write("documents", replicate(Tables.documents(spark, src), k)(i => Map(
       "doc_id" -> off(docS)(i)(col("doc_id")),
       "text"   -> translate(col("text"), alpha + alpha.toUpperCase,

@@ -152,11 +152,11 @@ object ScalingProbe {
       decade.foreach { case (n, _, _, sl) =>
         println(f"[scaling-sf1] $n%-24s slope $sl%.2f") }
       sb ++= """
-        |Reading the superlinear rows: ScaleData replicates events with
-        |IDENTICAL timestamps, so oi1's overlap-pair OUTPUT grows ×k² by
-        |construction (measured: 847,198 pairs at sf0.1 → 84,719,800 at
-        |sf1) — a slope near 1 there means per-pair cost FELL; density
-        |growth is inherent to overlap-join semantics, not the plan. d6
+        |Reading the table: ScaleData shifts each replica's events by one
+        |whole span period (day-aligned), so event density is CONSTANT
+        |across the decade — overlap-join output grows ×k, not ×k², and
+        |every slope above is attributable to the plan, not to synthetic
+        |timestamp pile-up. d6
         |bands a 64-bit simhash as four 16-bit chunks (65,536 buckets per
         |band — exact for hamming ≤ 3 by pigeonhole, and proven complete by
         |the naive all-pairs DuckDB oracle): random band collisions cost

@@ -196,6 +196,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(violations.isEmpty, violations.mkString("; "))
   }
 
+  test("no registered query's plan carries a CodegenFallback expression") {
+    // The test log shows SafeProjection "falling back to interpreter mode"
+    // warnings from specs that deliberately exercise interpreted parity
+    // (SchemaDrift/extension suites). This sweep pins the PRODUCTION
+    // surface: every registered query's physical plan must keep all its
+    // expressions codegen-capable — an interpreted expression in a hot
+    // loop silently costs a JIT-compiled inner loop at 100 TB.
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val bad = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if name != "c1_dedup_clusters" && name != "c2_dedup_droplist"
+      node <- fn(spark, dir).queryExecution.executedPlan
+      expr <- node.expressions
+      ce <- expr.collect { case e: CodegenFallback => e.getClass.getSimpleName }
+    } yield s"$name: $ce"
+    assert(bad.isEmpty, bad.distinct.mkString("; "))
+  }
+
   test("wsm1/sm2: per-group sampling is a mergeable aggregate, not a rank window") {
     // the round-3 weak rows: lang has ~5 values, (lang, source) ≤ ~25 —
     // a row_number window partitioned by them funnels the corpus into a
