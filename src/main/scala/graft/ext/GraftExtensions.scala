@@ -59,6 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // second native-exec family member: keyed band join with band-bounded
     // buffering (graft.plans.BandJoinNode -> BandJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
+    // third member: interval-overlap sweep join with occupancy-bounded
+    // buffering (graft.plans.IntervalJoinNode -> IntervalJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }
 

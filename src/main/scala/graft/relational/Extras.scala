@@ -261,6 +261,33 @@ object Extras extends graft.core.QueryModule {
       |FROM s JOIN p ON slo < phi AND plo < shi
       |GROUP BY 1 ORDER BY hour""".stripMargin
 
+  // OI2: the same overlap semantics as oi1 via the NATIVE sweep exec
+  // ([[graft.plans.IntervalJoinExec]]): coarse 6 h chunks set parallelism
+  // only (replication ≈ 1 for ≤1 h intervals), and pair enumeration inside
+  // a chunk is one sweep-line pass, O(rows + output) — no bucket-width
+  // candidate fan-out, no claim post-filter. Same DuckDB IEJoin oracle as
+  // oi1 (identical output contract proves the exec against an engine that
+  // plans the inequality join natively).
+  def oi2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("us", unix_micros($"ts"))
+    val su = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"us".as("slo"),
+        ($"us" + 3600000000L).as("shi"))
+    val pu = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"us".as("plo"),
+        ($"us" + 1800000000L).as("phi"))
+    graft.plans.NativeIntervalJoin.overlap(
+        su, $"slo", $"shi", pu, $"plo", $"phi",
+        payload = Seq("purchase_id"), chunkWidth = 21600000000L)
+      .groupBy(expr("(slo div 3600000000) % 24").as("hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"signup_id").as("n_signups"),
+        countDistinct($"purchase_id").as("n_purchases"))
+      .orderBy($"hour")
+  }
+  val oi2Sql: String = oi1Sql
+
   // W8: lead/lag navigation — per-user delta to the previous value and the
   // next event's type.
   def w8(s: SparkSession, dir: String): DataFrame = {
@@ -947,6 +974,7 @@ object Extras extends graft.core.QueryModule {
     "rj2_band_join_native" -> rj2,
     "ams1_f2_sketch" -> ams1,
     "oi1_interval_overlap" -> oi1,
+    "oi2_interval_native" -> oi2,
     "w8_lead_lag" -> w8,
     "g3_grouping_sets" -> g3,
   )
@@ -975,6 +1003,7 @@ object Extras extends graft.core.QueryModule {
     "rj2_band_join_native" -> rj2Sql,
     "ams1_f2_sketch" -> ams1Sql,
     "oi1_interval_overlap" -> oi1Sql,
+    "oi2_interval_native" -> oi2Sql,
     "w8_lead_lag" -> w8Sql,
     "g3_grouping_sets" -> g3Sql,
   )
