@@ -20,6 +20,7 @@ object SparkEntry {
     graft.relational.Extras,
     graft.relational.Temporal,
     graft.relational.GraphQueries,
+    graft.sources.TimOracle,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
