@@ -527,8 +527,9 @@ object AnalyticsQueries extends graft.core.QueryModule {
         ($"s_ne" + (lit(64L) - $"nreg") * lit(524288L)).as(s"s_$out"))
     val nd = ev.agg(countDistinct($"day").as("n_days"),
       countDistinct($"user_id").as("n_exact"))
-    ssum(merged, "merged").crossJoin(broadcast(ssum(direct, "direct")))
-      .crossJoin(broadcast(nd))
+    graft.core.ScalarSub.withScalars(
+        graft.core.ScalarSub.withScalars(ssum(merged, "merged"),
+          ssum(direct, "direct")), nd)
       .withColumn("est_raw",
         lit(0.709) * lit(4096.0) * lit(524288.0) / $"s_merged")
       .withColumn("used_linear", $"est_raw" <= 160.0 && $"ve_merged" > 0)
@@ -603,7 +604,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
       round(percentile($"paa", lit(0.25)), 6).as("b1"),
       round(percentile($"paa", lit(0.5)), 6).as("b2"),
       round(percentile($"paa", lit(0.75)), 6).as("b3"))
-    seg.crossJoin(broadcast(br))
+    graft.core.ScalarSub.withScalars(seg, br)
       .select($"event_type", $"seg", $"paa",
         when($"paa" <= $"b1", "a").when($"paa" <= $"b2", "b")
           .when($"paa" <= $"b3", "c").otherwise("d").as("symbol"))
@@ -679,7 +680,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
         (vdec($"value") * 100).cast("long").as("cents"))
     val mid = ev.agg(min($"ts_us").as("mn"), max($"ts_us").as("mx"))
       .select(($"mn" + expr("(mx - mn) div 2")).as("mid")) // integer midpoint
-    val perUser = ev.crossJoin(broadcast(mid))
+    val perUser = graft.core.ScalarSub.withScalars(ev, mid)
       .groupBy($"user_id")
       .agg(sum(when($"ts_us" < $"mid", $"cents").otherwise(0L)).as("pre"),
         sum(when($"ts_us" >= $"mid", $"cents").otherwise(0L)).as("post"))
@@ -690,10 +691,11 @@ object AnalyticsQueries extends graft.core.QueryModule {
       sum($"pre".cast(d38)).as("sp"), sum($"post".cast(d38)).as("so"),
       sum(($"pre".cast(d38) * $"pre").cast(d38)).as("spp"),
       sum(($"pre".cast(d38) * $"post").cast(d38)).as("spo"))
-    perUser.groupBy($"variant")
-      .agg(count(lit(1)).as("n_users"),
-        sum($"pre".cast(d38)).as("vp"), sum($"post".cast(d38)).as("vo"))
-      .crossJoin(broadcast(mom))
+    graft.core.ScalarSub.withScalars(
+        perUser.groupBy($"variant")
+          .agg(count(lit(1)).as("n_users"),
+            sum($"pre".cast(d38)).as("vp"), sum($"post".cast(d38)).as("vo")),
+        mom)
       .withColumn("theta",
         (($"n".cast("double") * $"spo".cast("double") -
           $"sp".cast("double") * $"so".cast("double")) /
@@ -1152,7 +1154,8 @@ object AnalyticsQueries extends graft.core.QueryModule {
       .otherwise(pri(element_at($"sa", k)))
     val thB = when(size($"sb") < k, lit(Mod))
       .otherwise(pri(element_at($"sb", k)))
-    sa.crossJoin(broadcast(sb)).crossJoin(broadcast(exact))
+    graft.core.ScalarSub.withScalars(
+        graft.core.ScalarSub.withScalars(sa, sb), exact)
       .withColumn("theta", least(thA, thB))
       .withColumn("u", filter(array_union($"sa", $"sb"),
         x => (x * lit(2654435761L)) % lit(Mod) < $"theta"))
@@ -2237,8 +2240,8 @@ object AnalyticsQueries extends graft.core.QueryModule {
     val cm = udaf(new Aggregators.CountMin(CmsD, CmsW))
     val sk = clicks.agg(cm($"user_id").as("sketch"), count(lit(1)).as("n"))
     val exact = clicks.groupBy($"user_id").agg(count(lit(1)).as("true_n"))
-    exact.orderBy($"true_n".desc, $"user_id").limit(20)
-      .crossJoin(broadcast(sk))
+    graft.core.ScalarSub.withScalars(
+        exact.orderBy($"true_n".desc, $"user_id").limit(20), sk)
       .withColumn("est", Aggregators.CountMin.estimate($"sketch", $"user_id", CmsD, CmsW))
       .select($"user_id", $"true_n",
         ($"est" >= $"true_n").as("cms_lower_ok"),
@@ -2568,7 +2571,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     val probes = members.select($"user_id".as("id"), lit(true).as("is_member"))
       .union(members.select(($"user_id" + lit(1000000007L)).as("id"),
         lit(false).as("is_member")))
-    val pw = withBits(probes.crossJoin(broadcast(size)))
+    val pw = withBits(graft.core.ScalarSub.withScalars(probes, size))
     val filterWords = pw.filter($"is_member")
       .groupBy($"word").agg(expr("bit_or(mask)").as("bits"))
     val probed = pw
@@ -2582,7 +2585,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
       sum(when($"is_member" && $"hits" < 3L, 1L).otherwise(0L)).as("false_negatives"),
       sum(when(!$"is_member" && $"hits" === 3L, 1L).otherwise(0L)).as("n_false_pos"),
       sum(when(!$"is_member", 1L).otherwise(0L)).as("n_nonmembers"))
-      .crossJoin(broadcast(size))
+      .transform(graft.core.ScalarSub.withScalars(_, size))
       .select($"m_bits", $"n_members", $"n_probes", $"false_negatives",
         $"n_false_pos",
         round($"n_false_pos".cast("double") / $"n_nonmembers", 9).as("fp_rate"),
@@ -2678,9 +2681,10 @@ object AnalyticsQueries extends graft.core.QueryModule {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts.withColumn("cum", sum($"cnt").over(win))
       .withColumn("cum_prev", $"cum" - $"cnt")
-    val qs = Seq(0.5, 0.9, 0.99).toDF("q")
+    // the three quantile targets as an exploded array literal — a 3-row
+    // toDF side would plan a BroadcastNestedLoopJoin for no reason
     cum.join(broadcast(stats), "event_type")
-      .crossJoin(broadcast(qs))
+      .withColumn("q", explode(array(lit(0.5), lit(0.9), lit(0.99))))
       .withColumn("target", $"q" * $"n")
       .filter($"cum" >= $"target" && $"cum_prev" < $"target")
       .withColumn("est",

@@ -1,0 +1,40 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, struct}
+
+/** Scalar-subquery plumbing for 1-row stats frames (VERDICT r5
+  * directive 9).
+  *
+  * The historical pattern `fact.crossJoin(broadcast(oneRowStats))` is
+  * semantically a scalar broadcast but PLANS as a
+  * BroadcastNestedLoopJoin — indistinguishable, in a plan audit, from an
+  * accidental cartesian, which forced a 43-entry allowlist in the
+  * whole-inventory sweep. Spark 4's `Dataset.scalar()` plans the same
+  * thing as a ScalarSubquery expression instead: the 1-row aggregate runs
+  * once as a subquery stage, its result is inlined as a literal into the
+  * main plan (codegen'd, no join node, no shuffle), and identical
+  * subqueries are deduplicated by ReuseSubquery/MergeScalarSubqueries.
+  * Same execution cost, strictly cleaner plan — and the cartesian sweep
+  * needs no exception for it.
+  */
+object ScalarSub {
+
+  /** The 1-row frame as a single struct-valued scalar subquery Column.
+    * Struct-wrapping keeps it ONE subquery regardless of how many fields
+    * the consumer reads. */
+  def scalarStruct(one: DataFrame): Column =
+    one.select(struct(one.columns.map(col).toIndexedSeq: _*).as("s")).scalar()
+
+  /** Drop-in replacement for `x.crossJoin(broadcast(one))` where `one` is
+    * a 1-row frame: every column of `one` becomes a scalar-subquery field
+    * on `x`, so downstream column references are unchanged.
+    *
+    * Semantics note: if `one` somehow produced ZERO rows the crossJoin
+    * would empty `x` while this yields nulls — every call site is a
+    * global aggregate (always exactly one row), where the two coincide. */
+  def withScalars(x: DataFrame, one: DataFrame): DataFrame = {
+    val s = scalarStruct(one)
+    one.columns.foldLeft(x)((acc, c) => acc.withColumn(c, s.getField(c)))
+  }
+}

@@ -64,13 +64,13 @@ object CorpusQueries extends graft.core.QueryModule {
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"tok").as("tokens"))
     val tot = bySrc.agg(sum($"tokens").as("tot_tokens"))
-    val w = bySrc.crossJoin(broadcast(tot))
+    val w = graft.core.ScalarSub.withScalars(bySrc, tot)
       .withColumn("w", pow($"tokens".cast("double") / $"tot_tokens".cast("double"), 0.7))
     val wsum = w
       .agg(sort_array(collect_list(struct($"source", $"w"))).as("ws"))
       .select(aggregate($"ws", lit(0.0),
         (acc, x) => acc + x("w").cast("double")).as("wsum"))
-    w.crossJoin(broadcast(wsum))
+    graft.core.ScalarSub.withScalars(w, wsum)
       .select($"source", $"n_docs", $"tokens",
         round($"w" / $"wsum", 6).as("mix_weight"))
       .orderBy($"source")
@@ -107,13 +107,13 @@ object CorpusQueries extends graft.core.QueryModule {
       .select($"source", size(TextOps.tokens($"text")).cast("long").as("tok"))
       .groupBy($"source").agg(sum($"tok").as("tokens"))
     val tot = bySrc.agg(sum($"tokens").as("tot_tokens"))
-    val w = bySrc.crossJoin(broadcast(tot))
+    val w = graft.core.ScalarSub.withScalars(bySrc, tot)
       .withColumn("w", pow($"tokens".cast("double") / $"tot_tokens".cast("double"), 0.7))
     val wsum = w
       .agg(sort_array(collect_list(struct($"source", $"w"))).as("ws"))
       .select(aggregate($"ws", lit(0.0),
         (acc, x) => acc + x("w").cast("double")).as("wsum"))
-    val quota = w.crossJoin(broadcast(wsum))
+    val quota = graft.core.ScalarSub.withScalars(w, wsum)
       .select($"source",
         greatest(lit(1L), floor($"w" / $"wsum" * 60.0).cast("long")).as("k"))
     val bk = udaf(new graft.functions.Aggregators.BottomKByStringKey(60))
@@ -204,13 +204,13 @@ object CorpusQueries extends graft.core.QueryModule {
       .select($"source", size(TextOps.tokens($"text")).cast("long").as("tok"))
       .groupBy($"source").agg(sum($"tok").as("tokens"))
     val tot = bySrc.agg(sum($"tokens").as("tot_tokens"))
-    val w = bySrc.crossJoin(broadcast(tot))
+    val w = graft.core.ScalarSub.withScalars(bySrc, tot)
       .withColumn("w", pow($"tokens".cast("double") / $"tot_tokens".cast("double"), 0.7))
     val wsum = w
       .agg(sort_array(collect_list(struct($"source", $"w"))).as("ws"))
       .select(aggregate($"ws", lit(0.0),
         (acc, x) => acc + x("w").cast("double")).as("wsum"))
-    w.crossJoin(broadcast(wsum))
+    graft.core.ScalarSub.withScalars(w, wsum)
       .withColumn("target", $"w" / $"wsum" * (lit(2.0) * $"tot_tokens".cast("double")))
       .withColumn("epochs", $"target" / $"tokens".cast("double"))
       .select($"source", $"tokens",

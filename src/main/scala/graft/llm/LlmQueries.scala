@@ -557,7 +557,7 @@ object LlmQueries extends graft.core.QueryModule {
     val e = Tables.embeddings(s, dir)
       .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"), $"n2".as("qn2"))
-    e.crossJoin(broadcast(q))
+    graft.core.ScalarSub.withScalars(e, q)
       .withColumn("cos", VectorOps.dotNative($"embedding", $"qe") / (sqrt($"n2") * sqrt($"qn2")))
       .select($"vec_id", $"cos")
       .orderBy($"cos".desc, $"vec_id")
@@ -628,7 +628,7 @@ object LlmQueries extends graft.core.QueryModule {
     e.join(cells, "vec_id")
       .join(broadcast(qcell), $"cell" === $"qcell")
       .filter($"vec_id" =!= 0)
-      .crossJoin(broadcast(q))
+      .transform(graft.core.ScalarSub.withScalars(_, q))
       .select($"vec_id", (VectorOps.dotNative($"embedding", $"qe") /
         (sqrt(VectorOps.dotNative($"embedding", $"embedding")) * sqrt($"qn2"))).as("cos"))
       .orderBy($"cos".desc, $"vec_id")
@@ -667,7 +667,7 @@ object LlmQueries extends graft.core.QueryModule {
       .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
     val q = e.filter($"vec_id" === 0)
       .select($"embedding".as("qe"), $"bk".as("qbk"), $"n2".as("qn2"))
-    val scored = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+    val scored = graft.core.ScalarSub.withScalars(e.filter($"vec_id" =!= 0), q)
       .withColumn("cos", VectorOps.dotNative($"embedding", $"qe") /
         (sqrt($"n2") * sqrt($"qn2")))
     val brute = scored.orderBy($"cos".desc, $"vec_id").limit(10).select($"vec_id")
@@ -712,7 +712,7 @@ object LlmQueries extends graft.core.QueryModule {
     // query-side assignment, top-2 cells (k rows through TakeOrdered — not
     // a window: even a 4-row unpartitioned window is a plan shape the
     // audit bans, and limit-after-sort plans as TakeOrderedAndProject)
-    val qcells = cents.crossJoin(broadcast(q))
+    val qcells = graft.core.ScalarSub.withScalars(cents, q)
       .withColumn("ccos", VectorOps.dotNative($"ce", $"qe") /
         (sqrt($"cn2") * sqrt($"qn2")))
       .orderBy($"ccos".desc, $"cid").limit(2)
@@ -720,7 +720,7 @@ object LlmQueries extends graft.core.QueryModule {
     e.join(cells, "vec_id")
       .join(broadcast(qcells), $"cell" === $"qcell")
       .filter($"vec_id" =!= 0)
-      .crossJoin(broadcast(q))
+      .transform(graft.core.ScalarSub.withScalars(_, q))
       .select($"vec_id", (VectorOps.dotNative($"embedding", $"qe") /
         (sqrt(VectorOps.dotNative($"embedding", $"embedding")) * sqrt($"qn2"))).as("cos"))
       .orderBy($"cos".desc, $"vec_id")
@@ -764,7 +764,7 @@ object LlmQueries extends graft.core.QueryModule {
     graft.operators.GlobalRank.withRowNumber(
         cum, Seq($"c".desc, $"tok"), rn = "rk", nTotal = None)
       .filter($"rk" <= 20)
-      .crossJoin(broadcast(tot))
+      .transform(graft.core.ScalarSub.withScalars(_, tot))
       .select($"rk".cast("long").as("rk"), $"tok", $"c",
         round($"cum".cast("double") / $"t".cast("double"), 6).as("cum_frac"))
       .orderBy($"rk")
@@ -891,7 +891,7 @@ object LlmQueries extends graft.core.QueryModule {
     docShingles(s, dir)
       .groupBy($"sh").agg(count(lit(1)).as("n_docs"))
       .orderBy($"n_docs".desc, $"sh").limit(20)
-      .crossJoin(broadcast(nd))
+      .transform(graft.core.ScalarSub.withScalars(_, nd))
       .select($"sh", $"n_docs", $"n_docs_total",
         round($"n_docs".cast("double") / $"n_docs_total".cast("double"), 9)
           .as("doc_share"))
@@ -932,7 +932,7 @@ object LlmQueries extends graft.core.QueryModule {
     val e = Tables.embeddings(s, dir)
       .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"), $"n2".as("qn2"))
-    val base = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+    val base = graft.core.ScalarSub.withScalars(e.filter($"vec_id" =!= 0), q)
     val full = base
       .withColumn("cos", VectorOps.dotNative($"embedding", $"qe") /
         (sqrt($"n2") * sqrt($"qn2")))
@@ -980,7 +980,7 @@ object LlmQueries extends graft.core.QueryModule {
       .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
     val q = e.filter($"vec_id" === 0)
       .select($"embedding".as("qe"), $"bk".as("qbk"), $"n2".as("qn2"))
-    val exactTop = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+    val exactTop = graft.core.ScalarSub.withScalars(e.filter($"vec_id" =!= 0), q)
       .withColumn("cos", VectorOps.dotNative($"embedding", $"qe") /
         (sqrt($"n2") * sqrt($"qn2")))
       .orderBy($"cos".desc, $"vec_id").limit(10)
@@ -1003,7 +1003,7 @@ object LlmQueries extends graft.core.QueryModule {
           element_at(wArr, $"ar".cast("int"))).as("dcg_scaled"))
     val i = exact.agg(
       sum($"rel" * element_at(wArr, $"er".cast("int"))).as("idcg_scaled"))
-    d.crossJoin(broadcast(i))
+    graft.core.ScalarSub.withScalars(d, i)
       .select($"n_approx", $"n_overlap", $"dcg_scaled", $"idcg_scaled",
         round($"dcg_scaled".cast("double") / $"idcg_scaled".cast("double"), 9)
           .as("ndcg"))
@@ -1057,8 +1057,11 @@ object LlmQueries extends graft.core.QueryModule {
       counts, Seq($"c".desc, $"tok"), $"c", out = "cum")
     val rk = graft.operators.GlobalRank.withRowNumber(
       cum, Seq($"c".desc, $"tok"), rn = "rk", nTotal = None)
-    val targets = Seq((9L, 10L), (19L, 20L), (99L, 100L)).toDF("num", "den")
-    rk.crossJoin(broadcast(tot)).crossJoin(broadcast(targets))
+    val targets = array(Seq((9L, 10L), (19L, 20L), (99L, 100L)).map { case (n, d) =>
+      struct(lit(n).as("num"), lit(d).as("den")) }: _*)
+    graft.core.ScalarSub.withScalars(rk, tot)
+      .withColumn("tgt", explode(targets))
+      .select(col("*"), $"tgt.num".as("num"), $"tgt.den".as("den"))
       .filter($"cum" * $"den" >= $"num" * $"t" &&
         ($"cum" - $"c") * $"den" < $"num" * $"t")
       .select(
@@ -1117,13 +1120,13 @@ object LlmQueries extends graft.core.QueryModule {
           |  END)""".stripMargin))
       .select($"vec_id", $"qa")
     val qq = quantized.filter($"vec_id" === 0).select($"qa".as("qb"))
-    val dots = quantized.filter($"vec_id" =!= 0).crossJoin(broadcast(qq))
+    val dots = graft.core.ScalarSub.withScalars(quantized.filter($"vec_id" =!= 0), qq)
       .select($"vec_id", expr(
         """aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)),
           |          CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin).as("qdot"))
     val en = e.withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
     val q = en.filter($"vec_id" === 0).select($"embedding".as("qe"), $"n2".as("qn2"))
-    val brute = en.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+    val brute = graft.core.ScalarSub.withScalars(en.filter($"vec_id" =!= 0), q)
       .withColumn("cos", VectorOps.dotNative($"embedding", $"qe") /
         (sqrt($"n2") * sqrt($"qn2")))
       .orderBy($"cos".desc, $"vec_id").limit(10)
@@ -1195,7 +1198,7 @@ object LlmQueries extends graft.core.QueryModule {
       .withColumn("pj", expr(rpProjSpark("embedding")))
     val q = e.filter($"vec_id" === 0)
       .select($"embedding".as("qe"), $"n2".as("qn2"), $"pj".as("qpj"))
-    e.filter($"vec_id".between(1, 20)).crossJoin(broadcast(q))
+    graft.core.ScalarSub.withScalars(e.filter($"vec_id".between(1, 20)), q)
       .withColumn("orig2", $"n2" + $"qn2" - lit(2.0) * VectorOps.dotNative($"embedding", $"qe"))
       .withColumn("proj2", expr(
         "aggregate(zip_with(pj, qpj, (x, y) -> (x - y) * (x - y)), 0.0D, (a, v) -> a + v)"))
@@ -1400,7 +1403,7 @@ object LlmQueries extends graft.core.QueryModule {
       .agg(count(lit(1)).as("n"), sum($"x").as("s1"), sum($"x" * $"x").as("s2"))
       .agg(sum($"n".cast(dec) * $"s2".cast(dec) - $"s1".cast(dec) * $"s1".cast(dec))
         .cast(dec).as("tr_scaled"))
-    rows.toDF("k", "ok").crossJoin(broadcast(tr))
+    graft.core.ScalarSub.withScalars(rows.toDF("k", "ok"), tr)
       // exact integer emitted as STRING: DuckDB's pandas bridge narrows
       // DECIMAL(38,0) to float64, which would defeat the exactness
       .select($"k", $"tr_scaled".cast("string").as("tr_scaled"), $"ok")
@@ -1612,7 +1615,7 @@ object LlmQueries extends graft.core.QueryModule {
       val idf = log(lit(1.0) + (($"n_docs".cast("double") - dfi) + lit(0.5)) / (dfi + lit(0.5)))
       idf * (tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl".cast("double") / $"avgdl")))
     }
-    perDoc.crossJoin(broadcast(stats))
+    graft.core.ScalarSub.withScalars(perDoc, stats)
       .filter(Bm25Terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
       .select($"doc_id", $"dl",
         Bm25Terms.indices.map(term).reduce(_ + _).as("bm25raw"))
@@ -1749,7 +1752,7 @@ object LlmQueries extends graft.core.QueryModule {
       .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
     val q = e.filter($"vec_id" === 0)
       .select($"embedding".as("qe"), $"n2".as("qn2"))
-    val denseTop = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+    val denseTop = graft.core.ScalarSub.withScalars(e.filter($"vec_id" =!= 0), q)
       .select($"vec_id".as("doc_id"),
         (VectorOps.dotNative($"embedding", $"qe") /
           (sqrt($"n2") * sqrt($"qn2"))).as("cos"))
@@ -1955,7 +1958,8 @@ object LlmQueries extends graft.core.QueryModule {
     // partial-aggregation order would otherwise differ between engines
     // (and between Spark runs). Same discipline as the dot products.
     pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-      .join(broadcast(tokC), "tok").crossJoin(broadcast(tot))
+      .join(broadcast(tokC), "tok")
+      .transform(graft.core.ScalarSub.withScalars(_, tot))
       .withColumn("term", $"c".cast("double") *
         log($"ct".cast("double") / $"total".cast("double")))
       .groupBy($"doc_id")
@@ -2012,7 +2016,8 @@ object LlmQueries extends graft.core.QueryModule {
     bc.filter($"cab" >= 5)
       .join(broadcast(ug.select($"tok".as("w1"), $"cu".as("ca"))), "w1")
       .join(broadcast(ug.select($"tok".as("w2"), $"cu".as("cb"))), "w2")
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+      .transform(graft.core.ScalarSub.withScalars(_, nt))
+      .transform(graft.core.ScalarSub.withScalars(_, nb))
       .select($"w1", $"w2", $"cab",
         round(log($"cab".cast("double") * $"nt".cast("double") * $"nt".cast("double") /
           ($"nb".cast("double") * $"ca".cast("double") * $"cb".cast("double"))), 6)
@@ -2048,7 +2053,7 @@ object LlmQueries extends graft.core.QueryModule {
     bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("c"))
       .join(broadcast(bc), Seq("w1", "w2"))
       .join(broadcast(uc), Seq("w1"))
-      .crossJoin(broadcast(vv))
+      .transform(graft.core.ScalarSub.withScalars(_, vv))
       .withColumn("term", $"c".cast("double") *
         log(($"cb" + 1).cast("double") / ($"cu" + $"v").cast("double")))
       .groupBy($"doc_id")
@@ -2097,7 +2102,8 @@ object LlmQueries extends graft.core.QueryModule {
     // scores — round first, deterministic tok tiebreak second
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"tok")
     pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-      .join(broadcast(dfT), "tok").crossJoin(broadcast(nDocs))
+      .join(broadcast(dfT), "tok")
+      .transform(graft.core.ScalarSub.withScalars(_, nDocs))
       .withColumn("tfidf", round(
         $"c".cast("double") * log($"n_docs".cast("double") / $"dft".cast("double")), 6))
       .withColumn("rk", row_number().over(w).cast("long"))

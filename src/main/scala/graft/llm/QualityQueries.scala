@@ -187,7 +187,7 @@ object QualityQueries extends graft.core.QueryModule {
     val totals = model.agg(sum($"cr").as("dr"), sum($"ct").as("dt"))
     val scored = pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
       .join(broadcast(model), "tok")
-      .crossJoin(broadcast(totals))
+      .transform(graft.core.ScalarSub.withScalars(_, totals))
       .withColumn("term", $"c".cast("double") *
         log(($"ct".cast("double") * $"dr".cast("double")) /
             ($"cr".cast("double") * $"dt".cast("double"))))

@@ -53,7 +53,8 @@ object TriangleCount {
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
     val ecnt = e.agg(count(lit(1)).as("n_edges"))
-    stats.crossJoin(ecnt).crossJoin(tri)
+    graft.core.ScalarSub.withScalars(
+        graft.core.ScalarSub.withScalars(stats, ecnt), tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         // a wedge-free graph (perfect matching) has transitivity 0 by
         // convention — the unguarded division is an ANSI DIVIDE_BY_ZERO

@@ -831,7 +831,7 @@ object Extras extends graft.core.QueryModule {
     // but the emitted values fit a long with decades of headroom and
     // BIGINT round-trips identically through every client (DuckDB reads
     // DECIMAL(38,0) back as float64, which breaks value-hash parity)
-    ests.crossJoin(broadcast(exact))
+    graft.core.ScalarSub.withScalars(ests, exact)
       .select(($"exact_f2".cast("long").as("exact_f2") +:
         (0 until 8).map(r => col(s"est$r").cast("long").as(s"est$r"))) :+
         round((meanEst - $"exact_f2".cast("double")) / $"exact_f2".cast("double"), 9)
@@ -864,8 +864,8 @@ object Extras extends graft.core.QueryModule {
   // SKEW1: key-skew audit on the fact table's join/agg key — the
   // repartition/salting advisor every 100 TB shuffle plan starts from.
   // Two hash aggregations: per-key counts (THE shuffle any groupBy on this
-  // key would pay), then a single-row fold; the per-key relation re-joins
-  // the 1-row stats via a broadcast crossJoin (scalar, never a shuffle).
+  // key would pay), then a single-row fold; the per-key relation reads the
+  // 1-row stats via a scalar subquery (inlined literal, never a shuffle).
   // hot = keys above 2x the mean — the population AQE skew-join handling
   // or salting would target; hot_rows_share says how much of the table
   // they drag.
@@ -875,7 +875,7 @@ object Extras extends graft.core.QueryModule {
       .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
     val base = counts.agg(count(lit(1)).as("n_keys"),
       sum($"cnt").as("n_rows"), max($"cnt").as("max_cnt"), avg($"cnt").as("avg"))
-    counts.crossJoin(broadcast(base))
+    graft.core.ScalarSub.withScalars(counts, base)
       .withColumn("hot", ($"cnt" > $"avg" * 2).cast("long"))
       .agg(max($"n_keys").as("n_keys"), max($"n_rows").as("n_rows"),
         max($"max_cnt").as("max_cnt"), round(max($"avg"), 9).as("avg_cnt"),

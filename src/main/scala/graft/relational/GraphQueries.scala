@@ -299,10 +299,10 @@ object GraphQueries extends graft.core.QueryModule {
       .join(bask.toDF("ok", "brand_b"), "ok")
       .filter($"brand_a" < $"brand_b")
       .groupBy($"brand_a", $"brand_b").agg(count(lit(1)).as("supp_ab"))
-    pairs
-      .join(broadcast(supp.toDF("brand_a", "sa")), "brand_a")
-      .join(broadcast(supp.toDF("brand_b", "sb")), "brand_b")
-      .crossJoin(broadcast(nb))
+    graft.core.ScalarSub.withScalars(
+        pairs
+          .join(broadcast(supp.toDF("brand_a", "sa")), "brand_a")
+          .join(broadcast(supp.toDF("brand_b", "sb")), "brand_b"), nb)
       .filter($"supp_ab" >= 10)
       .select($"brand_a", $"brand_b", $"supp_ab",
         round($"supp_ab".cast("double") / $"sa", 9).as("conf"),

@@ -392,7 +392,7 @@ object Tpch extends graft.core.QueryModule {
       .agg(avgExact(sum(money($"c_acctbal")), count(lit(1))).as("ab"))
     val recent = Tables.orders(s, dir)
       .filter($"o_orderdate" >= expr("TIMESTAMP '2000-01-01 00:00:00'"))
-    cust.crossJoin(broadcast(avgBal))
+    graft.core.ScalarSub.withScalars(cust, avgBal)
       .filter($"c_acctbal" > $"ab")
       .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey", $"c_acctbal")

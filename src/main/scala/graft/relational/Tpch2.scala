@@ -79,7 +79,7 @@ object Tpch2 extends graft.core.QueryModule {
       .groupBy($"l_partkey")
       .agg(sum(revenueTerm($"l_extendedprice", $"l_discount")).as("vdec"))
     val total = perPart.agg(sum($"vdec").as("tvdec"))
-    perPart.crossJoin(broadcast(total))
+    graft.core.ScalarSub.withScalars(perPart, total)
       .filter(d($"vdec") > lit(0.0015) * d($"tvdec"))
       .select($"l_partkey", d($"vdec").as("value"))
       .orderBy($"value".desc, $"l_partkey")

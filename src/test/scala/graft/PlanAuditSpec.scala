@@ -46,9 +46,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("s1 ANN: query vector is broadcast, not shuffled") {
+  test("s1 ANN: query vector arrives as a scalar subquery, no join at all") {
+    // historical shape: crossJoin(broadcast(q)) -> BroadcastNestedLoopJoin.
+    // current shape: the 1-row query vector is a ScalarSubquery struct —
+    // no join node anywhere in the brute-force scan.
     val p = plan("s1_ann_brute_topk")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      p.take(2000))
+    assert(!p.contains("Join"), "brute-force leg must not plan any join")
   }
 
   test("whole-stage codegen is active on the hot aggregation path") {
@@ -136,50 +141,20 @@ class PlanAuditSpec extends SparkTestBase {
     // shapes that silently stop scaling. Queries whose tiny side is
     // DELIBERATELY cross-joined (scalar thresholds, 1-row query vectors,
     // fixed centroid lists) are allowlisted for the cartesian check only.
+    // Most 1-row-stats consumers now go through ScalarSub (scalar
+    // subqueries — no join node at all); what remains is genuinely
+    // multi-row small-side work where the cross IS the operator.
     val intendedCross = Set(
-      "q11_important_parts", // scalar subquery threshold (1 row, broadcast)
-      "q22_idle_customers",  // scalar avg(acctbal) subquery (1 row, broadcast)
-      "s1_ann_brute_topk",   // 1-row query vector
-      "s2_ann_lsh_topk",
-      "r1_ann_recall",      // 1-row query vector + 10x10 audit join
-      "s3_ann_ivf_topk",     // fixed centroid list
-      "s5_ann_ivf_multiprobe", // fixed centroid list + 2-cell probe
-      "sk2_sketch_bounds",   // 1-row exact-vs-sketch comparison
-      "a15_marginalised_stat", // 1-row marginalisation constant
-      "t6_bm25_score",       // 1-row corpus stats (N, df_i, avgdl) broadcast
-      "t8_unigram_logprob",  // 1-row corpus-total broadcast
-      "t10_bigram_logprob",  // 1-row vocabulary-size broadcast
-      "t11_pmi_collocations", // 1-row Nt/Nb broadcasts
-      "t9_tfidf_topterms",   // 1-row n_docs broadcast
+      "s3_ann_ivf_topk",     // fixed centroid list (ivfCells assignment)
+      "s5_ann_ivf_multiprobe", // same centroid assignment + 2-cell probe
       "s4_kmeans_update",    // k-centroid broadcast (assignment pass, as s3)
       "a5_log_bayes_factors",  // model×model pairs over a handful of models
       "j8_hd_pair_correlation", // pulsar-pair self-join: tens of pulsars
       "t3_token_stats",      // corpus-level scalar aggregates
-      "mix1_domain_mixture", // two 1-row normalization constants (Σtokens, Σw)
-      "mix2_quota_sample",   // the same two 1-row constants feeding the quota
-      "mix3_epoch_schedule", // the same two 1-row constants feeding the budget
-      "dsir1_importance_resample", // 1-row model-totals (Dr, Dt) broadcast
-      "tc1_triangle_count",  // three 1-row global-count scalars combined
-      "cms1_countmin_freq",  // 1-row broadcast of the finished CMS sketch
-      "qz1_int8_quant_ann",  // 1-row broadcast of the quantized query vector
-      "rp1_random_projection", // 1-row broadcast of the projected query vector
-      "t12_vocab_coverage",  // 1-row broadcast of the corpus token total
+      "sk2_sketch_bounds",   // 1-row exact-vs-sketch comparison
+      "a15_marginalised_stat", // 1-row marginalisation constant
       "pca1_reconstruction_audit", // 4 local flag rows × 1-row exact-trace broadcast
-      "th1_theta_sketch_ops",      // three 1-row sketch/exact-count scalars combined
-      "skew1_key_skew_audit",      // 1-row corpus stats broadcast onto per-key counts
-      "mb1_market_basket",         // 1-row basket-count broadcast (lift denominator)
-      "bf1_bloom_membership",      // 1-row filter-size broadcast onto members/probes
-      "qsk1_quantile_sketch",      // 3-row quantile-target broadcast onto 32-bucket frames
-      "rrf1_hybrid_fusion",        // 1-row query vector + 1-row BM25 corpus stats
-      "vp1_vocab_prune",           // 1-row totals + 3-row coverage targets
-      "cuped1_variance_reduction", // 1-row midpoint + 1-row pooled moments
-      "pq1_product_quant",         // 1-row centroid + distance-table broadcast
-      "emb2_matryoshka_recall",    // 1-row query vector, both legs
-      "ndcg1_lsh_ranking_quality", // 1-row query vector + 1-row IDCG scalar
-      "ams1_f2_sketch",            // 1-row sketch estimates × 1-row exact F2
-      "bp1_boilerplate_ngrams",    // 1-row doc-count denominator broadcast
-      "sax1_series_symbolization", // 1-row quartile-breakpoint broadcast
-      "hll2_sketch_rollup")        // three 1-row sketch/exact scalars combined
+      "pq1_product_quant")   // 1-row centroid + distance-table broadcast
     // iterative operators run actions while BUILDING the frame — profile
     // their final stage only (loop internals are audited by their specs)
     val violations = for {
