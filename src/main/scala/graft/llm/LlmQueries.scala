@@ -348,14 +348,24 @@ object LlmQueries extends graft.core.QueryModule {
     val sh = TextOps.simhashChunks(docTids(s, dir)).localCheckpoint()
     def side(p: String) = sh.select(($"doc_id".as(s"d$p") +:
       TextOps.ChunkParams.indices.map(c => col(s"sh$c").as(s"sh$c$p"))): _*)
-    val cand = TextOps.ChunkParams.indices.map { c =>
-      side("a").join(side("b"), col(s"sh${c}a") === col(s"sh${c}b") && $"da" < $"db")
-        .select(($"da" +: $"db" +: TextOps.ChunkParams.indices.flatMap(k =>
-          Seq(col(s"sh${k}a"), col(s"sh${k}b")))): _*)
-    }.reduce(_ unionByName _).distinct()
+    // Exactly-once multi-index rule: band c emits a pair only when c is
+    // the FIRST band where the chunks agree (all earlier bands differ).
+    // Every near-dup pair has >=1 equal chunk (pigeonhole), and exactly
+    // one first equal chunk — so the union needs NO distinct. The
+    // previous shape distinct'ed the full candidate set (10 wide columns,
+    // ~n²/65536 rows per band) BEFORE the cheap popcount verify; that
+    // distinct shuffle was the dominant superlinear term of the sf1
+    // decade (measured slope 1.08 with it, the verify itself is
+    // bit_count(xor) — codegen'd, pennies per candidate).
     val hamming = TextOps.ChunkParams.indices.map(c =>
       bit_count(col(s"sh${c}a").bitwiseXOR(col(s"sh${c}b")))).reduce(_ + _).cast("long")
-    cand.withColumn("hamming", hamming)
+    TextOps.ChunkParams.indices.map { c =>
+      val firstMatch = (0 until c)
+        .map(k => col(s"sh${k}a") =!= col(s"sh${k}b"))
+        .foldLeft(col(s"sh${c}a") === col(s"sh${c}b"))(_ && _)
+      side("a").join(side("b"), firstMatch && $"da" < $"db")
+        .select($"da", $"db", hamming.as("hamming"))
+    }.reduce(_ unionByName _)
       .filter($"hamming" <= 3)
       .select($"da", $"db", $"hamming")
   }

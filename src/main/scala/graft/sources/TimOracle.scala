@@ -103,11 +103,54 @@ object TimOracle extends graft.core.QueryModule {
          |  CAST(SUM((len(f) - 5) // 2) AS BIGINT) AS total_flags
          |FROM toas GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** par1: the full `.par` parameter table of both reference pulsars as
+    * (psr, param, value, fit) — values stay RAW STRINGS (the reference
+    * stores them at precisions beyond double, e.g. F0 at 17 sig figs;
+    * a string compare proves the parse without a lossy numeric hop).
+    * Reference: par files are whitespace-separated `NAME value [fitflag
+    * [uncertainty]]` rows (tempo2 format; enterprise_warp.py:394-400
+    * pairs them with tims by sorted stem). */
+  def par1(s: SparkSession, dir: String): DataFrame = {
+    val parGlob = "/root/reference/examples/data/*.par"
+    val raw = s.read.textFile(parGlob).toDF("value")
+      .withColumn("file_path", input_file_name())
+    val base = element_at(split(col("file_path"), "/"), -1)
+    val psr = element_at(split(element_at(split(base, "_"), 1), "\\."), 1)
+    raw
+      .withColumn("f", split(trim(col("value")), "\\s+"))
+      .filter(size(col("f")) >= 2)
+      .select(
+        psr.as("psr"),
+        element_at(col("f"), 1).as("param"),
+        element_at(col("f"), 2).as("value"),
+        // CaseWhen evaluates lazily per-row — element_at on a 2-token row
+        // would throw under ANSI mode if evaluated eagerly
+        when(size(col("f")) >= 3, element_at(col("f"), 3) === "1")
+          .otherwise(lit(false)).as("fit"))
+      .orderBy(col("psr"), col("param"), col("value"))
+  }
+
+  val par1Sql: String =
+    raw"""WITH raw AS (
+         |  SELECT string_split(string_split(string_split(filename, '/')[-1], '_')[1], '.')[1] AS psr,
+         |         unnest(string_split(content, chr(10))) AS line
+         |  FROM read_text('/root/reference/examples/data/*.par')
+         |), rows_ AS (
+         |  SELECT psr, regexp_split_to_array(trim(line), '\s+') AS f
+         |  FROM raw WHERE len(regexp_split_to_array(trim(line), '\s+')) >= 2
+         |             AND trim(line) <> ''
+         |)
+         |SELECT psr, f[1] AS param, f[2] AS value,
+         |  (len(f) >= 3 AND f[3] = '1') AS fit
+         |FROM rows_ ORDER BY psr, param, value""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tim1_backend_stats" -> tim1,
-    "tim2_tspan_nfreqs" -> tim2)
+    "tim2_tspan_nfreqs" -> tim2,
+    "par1_param_table" -> par1)
 
   def oracles: Map[String, String] = Map(
     "tim1_backend_stats" -> tim1Sql,
-    "tim2_tspan_nfreqs" -> tim2Sql)
+    "tim2_tspan_nfreqs" -> tim2Sql,
+    "par1_param_table" -> par1Sql)
 }

@@ -108,7 +108,8 @@ object ScalingProbe {
         "sem1_semantic_dedup", "bpe4_encode", "dsir1_importance_resample",
         "tc1_triangle_count", "d9_prefix_filter_join",
         // this session's additions with iterative / join-heavy shapes
-        "kc1_kcore_peel", "oi1_interval_overlap", "ld1_segment_dedup",
+        "kc1_kcore_peel", "oi1_interval_overlap", "oi2_interval_native",
+        "ld1_segment_dedup",
         // single-pass moment/sketch and prefix-sum shapes added late in
         // round 5 — expected ≈1 (scan-bound) but measured, not assumed
         "ec1_embedding_gram", "pca1_reconstruction_audit",
