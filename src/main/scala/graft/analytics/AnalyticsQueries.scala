@@ -358,9 +358,13 @@ object AnalyticsQueries extends graft.core.QueryModule {
     val g = Tables.events(s, dir)
       .select($"event_type", x.as("x"), y.as("y"))
       .groupBy($"event_type")
+      // second-moment sums in DECIMAL(38,0): x is seconds since epoch-ish
+      // (~6e8 after ScaleData's replica period shifts), so Σx² overflows
+      // BIGINT already at sf1 — ANSI mode correctly threw ARITHMETIC_OVERFLOW
       .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
-        sum($"y" * $"y").as("syy"))
+        sum(($"x".cast(DecimalType(38, 0)) * $"y").cast(DecimalType(38, 0))).as("sxy"),
+        sum(($"x".cast(DecimalType(38, 0)) * $"x").cast(DecimalType(38, 0))).as("sxx"),
+        sum(($"y".cast(DecimalType(38, 0)) * $"y").cast(DecimalType(38, 0))).as("syy"))
     val nD = $"n".cast("double"); val sxD = $"sx".cast("double")
     val syD = $"sy".cast("double"); val sxyD = $"sxy".cast("double")
     val sxxD = $"sxx".cast("double"); val syyD = $"syy".cast("double")
@@ -381,8 +385,9 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |g AS (
       |  SELECT event_type, COUNT(*) AS n,
       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
-      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
       |  FROM p GROUP BY 1)
       |SELECT event_type, n,
       |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
