@@ -506,6 +506,61 @@ object AnalyticsQueries extends graft.core.QueryModule {
   // associative), alongside the estimate vs the exact distinct. Hash
   // chain identical to hll1's avalanche (see there for why a lone LCG
   // biases the leading-zero statistic).
+
+  // EWMA1: exponentially-weighted moving average of the per-type daily
+  // count series (alpha = 0.3) — the streaming-friendly trend smoother
+  // (each day's state is ONE double; contrast fc1's naive carry-forward
+  // and ac1's lag-1 autocorrelation, which justify it). Cross-engine
+  // determinism: the recurrence e_n = a*x_n + (1-a)*e_{n-1} is a LEFT
+  // FOLD over the day-sorted series, spelled with the same literal
+  // arithmetic on both engines (0.3 * x + 0.7 * acc), so every
+  // intermediate IEEE double is identical — same discipline as the dot
+  // products and t8's log-prob fold. Scale posture: the fold's input is
+  // the AGGREGATED types x days table (bounded by the calendar, not the
+  // corpus); the only corpus-sized work is the one groupBy shuffle.
+  def ewma1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"cnt"))).as("ser"))
+      .select($"event_type",
+        size($"ser").cast("long").as("n_days"),
+        element_at($"ser", -1).getField("cnt").as("last_cnt"),
+        round(expr(
+          """aggregate(slice(ser, 2, size(ser) - 1),
+            |          CAST(ser[0].cnt AS DOUBLE),
+            |          (acc, x) -> 0.3 * CAST(x.cnt AS DOUBLE) + 0.7 * acc)""".stripMargin),
+          6).as("ewma"),
+        round(element_at($"ser", -1).getField("cnt").cast("double") / expr(
+          """aggregate(slice(ser, 2, greatest(size(ser) - 2, 0)),
+            |          CAST(ser[0].cnt AS DOUBLE),
+            |          (acc, x) -> 0.3 * CAST(x.cnt AS DOUBLE) + 0.7 * acc)""".stripMargin),
+          6).as("last_vs_trend"))
+      .orderBy($"event_type")
+  }
+  val ewma1Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (
+      |  SELECT event_type,
+      |    list_sort(list(struct_pack(day := day, cnt := cnt))) AS lst
+      |  FROM daily GROUP BY 1),
+      |x AS (
+      |  SELECT event_type, lst,
+      |    list_transform(lst, e -> CAST(e.cnt AS DOUBLE)) AS xs
+      |  FROM ser)
+      |SELECT event_type,
+      |  CAST(len(lst) AS BIGINT) AS n_days,
+      |  lst[len(lst)].cnt AS last_cnt,
+      |  round(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma,
+      |  round(CAST(lst[len(lst)].cnt AS DOUBLE)
+      |    / list_reduce(xs[1:len(xs)-1], (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+      |    AS last_vs_trend
+      |FROM x ORDER BY event_type""".stripMargin
+
   def hll2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
@@ -2763,6 +2818,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "ac1_daily_autocorrelation" -> ac1,
     "sax1_series_symbolization" -> sax1,
     "hll2_sketch_rollup" -> hll2,
+    "ewma1_trend_smoothing" -> ewma1,
     "at1_attribution" -> at1,
     "au1_rolling_active_users" -> au1,
     "au2_rolling_sketch_mau" -> au2,
@@ -2835,6 +2891,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     "ac1_daily_autocorrelation" -> ac1Sql,
     "sax1_series_symbolization" -> sax1Sql,
     "hll2_sketch_rollup" -> hll2Sql,
+    "ewma1_trend_smoothing" -> ewma1Sql,
     "at1_attribution" -> at1Sql,
     "au1_rolling_active_users" -> au1Sql,
     "au2_rolling_sketch_mau" -> au2Sql,

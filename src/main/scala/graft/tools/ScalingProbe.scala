@@ -163,7 +163,11 @@ object ScalingProbe {
         |the naive all-pairs DuckDB oracle): random band collisions cost
         |~n²/65,536 per band, so saturation starts near 65k docs per chunk
         |value rather than the 256-bucket knee the round-5 two-8-bit-band
-        |code measured (slope 1.13 then). tc1's edge list and wedge count both
+        |code measured (slope 1.13 then); candidate pairs are emitted
+        |exactly once by the FIRST-equal-band rule (earlier bands must
+        |differ), so no distinct shuffle sits between candidate generation
+        |and the popcount verify (that distinct was the 1.08-slope term the
+        |first round-6 probe measured). tc1's edge list and wedge count both
         |grow exactly ×10 (measured in DuckDB), so its row measures join
         |strategy, not algorithmic blowup — beyond broadcast size the
         |operator now forces SHUFFLE_HASH probes so the ~80·|E| wedge
