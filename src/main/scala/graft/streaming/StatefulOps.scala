@@ -111,4 +111,39 @@ object StatefulOps {
           }
       }
   }
+
+  case class DayCount(event_type: String, day: String, cnt: Long)
+  case class EwmaState(e: Double, n: Long)
+  case class EwmaUpdate(event_type: String, day: String, n_days: Long, ewma: Double)
+
+  /** Streaming form of AnalyticsQueries.ewma1: per-type EWMA of the daily
+    * count series, carried across micro-batches as ONE (double, long) per
+    * key — the state never grows with history, which is the whole point of
+    * exponential smoothing as a streaming statistic. The recurrence uses
+    * the SAME double literals as the batch fold (0.3 * x + 0.7 * e, not a
+    * computed 1-alpha, whose rounding can differ from the 0.7 literal), so
+    * a day-ordered feed reproduces the batch query's doubles EXACTLY —
+    * asserted by the parity spec. Within a batch, rows sort by day: the
+    * recurrence is order-sensitive, and arrival order inside a micro-batch
+    * is not part of the contract (day-ordered ACROSS batches is — the
+    * usual watermark contract, same as the funnel above). */
+  def ewmaDaily(days: Dataset[DayCount])(
+      implicit spark: SparkSession): Dataset[EwmaUpdate] = {
+    import spark.implicits._
+    days
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[DayCount], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
+          val out = it.toSeq.sortBy(_.day).map { d =>
+            st =
+              if (st.n == 0L) EwmaState(d.cnt.toDouble, 1L)
+              else EwmaState(0.3 * d.cnt.toDouble + 0.7 * st.e, st.n + 1L)
+            EwmaUpdate(key, d.day, st.n, st.e)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

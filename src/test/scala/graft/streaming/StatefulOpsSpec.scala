@@ -79,4 +79,41 @@ class StatefulOpsSpec extends SparkTestBase {
     val n = graft.core.Tables.events(spark, dir).count()
     assert(total === 4 * n)
   }
+
+  test("streaming EWMA matches the batch ewma1 fold exactly (day-ordered feed)") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the same daily series ewma1 folds over, in day order
+    val daily = graft.core.Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[StatefulOps.DayCount]
+      .collect().sortBy(d => (d.day, d.event_type))
+    val input = MemoryStream[StatefulOps.DayCount]
+    val q = StatefulOps.ewmaDaily(input.toDS())
+      .writeStream.format("memory").queryName("ewma").outputMode("append").start()
+    try {
+      // three day-ordered micro-batches: the one-double state carries across
+      val third = daily.length / 3
+      input.addData(daily.take(third).toIndexedSeq); q.processAllAvailable()
+      input.addData(daily.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      input.addData(daily.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("n_days").desc)
+      val streamed = spark.table("ewma")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_type"), col("n_days"),
+          round(col("ewma"), 6).as("ewma"))
+      val batch = graft.analytics.AnalyticsQueries.ewma1(spark, dir)
+        .select(col("event_type"), col("n_days"), col("ewma"))
+      // EXACT equality: the stream recurrence and the batch fold use the
+      // same literals in the same order, so the doubles are bit-identical
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      // every day emitted exactly one update
+      assert(spark.table("ewma").count() === daily.length.toLong)
+    } finally q.stop()
+  }
 }
