@@ -390,6 +390,64 @@ object LlmQueries extends graft.core.QueryModule {
         simhashPairs(s, dir).select(col("da").as("a"), col("db").as("b")))
     }
 
+
+  // D6B: the 128-bit scale variant of d6 — same SimHash construction with
+  // EIGHT 16-bit chunks, banded as four 32-bit chunk-PAIRS. Pigeonhole is
+  // unchanged (hamming <= 3 over 4 bands leaves one band clean), but each
+  // band now keys on 2^32 buckets instead of 2^16: random-collision
+  // candidate volume is n^2/2^32 per band, so the knee d6's 65,536-bucket
+  // bands hit near 65k docs per chunk value moves out past any
+  // realistic corpus — the "band width as a function of corpus size"
+  // dial made concrete (VERDICT r5 #2). Exactly-once first-equal-band
+  // emission as in d6 (no distinct); completeness proven the d9 way: the
+  // DuckDB oracle enumerates ALL pairs and filters by 128-bit hamming.
+  def d6b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = TextOps.simhashChunks(docTids(s, dir), TextOps.ChunkParams8)
+      .localCheckpoint()
+    val nC = TextOps.ChunkParams8.indices
+    def side(p: String) = sh.select(($"doc_id".as(s"d$p") +:
+      nC.map(c => col(s"sh$c").as(s"sh$c$p"))): _*)
+    val hamming = nC.map(c =>
+      bit_count(col(s"sh${c}a").bitwiseXOR(col(s"sh${c}b")))).reduce(_ + _).cast("long")
+    def bandEq(band: Int, neg: Boolean) = {
+      val (c0, c1) = (2 * band, 2 * band + 1)
+      if (neg) col(s"sh${c0}a") =!= col(s"sh${c0}b") || col(s"sh${c1}a") =!= col(s"sh${c1}b")
+      else col(s"sh${c0}a") === col(s"sh${c0}b") && col(s"sh${c1}a") === col(s"sh${c1}b")
+    }
+    (0 until 4).map { band =>
+      val firstMatch = (0 until band).map(bandEq(_, neg = true))
+        .foldLeft(bandEq(band, neg = false))(_ && _)
+      side("a").join(side("b"), firstMatch && $"da" < $"db")
+        .select($"da", $"db", hamming.as("hamming"))
+    }.reduce(_ unionByName _)
+      .filter($"hamming" <= 3)
+      .orderBy($"da", $"db")
+  }
+
+  val d6bSql: String = {
+    val P = graft.text.TextOps.ChunkPrime
+    val params = graft.text.TextOps.ChunkParams8
+    val sums = params.zipWithIndex.flatMap { case ((a, b), c) =>
+      (0 until 16).map(j =>
+        s"CAST(SUM(((((tid*$a+$b) % $P) >> $j) & 1)*2-1) AS BIGINT) AS s${c}_$j")
+    }.mkString(", ")
+    val chunks = params.indices.map { c =>
+      (0 until 16).map(j => s"(CASE WHEN s${c}_$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString("CAST(", " + ", s" AS BIGINT) AS sh$c")
+    }.mkString(", ")
+    val ham = params.indices
+      .map(c => s"bit_count(xor(a.sh$c, b2.sh$c))").mkString(" + ")
+    s"""$duckTokCtes,
+       |dids AS (SELECT DISTINCT doc_id, tid FROM ids),
+       |sums AS (SELECT doc_id, $sums FROM dids GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $chunks FROM sums)
+       |SELECT a.doc_id AS da, b2.doc_id AS db, CAST($ham AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
+       |WHERE $ham <= 3
+       |ORDER BY da, db""".stripMargin
+  }
+
   // Pairs alone aren't a dedup pipeline; keep-one-per-GROUP needs this stage.
   def c1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2441,6 +2499,7 @@ object LlmQueries extends graft.core.QueryModule {
     "d2_minhash_lsh" -> d2,
     "d3_simhash" -> d3,
     "d6_simhash_hamming" -> d6,
+    "d6b_simhash128_scale" -> d6b,
     "c1_dedup_clusters" -> c1,
     "c2_dedup_droplist" -> c2,
     "m2_chunk_sample" -> m2,
@@ -2497,6 +2556,7 @@ object LlmQueries extends graft.core.QueryModule {
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,
     "d6_simhash_hamming" -> d6Sql,
+    "d6b_simhash128_scale" -> d6bSql,
     "c1_dedup_clusters" -> c1Sql,
     "c2_dedup_droplist" -> c2Sql,
     "m2_chunk_sample" -> m2Sql,

@@ -86,6 +86,13 @@ object TextOps {
   val ChunkParams: Seq[(Long, Long)] =
     Seq((2654435761L, 3L), (2246822519L, 5L), (3266489917L, 7L), (668265263L, 11L))
 
+  /** Eight mixers for the 128-bit variant (d6b): the first four are
+    * [[ChunkParams]] — so chunks sh0..sh3 of the 128-bit hash ARE the
+    * 64-bit hash — plus four more public avalanche constants. Still
+    * t·a + b < 2^63 for any vocabulary-sized tid. */
+  val ChunkParams8: Seq[(Long, Long)] = ChunkParams ++
+    Seq((374761393L, 13L), (3432918353L, 17L), (461845907L, 19L), (2246822507L, 23L))
+
   /** 64-bit SimHash as four independent 16-bit chunks sh0..sh3 — the
     * scale-correct near-dup representation. A single 16-bit hash collides
     * on 8-bit bands at rate n²/256 (measured superlinear at the sf1 probe);
@@ -93,8 +100,9 @@ object TextOps {
     * hamming ≤ 3 over the virtual 64-bit hash with random-collision rate
     * n²/65536 per band. Same ±1 bit-vote rule as [[simhash]], over the
     * distinct token set. */
-  def simhashChunks(docTids: DataFrame): DataFrame = {
-    val sums = ChunkParams.zipWithIndex.flatMap { case ((a, b), c) =>
+  def simhashChunks(docTids: DataFrame,
+      params: Seq[(Long, Long)] = ChunkParams): DataFrame = {
+    val sums = params.zipWithIndex.flatMap { case ((a, b), c) =>
       val h = (col("tid") * lit(a) + lit(b)) % lit(ChunkPrime)
       (0 until 16).map { j =>
         sum(shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s${c}_$j")
@@ -102,7 +110,7 @@ object TextOps {
     }
     val agg = docTids.select(col("doc_id"), col("tid")).distinct()
       .groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-    val chunks = ChunkParams.indices.map { c =>
+    val chunks = params.indices.map { c =>
       (0 until 16).map { j =>
         when(col(s"s${c}_$j") > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"sh$c")

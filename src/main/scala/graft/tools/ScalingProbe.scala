@@ -109,6 +109,7 @@ object ScalingProbe {
         "tc1_triangle_count", "d9_prefix_filter_join",
         // this session's additions with iterative / join-heavy shapes
         "kc1_kcore_peel", "oi1_interval_overlap", "oi2_interval_native",
+        "d6b_simhash128_scale",
         "ld1_segment_dedup",
         // single-pass moment/sketch and prefix-sum shapes added late in
         // round 5 — expected ≈1 (scan-bound) but measured, not assumed
