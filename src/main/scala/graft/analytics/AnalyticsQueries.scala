@@ -556,8 +556,12 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |  CAST(len(lst) AS BIGINT) AS n_days,
       |  lst[len(lst)].cnt AS last_cnt,
       |  round(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma,
+      |  -- DuckDB's list_reduce raises on an empty list, so the single-day
+      |  -- case (xs[1:0] = []) is guarded to the init value, mirroring
+      |  -- Spark's aggregate-over-empty-slice (= ser[0].cnt) behavior.
       |  round(CAST(lst[len(lst)].cnt AS DOUBLE)
-      |    / list_reduce(xs[1:len(xs)-1], (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+      |    / (CASE WHEN len(xs) <= 1 THEN xs[1]
+      |            ELSE list_reduce(xs[1:len(xs)-1], (acc, x) -> 0.3 * x + 0.7 * acc) END), 6)
       |    AS last_vs_trend
       |FROM x ORDER BY event_type""".stripMargin
 

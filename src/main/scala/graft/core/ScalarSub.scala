@@ -39,10 +39,22 @@ object ScalarSub {
     * a 1-row frame: every column of `one` becomes a scalar-subquery field
     * on `x`, so downstream column references are unchanged.
     *
-    * Semantics note: if `one` somehow produced ZERO rows the crossJoin
-    * would empty `x` while this yields nulls — every call site is a
-    * global aggregate (always exactly one row), where the two coincide. */
+    * Semantics note: call sites are either global aggregates (exactly one
+    * row, where crossJoin and subquery coincide) or filter-to-one-row
+    * frames whose single-row invariant is data-guaranteed (e.g. the
+    * `vec_id === 0` query vector): there, ZERO rows yields null-propagated
+    * fields where the crossJoin emptied `x`, and >1 rows is a runtime
+    * "more than one row returned by a subquery" error where the crossJoin
+    * multiplied rows — both are louder failures than silent multiplication,
+    * which is the intended behavior.
+    *
+    * Name-collision guard: `withColumn` REPLACES an existing column of the
+    * same name, which would silently corrupt `x` where the old crossJoin
+    * surfaced an ambiguous-reference error — so collisions are rejected. */
   def withScalars(x: DataFrame, one: DataFrame): DataFrame = {
+    val clash = one.columns.toSet.intersect(x.columns.toSet)
+    require(clash.isEmpty,
+      s"withScalars column collision (would silently replace): ${clash.mkString(", ")}")
     val s = scalarStruct(one)
     one.columns.foldLeft(x)((acc, c) => acc.withColumn(c, s.getField(c)))
   }

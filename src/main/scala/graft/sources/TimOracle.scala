@@ -78,11 +78,14 @@ object TimOracle extends graft.core.QueryModule {
          |FROM toas GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin
 
   /** tim2: per-pulsar span and Fourier-frequency sizing (A1/A2/A3) plus
-    * the flag-pair count (the flags-map cardinality) over real data.
-    * nfreqs uses floor(x+0.5) on both engines — round() differs
-    * (HALF_UP vs HALF_EVEN) between them. */
+    * the flag-pair count over real data. The pair count comes from the RAW
+    * token array (`(size(f)-5) div 2`, matching DuckDB's `(len(f)-5)//2`),
+    * NOT `size(flags)`: a repeated flag key would make the map throw (or
+    * dedup) while DuckDB counts both pairs — the raw count is the quantity
+    * both engines agree on by construction. nfreqs uses floor(x+0.5) on
+    * both engines — round() differs (HALF_UP vs HALF_EVEN) between them. */
   def tim2(s: SparkSession, dir: String): DataFrame = {
-    val toas = TimReader.read(s, glob)
+    val toas = TimReader.readRaw(s, glob)
     val tspan = max(col("toa_sec")) - min(col("toa_sec"))
     toas
       .groupBy(col("psr"))
@@ -91,7 +94,7 @@ object TimOracle extends graft.core.QueryModule {
         tspan.as("tspan_sec"),
         greatest(lit(1L),
           floor(tspan / lit(86400.0) / lit(60.0) + lit(0.5))).as("nfreqs"),
-        sum(size(col("flags")).cast("long")).as("total_flags"))
+        sum(expr("(size(f) - 5) div 2").cast("long")).as("total_flags"))
       .orderBy(col("psr"))
   }
 

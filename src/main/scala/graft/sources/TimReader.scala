@@ -36,7 +36,16 @@ object TimReader {
     read(spark, path).as[Toa]
   }
 
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    readRaw(spark, path).drop("f")
+
+  /** [[read]] plus the raw whitespace token array `f` — for consumers that
+    * need raw-LINE structure the flags map cannot represent: a repeated
+    * flag key makes `map_from_entries` throw under the default EXCEPTION
+    * dedup policy (or undercount under LAST_WIN), so anything counting
+    * flag PAIRS (tim2's `(size(f)-5) div 2`) must read the tokens, keeping
+    * the map for lookups only. */
+  def readRaw(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.textFile(path).toDF("value")
       .withColumn("file_path", input_file_name())
     val base = element_at(split(col("file_path"), "/"), -1)
@@ -59,7 +68,8 @@ object TimReader {
       element_at(col("f"), 3).cast(DecimalType(38, 18)).as("toa_mjd"),
       element_at(col("f"), 4).cast("double").as("toaerr_us"),
       element_at(col("f"), 5).as("site"),
-      flags.as("flags"))
+      flags.as("flags"),
+      col("f"))
       .withColumn("toa_sec", col("toa_mjd").cast("double") * 86400d)
   }
 
