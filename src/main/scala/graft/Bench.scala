@@ -2,8 +2,53 @@ package graft
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line with per-query wall seconds. `collect()` forces the
-  * full plan; result sets are aggregate-sized so driver transfer is noise. */
+  * full plan; result sets are aggregate-sized so driver transfer is noise.
+  *
+  * HOST-STEAL-PROOF PROTOCOL (r6 verdict directive 1). The r6 round artifact
+  * was taken during sustained external CPU steal and overstated the engine
+  * 1.6× (f4 22.95s vs a calm-host 0.49s); best-of-3 with spread-retry could
+  * not save it because the steal episode outlasted the retries. The fix is
+  * to MEASURE the steal directly instead of inferring it from spread: a
+  * fixed single-threaded CPU sentinel (pure JVM xorshift loop, ~10 ms,
+  * deterministic work) brackets every timed sample. On an uncontended host
+  * the sentinel's wall time is its CPU time; under steal it inflates by
+  * exactly the steal factor. A sample only counts as CLEAN when both its
+  * pre- and post-sentinels land within 2× of the calm baseline (min of 9
+  * calibration runs after JIT warm-up); hot pre-sentinels cause a short
+  * back-off instead of burning a doomed sample. If a query exhausts its
+  * attempt budget without 3 clean samples it is flagged, and a run with any
+  * flagged query REFUSES to write the canonical BENCH_DETAIL artifact
+  * (writes `<name>.contended` instead) so a stolen-host run can never
+  * masquerade as the round's record again.
+  */
 object Bench {
+
+  // ---- sentinel -----------------------------------------------------
+  // ~10 ms of single-threaded, allocation-free, JIT-stable integer work.
+  // Wall time == CPU time on a calm host; any multi-ms inflation is the
+  // OS descheduling this thread — i.e. external contention, the exact
+  // signal that poisons the query timings.
+  private val SentinelIters = 8000000
+  @volatile private var blackhole = 0L
+  private def sentinelSec(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < SentinelIters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    blackhole ^= x
+    (System.nanoTime() - t0) / 1e9
+  }
+  /** Calm-host sentinel floor: warm the JIT, then min-of-9 (min, not
+    * median — the floor is the uncontended truth; every excursion above
+    * it is noise we want to detect, not average in). */
+  private def calibrateSentinel(): Double = {
+    (1 to 4).foreach(_ => sentinelSec())
+    (1 to 9).map(_ => sentinelSec()).min
+  }
+
+  private case class QResult(name: String, best: Double, worst: Double,
+      cleanSamples: Int, stolen: Int, err: Option[String])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local()
@@ -19,14 +64,21 @@ object Bench {
         "a4_model_counts") // events
       .foreach(name => SparkEntry.queries.get(name)
         .foreach(fn => try fn(spark, sfDir).collect() catch { case _: Throwable => () }))
-    // best-of-3 with a FRESH DataFrame per run: each timed run pays full
-    // analysis + optimization + execution (reusing one DataFrame would let
-    // AQE serve the second run from materialized shuffle stages — cached
-    // intermediates, not a benchmark). The duplicate-plan codegen cache
-    // hit between runs absorbs Janino/JIT warmup, which otherwise
-    // dominates sub-second queries (observed 5-15s first-run stalls).
-    // Three runs, not two: this host shows sporadic multi-second external
-    // stalls (CPU steal) that can hit both of two runs back-to-back.
+
+    val sentinelBase = calibrateSentinel()
+    // 2× floor, with a 5 ms absolute allowance so scheduler jitter on a
+    // sub-10ms sentinel can't false-positive the whole run.
+    val sentinelThresh = math.max(2.0 * sentinelBase, sentinelBase + 0.005)
+
+    // Per query: collect up to CleanTarget steal-vetted samples. Each timed
+    // run gets a FRESH DataFrame (full analysis + optimization + execution;
+    // reusing one DataFrame would let AQE serve later runs from
+    // materialized shuffle stages). The duplicate-plan codegen cache hit
+    // between runs absorbs Janino/JIT warmup, which otherwise dominates
+    // sub-second queries (observed 5-15s first-run stalls).
+    val CleanTarget = 3   // min over 3 vetted samples
+    val MaxRuns = 6       // query executions, vetted or not
+    val MaxPreWaits = 10  // hot pre-sentinel back-offs (500 ms each)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
       def run(): Double = {
@@ -36,45 +88,71 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      var times = (1 to 3).map(_ => run())
-      // spread-triggered extra iterations: a single host CPU-steal stall
-      // can poison even best-of-3 when it spans runs; a max/min ratio > 5
-      // is the stall signature (engine variance is far tighter), so rerun
-      // up to twice more and let min() discard the stalled samples.
-      var extra = 0
-      while (extra < 2 && times.max / math.max(times.min, 1e-9) > 5.0) {
-        times = times :+ run()
-        extra += 1
+      var clean = List.empty[Double]
+      var all = List.empty[Double]
+      var stolen = 0
+      var preWaits = 0
+      var runs = 0
+      while (clean.size < CleanTarget && runs < MaxRuns && err.isEmpty) {
+        if (sentinelSec() > sentinelThresh) {
+          stolen += 1; preWaits += 1
+          if (preWaits > MaxPreWaits) { runs = MaxRuns } // give up vetting
+          else Thread.sleep(500)
+        } else {
+          val t = run()
+          runs += 1
+          all ::= t
+          if (sentinelSec() <= sentinelThresh) clean ::= t
+          else stolen += 1
+        }
       }
-      (name, times.min, times.max, err)
+      // A fully-stolen vetting window must still time the query once —
+      // a contaminated number flagged contended beats a NaN in the JSON.
+      if (all.isEmpty && err.isEmpty) all ::= run()
+      val pool = if (clean.nonEmpty) clean else all
+      val best = if (pool.nonEmpty) pool.min else Double.NaN
+      val worst = if (all.nonEmpty) all.max else Double.NaN
+      QResult(name, best, worst, clean.size, stolen, err)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+
+    val contended = results.filter(r => r.cleanSamples == 0 && r.err.isEmpty).map(_.name)
+    val hostContended = contended.nonEmpty
+
+    val qs = results.map(r => "\"" + r.name + "\":" + f"${r.best}%.3f")
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, mn, mx, _) =>
-      "\"" + k + "\":" + f"${mx / math.max(mn, 1e-9)}%.1f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val stolenMap = results.filter(_.stolen > 0)
+      .map(r => "\"" + r.name + "\":" + r.stolen).mkString("{", ",", "}")
+    val total = results.map(_.best).sum
     // The long per-query lines go FIRST; the driver tail-truncates long
     // output, so the machine-read line must be the SHORT final one.
     println(f"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(f"""{"metric":"spread_max_over_min","spreads":$spreads}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"steal_guard","sentinel_base_sec":$sentinelBase%.4f,"stolen_samples":$stolenMap,"contended_queries":${contended.size}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","host_contended":$hostContended}""")
 
     // Full per-query artifact, persisted to the repo so driver stdout
     // tail-truncation can never lose entries (round-3/4 lesson: the
     // per_query map survived only partially in BENCH_r{N}.json). One row
-    // per query with best/worst seconds and error status; the round
-    // number is inferred from the highest committed BENCH_r*.json.
-    val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
-      .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName)
-        .map(_.group(1).toInt))
-      .foldLeft(0)(math.max) + 1
-    val detail = results.map { case (k, mn, mx, err) =>
-      val e = err.map(m => Verify.jsonQ(m)).getOrElse("null")
-      f"""  "$k": {"best_sec": $mn%.3f, "worst_sec": $mx%.3f, "err": $e}"""
+    // per query with best/worst seconds, steal-vetting stats and error
+    // status; the round number comes from SPARK_GRAFT_ROUND or is
+    // inferred from the highest committed BENCH_r*.json.
+    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse(
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName)
+          .map(_.group(1).toInt))
+        .foldLeft(0)(math.max) + 1)
+    val detail = results.map { r =>
+      val e = r.err.map(m => Verify.jsonQ(m)).getOrElse("null")
+      f"""  "${r.name}": {"best_sec": ${r.best}%.3f, "worst_sec": ${r.worst}%.3f, "clean_samples": ${r.cleanSamples}, "stolen": ${r.stolen}, "err": $e}"""
     }.mkString("{\n", ",\n", "\n}")
-    val payload = f"""{"sf": "$sfDir", "n_queries": ${results.size}, "total_best_sec": $total%.3f, "queries": $detail}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(f"BENCH_DETAIL_r$round%02d.json"), payload)
+    val payload =
+      f"""{"sf": "$sfDir", "n_queries": ${results.size}, "total_best_sec": $total%.3f, "protocol": "sentinel-vetted best-of-$CleanTarget", "sentinel_base_sec": $sentinelBase%.4f, "host_contended": $hostContended, "contended_queries": ${contended.map(Verify.jsonQ).mkString("[", ",", "]")}, "queries": $detail}"""
+    val fname = f"BENCH_DETAIL_r$round%02d.json"
+    // Refusal path: a contended run may not become the round's record.
+    val target = if (hostContended) fname + ".contended" else fname
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(target), payload)
+    if (hostContended)
+      System.err.println(s"[bench] HOST CONTENDED — ${contended.size} queries never got a " +
+        s"steal-free sample; artifact diverted to $target")
     spark.stop()
   }
 }
