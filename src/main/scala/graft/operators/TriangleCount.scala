@@ -35,21 +35,30 @@ object TriangleCount {
       when(smallerU, col("u")).otherwise(col("v")).as("src"),
       when(smallerU, col("v")).otherwise(col("u")).as("dst"))
       .localCheckpoint()
-    // Join strategy scales with the edge list (the count is free —
-    // localCheckpoint just materialized o). Small graphs: no hint, AQE
-    // converts both probes to broadcast joins. Beyond broadcast size:
-    // SHUFFLE_HASH — build on the |E|-sized side, STREAM the wedge side
-    // (the |E|^1.5-bounded intermediate, ≈ 80·|E| here). Left unhinted the
-    // planner sort-merges, and sorting the wedge stream was the
-    // superlinear term the sf1 probe exposed (22× time at 10× edges); a
-    // sort buys nothing for a join that ends in one count.
+    // Count via ORIENTED ADJACENCY INTERSECTION instead of the classic
+    // three-scan wedge self-join (r6 verdict directive 2): aggregate each
+    // node's oriented out-neighbor list ONCE, then for every oriented edge
+    // (u,v) the triangles it closes are |N⁺(u) ∩ N⁺(v)| — each triangle
+    // x→y→z is counted exactly once, at its base edge (x,y), because z is
+    // the unique common out-neighbor (y∉N⁺(z) and z is a sink of the
+    // wedge). Total work is still the Σ(d⁺(u)+d⁺(v)) = O(|E|^1.5) wedge
+    // bound, but it flows through array_intersect's per-edge hash probe
+    // instead of materializing (and shuffling) one row per wedge — one
+    // adjacency shuffle + two edge⋈adjacency joins replace three |E| scans
+    // with an ≈80·|E| wedge stream between them. Out-neighbor lists are
+    // bounded by the oriented out-degree O(√|E|), so no skew funnel.
+    val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    // Beyond broadcast size, SHUFFLE_HASH: build on the node-keyed
+    // adjacency, stream the edges — a sort buys nothing for a join that
+    // ends in one global sum (the count() is free; localCheckpoint just
+    // materialized o).
     val big = o.count() > 500000L
-    def probeSide(df: DataFrame): DataFrame = if (big) df.hint("shuffle_hash") else df
-    val tri = o.as("e1")
-      .join(probeSide(o.as("e2")), col("e1.dst") === col("e2.src"))
-      .join(probeSide(o.as("e3")),
-        col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
-      .agg(count(lit(1)).as("n_triangles"))
+    def buildSide(df: DataFrame): DataFrame = if (big) df.hint("shuffle_hash") else df
+    val tri = o
+      .join(buildSide(adj.select(col("src"), col("nbrs").as("nu"))), "src")
+      .join(buildSide(adj.select(col("src").as("dst"), col("nbrs").as("nv"))), "dst")
+      .agg(coalesce(sum(size(array_intersect(col("nu"), col("nv"))).cast("long")),
+        lit(0L)).as("n_triangles"))
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
     val ecnt = e.agg(count(lit(1)).as("n_edges"))
