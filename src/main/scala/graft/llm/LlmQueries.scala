@@ -853,50 +853,49 @@ object LlmQueries extends graft.core.QueryModule {
   // M=8 subspaces of 8 dims; each subvector is coded as its nearest of 4
   // fixed centroids (vec_ids 1–4 sliced per subspace, s3's deterministic
   // seeding), and query distance is ADC — Σ_m table[m][code_m] with the
-  // 8×4 distance table precomputed ONCE on the 1-row centroid frame and
-  // broadcast. Per-row work is 32 subvector distances + flat CASE argmins
-  // (staged intermediate columns keep every codegen method small); at
-  // scale the codes are 8 bytes/vector and the scan never touches floats.
-  // Top-10 by ADC distance, exact L2² alongside (same unrolled summation
-  // tree both engines) so the approximation error is visible in the row.
+  // 8×4 distance table precomputed ONCE on the 1-row centroid frame as a
+  // single 32-slot literal array (`tarr`) delivered as a scalar subquery.
+  // Per-row work is 32 subvector distances + one array_min/array_position
+  // argmin and one tarr lookup per subspace — r6's staged CASE-argmin
+  // cascade (32 d-columns + 8 code columns + an 8-way CASE sum) paid ~2×
+  // DuckDB in projection layers alone; array_position's first-match-on-
+  // ties reproduces the CASE chain's prefer-lowest-code tiebreak exactly.
+  // At scale the codes are 8 bytes/vector and the scan never touches
+  // floats. Top-10 by ADC distance, exact L2² alongside (same unrolled
+  // summation tree both engines) so the approximation error is visible.
   def pq1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
     val e = Tables.embeddings(s, dir)
-    def dsq(x: Column, c: Column, m: Int): Column =
-      (0 until 8).map { i =>
-        val idx = m * 8 + i + 1
-        val d = element_at(x, idx).cast("double") - element_at(c, idx).cast("double")
-        d * d
-      }.reduce(_ + _)
     val cents0 = e.filter($"vec_id" <= 4).agg(
       first(when($"vec_id" === 0, $"embedding"), ignoreNulls = true).as("qe"),
       (1 to 4).map(c =>
         first(when($"vec_id" === c, $"embedding"), ignoreNulls = true).as(s"ce$c")): _*)
-    val cents = (for { m <- 0 until 8; c <- 1 to 4 } yield (m, c))
-      .foldLeft(cents0) { case (df, (m, c)) =>
-        df.withColumn(s"t_${m}_$c", dsq(col("qe"), col(s"ce$c"), m)) }
-    val base = e.filter($"vec_id" =!= 0).crossJoin(broadcast(cents))
-    val withD = (for { m <- 0 until 8; c <- 1 to 4 } yield (m, c))
-      .foldLeft(base) { case (df, (m, c)) =>
-        df.withColumn(s"d_${m}_$c", dsq($"embedding", col(s"ce$c"), m)) }
-    val withCodes = (0 until 8).foldLeft(withD) { (df, m) =>
-      def d(c: Int) = col(s"d_${m}_$c")
-      df.withColumn(s"code_$m",
-        when(d(1) <= d(2) && d(1) <= d(3) && d(1) <= d(4), 1)
-          .when(d(2) <= d(3) && d(2) <= d(4), 2)
-          .when(d(3) <= d(4), 3).otherwise(4))
-    }
-    val adist = (0 until 8).map { m =>
-      when(col(s"code_$m") === 1, col(s"t_${m}_1"))
-        .when(col(s"code_$m") === 2, col(s"t_${m}_2"))
-        .when(col(s"code_$m") === 3, col(s"t_${m}_3"))
-        .otherwise(col(s"t_${m}_4"))
-    }.reduce(_ + _)
-    withCodes
+    // the 1-row codebook frame: packed centroids, the ADC table
+    // tarr[m*4 + c] = ‖query_m − centroid_c,m‖² built by ONE native
+    // expression (the unrolled column form was a ~1,600-node tree that
+    // Catalyst re-walked inside every scalar-subquery reference — on a
+    // 2,000-row table that plan-compile cost WAS the query), and ‖q‖²
+    // hoisted so the per-row l2 pays two dots, not three
+    val cents = cents0
+      .withColumn("cearr", array(col("ce1"), col("ce2"), col("ce3"), col("ce4")))
+      .withColumn("tarr", GraftSqlBridge.column(graft.functions.PqAdcTable(
+        GraftSqlBridge.expression(col("qe")),
+        GraftSqlBridge.expression(col("cearr")), 8)))
+      .withColumn("qq", VectorOps.dotNative(col("qe"), col("qe")))
+      .select(col("qe"), col("cearr"), col("tarr"), col("qq"))
+    val base = graft.core.ScalarSub.withScalars(e.filter($"vec_id" =!= 0), cents)
+    // one native primitive loop per row: encode all 8 subspaces against
+    // the packed codebook and sum the tarr lookups (see PqAdcDistance —
+    // identical float→double arithmetic and tie-breaks to the SQL form)
+    val adist = GraftSqlBridge.column(graft.functions.PqAdcDistance(
+      GraftSqlBridge.expression($"embedding"),
+      GraftSqlBridge.expression($"cearr"),
+      GraftSqlBridge.expression($"tarr")))
+    base
       .withColumn("adist", adist)
       .withColumn("l2",
-        VectorOps.dotNative($"embedding", $"embedding") +
-        VectorOps.dotNative($"qe", $"qe") -
+        VectorOps.dotNative($"embedding", $"embedding") + $"qq" -
         lit(2.0) * VectorOps.dotNative($"embedding", $"qe"))
       .orderBy($"adist".asc, $"vec_id").limit(10)
       .select($"vec_id", round($"adist", 9).as("adist"),

@@ -331,24 +331,28 @@ object GraphQueries extends graft.core.QueryModule {
   // bought Y" recommender primitive (distinct from mb1's basket-grain
   // association rules: customer grain, cosine geometry, bounded profiles).
   // The quadratic pair blowup is bounded STRUCTURALLY: each customer's
-  // profile is capped at its 20 most-purchased items (row_number window
-  // partitioned by the high-cardinality customer key — each group is one
-  // customer, never a funnel), so the self-join emits ≤ C(20,2)=190 pairs
-  // per customer regardless of corpus size. Item supports are a
-  // dictionary-sized broadcast; the only wide shuffle is the (a,b) pair
-  // count. Top-20 by unrounded cosine (identical expression both engines),
-  // keys as the tiebreak.
+  // profile is capped at its 20 most-purchased items via the MERGEABLE
+  // TopKByScore aggregate (cnt desc, item asc — the same total order the
+  // oracle's ROW_NUMBER declares), so the shuffle carries ≤20 (cnt,item)
+  // pairs per customer where a rank window would SORT every (cust,item)
+  // row of every group — the window sort was the single largest sf1 cost
+  // in the r6 bench (34.9s), and the profile cap is exactly the top-k-per-
+  // group shape the aggregate exists for. The self-join then emits
+  // ≤ C(20,2)=190 pairs per customer regardless of corpus size. Item
+  // supports are a dictionary-sized broadcast; the only wide shuffle is
+  // the (a,b) pair count. Top-20 by unrounded cosine (identical expression
+  // both engines), keys as the tiebreak.
   def cf1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val ul = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey"),
         $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_custkey".as("cust"), $"l_partkey".as("item"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy($"cust").orderBy($"cnt".desc, $"item")
-    val capped = ul.withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 20).select($"cust", $"item")
+    val topk = udaf(new graft.functions.Aggregators.TopKByScore(20))
+    val capped = ul.groupBy($"cust")
+      .agg(topk($"cnt", $"item").as("items"))
+      .select($"cust", explode($"items").as("item"))
     val supp = capped.groupBy($"item").agg(count(lit(1)).as("ni"))
     val pairs = capped.toDF("cust", "ia")
       .join(capped.toDF("cust", "ib"), "cust")
