@@ -521,25 +521,24 @@ object QualityQueries extends graft.core.QueryModule {
   // Cross-engine determinism: the token hash is position-weighted ASCII
   // codes (pure integer HOF fold — same arithmetic in both engines), and
   // the chunk key is the chunk TEXT itself, not an engine hash. Scale
-  // shape: doc-partitioned windows (doc-sized groups), one chunk-text
-  // hash agg, one equijoin back — the ld1 family's cost profile.
+  // shape: the whole boundary rule runs as ONE array transform/aggregate
+  // pass per document row — no explode, no doc-partitioned window chain
+  // (r6 ran lag×3 + a running-sum window over the exploded token stream;
+  // the window stack was 2.26× DuckDB) — then one chunk-text hash agg and
+  // one equijoin back.
   private val CdkW = 4    // rolling window (tokens)
   private val CdkD = 8    // boundary divisor → expected chunk ≈ 8 tokens
 
   def cdk1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pt = TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text")
-      .withColumn("c", expr(
-        "aggregate(transform(split(tok, ''), (ch, j) -> ascii(ch) * (j + 1)), 0L, (acc, x) -> acc + x)"))
-    val wo = Window.partitionBy($"doc_id").orderBy($"pos")
-    val h = (lit(11) * $"c" + lit(7) * lag($"c", 1, 0).over(wo) +
-      lit(5) * lag($"c", 2, 0).over(wo) + lit(3) * lag($"c", 3, 0).over(wo)) % CdkD
-    val b = pt.withColumn("b", when($"pos" >= CdkW && h === 0, 1L).otherwise(0L))
-      .withColumn("cid", lit(1L) + coalesce(
-        sum($"b").over(wo.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val chunks = b.groupBy($"doc_id", $"cid")
-      .agg(array_join(transform(array_sort(collect_list(struct($"pos", $"tok"))),
-        x => x("tok")), " ").as("ctext"))
+    import org.apache.spark.sql.GraftSqlBridge
+    // one native per-row kernel: tokenize → rolling-hash boundaries →
+    // chunk texts (see CdcChunks — integer arithmetic identical to the
+    // oracle SQL), then explode only the CHUNKS, never the tokens
+    val chunksExpr = GraftSqlBridge.column(graft.functions.CdcChunks(
+      GraftSqlBridge.expression(TextOps.tokens($"text")), CdkD))
+    val chunks = Tables.documents(s, dir)
+      .select($"doc_id", explode(chunksExpr).as("ctext"))
     val occ = chunks.groupBy($"ctext").agg(count(lit(1)).as("cnt"))
     chunks.join(occ, "ctext")
       .groupBy($"doc_id")
