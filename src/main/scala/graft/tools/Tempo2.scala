@@ -17,10 +17,12 @@ object Tempo2 {
 
   val Sentinel = "GRAFT_T2"
 
+  /** `binary` defaults to `tempo2` on PATH; tests point it at a fake
+    * script to exercise the REAL subprocess runner end-to-end. */
   def buildCmd(par: String, tim: String, fields: Seq[String],
-      nobs: Option[Int]): Seq[String] = {
+      nobs: Option[Int], binary: String = "tempo2"): Seq[String] = {
     val fmt = fields.map(f => s"{$f}").mkString(s"$Sentinel ", "\t", s"\\n")
-    Seq("tempo2", "-output", "general2", "-f", par, tim, "-s", fmt) ++
+    Seq(binary, "-output", "general2", "-f", par, tim, "-s", fmt) ++
       nobs.toSeq.flatMap(n => Seq("-nobs", n.toString))
   }
 
@@ -34,14 +36,17 @@ object Tempo2 {
         fields.zip(vals).toMap
       }
 
-  /** Run with the `-nobs 1000000` retry on the TOA-ceiling error. */
+  /** Run with the `-nobs 1000000` retry on the TOA-ceiling error — both
+    * failure shapes retry: ERROR text in the output (tempo2 exits 0 on
+    * refusal) and a nonzero exit (`.!!` throws). */
   def run(par: String, tim: String, fields: Seq[String],
-      runner: Runner = realRunner): Seq[Map[String, String]] = {
-    val first = try Right(runner(buildCmd(par, tim, fields, None)))
+      runner: Runner = realRunner,
+      binary: String = "tempo2"): Seq[Map[String, String]] = {
+    val first = try Right(runner(buildCmd(par, tim, fields, None, binary)))
       catch { case e: Exception => Left(e) }
     val out = first match {
       case Right(o) if !o.contains("ERROR") => o
-      case _ => runner(buildCmd(par, tim, fields, Some(1000000)))
+      case _ => runner(buildCmd(par, tim, fields, Some(1000000), binary))
     }
     scrape(out, fields)
   }
