@@ -398,7 +398,12 @@ object LlmQueries extends graft.core.QueryModule {
   // candidate volume is n^2/2^32 per band, so the knee d6's 65,536-bucket
   // bands hit near 65k docs per chunk value moves out past any
   // realistic corpus — the "band width as a function of corpus size"
-  // dial made concrete (VERDICT r5 #2). Exactly-once first-equal-band
+  // dial made concrete (VERDICT r5 #2), and MEASURED, not argued:
+  // graft.tools.BandProbe (SCALING.md "banding knee probe") — at n=300k
+  // uniform docs the 16-bit geometry emits 2.8M false candidates
+  // (matching the 4·n²/2¹⁷ prediction) while the 32-bit geometry emits
+  // 38, both atop an identical 129,024 true-pair floor from a skewed
+  // near-dup block. Exactly-once first-equal-band
   // emission as in d6 (no distinct); completeness proven the d9 way: the
   // DuckDB oracle enumerates ALL pairs and filters by 128-bit hamming.
   def d6b(s: SparkSession, dir: String): DataFrame = {

@@ -61,7 +61,8 @@ object ScalingProbe {
       "ao3_asof_native", "dl1_damerau_linkage", "skew1_key_skew_audit",
       "rb1_mad_outliers", "fh1_feature_hashing", "cl1_text_clean",
       "bfs1_reachability_levels", "mb1_market_basket",
-      "path1_user_journeys", "gini1_activity_concentration")
+      "path1_user_journeys", "gini1_activity_concentration",
+      "cf1_item_similarity")
     // warm codegen/classloading once
     graft.SparkEntry.queries("q1_pricing_summary")(spark, s"/root/testdata/sf0.1").collect()
     val rows = (if (decadeOnly) Seq.empty[String] else queries).map { name =>
@@ -119,7 +120,12 @@ object ScalingProbe {
         // union+window row above), the basket self-join, the session-path
         // windows, and the global-rank Gini — all join/sort-bound shapes
         "ao3_asof_native", "mb1_market_basket", "path1_user_journeys",
-        "gini1_activity_concentration")
+        "gini1_activity_concentration",
+        // r7 (verdict directive 5): the full graph family — bfs1's
+        // bounded-round frontier expansion and cf1's capped-profile
+        // self-join join tc1/kc1/d9 so every graph-shaped operator has a
+        // decade on record
+        "bfs1_reachability_levels", "cf1_item_similarity")
       val decade = steep.map { name =>
         val fn = graft.SparkEntry.queries(name)
         def best(d: String): Double = {
@@ -170,9 +176,12 @@ object ScalingProbe {
         |and the popcount verify (that distinct was the 1.08-slope term the
         |first round-6 probe measured). tc1's edge list and wedge count both
         |grow exactly ×10 (measured in DuckDB), so its row measures join
-        |strategy, not algorithmic blowup — beyond broadcast size the
-        |operator now forces SHUFFLE_HASH probes so the ~80·|E| wedge
-        |stream is never sorted for a join that ends in one count.
+        |strategy, not algorithmic blowup — the operator aggregates oriented
+        |adjacency lists once and counts per-edge via array_intersect, so
+        |the ~80·|E| wedge stream is never materialized or shuffled at all
+        |(beyond broadcast size the two edge⋈adjacency joins force
+        |SHUFFLE_HASH — a sort buys nothing for a join that ends in one
+        |global sum).
         |""".stripMargin
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
