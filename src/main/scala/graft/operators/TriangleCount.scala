@@ -47,7 +47,10 @@ object TriangleCount {
     // adjacency shuffle + two edge⋈adjacency joins replace three |E| scans
     // with an ≈80·|E| wedge stream between them. Out-neighbor lists are
     // bounded by the oriented out-degree O(√|E|), so no skew funnel.
+    // materialized: BOTH probe joins read it, and without the checkpoint
+    // the grouping shuffle runs once per join
     val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+      .localCheckpoint()
     // Beyond broadcast size, SHUFFLE_HASH: build on the node-keyed
     // adjacency, stream the edges — a sort buys nothing for a join that
     // ends in one global sum (the count() is free; localCheckpoint just
