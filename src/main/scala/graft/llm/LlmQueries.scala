@@ -111,17 +111,14 @@ object LlmQueries extends graft.core.QueryModule {
     import s.implicits._
     // Signature base = distinct 3-gram shingles (unigram minhash degenerates:
     // the synthetic corpus has a ~31-word vocabulary, so unigram signatures
-    // collide for nearly every pair). NOTE: no persist() here — a cached
-    // relation leaked from a query function slows every LATER query in the
-    // session (CacheManager plan-matching against the giant lineage).
-    // localCheckpoint instead: the tokenize→shingle→dict→minhash subtree is
-    // the expensive part and feeds BOTH sides of the candidate self-join
-    // plus both signature lookups — materialize it once, off the
-    // CacheManager (per-doc signatures are tiny next to the corpus).
-    val docs = Tables.documents(s, dir)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .filter(size($"toks") >= 3)
-    val sh = docs.select($"doc_id", explode(TextOps.shingles3($"toks")).as("sh")).distinct()
+    // collide for nearly every pair) — the MEMOIZED docShingles substrate
+    // shared with d4/d7/nv1/bp1 (dropping lang keeps the same distinct
+    // (doc_id, sh) set, since lang is doc-functional): tokenize + shingle
+    // + distinct runs once per (session, dir) across the whole family.
+    // NOTE: no persist() anywhere here — a cached relation leaked from a
+    // query function slows every LATER query in the session (CacheManager
+    // plan-matching against the giant lineage); localCheckpoint instead.
+    val sh = docShingles(s, dir).select($"doc_id", $"sh")
     val dict = graft.operators.GlobalRank.withRowNumber(
       sh.select($"sh").distinct(), Seq($"sh"), rn = "tid", nTotal = None)
     val tids = sh.join(broadcast(dict), "sh").select($"doc_id", $"tid")

@@ -106,13 +106,19 @@ object GraphQueries extends graft.core.QueryModule {
     */
   def tc1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ps = Tables.lineitem(s, dir)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("sup")).distinct()
-    val w = Window.partitionBy($"p").orderBy($"sup")
-    val e = ps.withColumn("v", lead($"sup", 1).over(w))
-      .filter($"v".isNotNull)
-      .select($"sup".as("u"), $"v").distinct()
+    // consecutive-supplier links in ONE shuffle: groupBy(part) with a
+    // sorted set, pairs zipped array-side — the distinct + window + lead
+    // form pays a second full shuffle (distinct partitions by (p,sup),
+    // the window re-partitions by p) for the identical edge set (the
+    // per-part supplier list is dictionary-sized, never a funnel)
+    val e = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey")
+      .agg(array_sort(collect_set($"l_suppkey")).as("sups"))
+      .select(explode(expr(
+        """zip_with(slice(sups, 1, size(sups) - 1),
+          |         slice(sups, 2, size(sups) - 1),
+          |         (a, b) -> struct(a AS u, b AS v))""".stripMargin)).as("e"))
+      .select($"e.u", $"e.v").distinct()
     graft.operators.TriangleCount.run(e)
   }
 
