@@ -34,22 +34,36 @@ object Bfs {
     var visited = sources.select(col("v")).distinct()
       .withColumn("level", lit(0)).localCheckpoint()
     var frontier = visited.select(col("v"))
+    // the checkpoint backing `frontier` (null on round 1: the initial
+    // frontier reads the visited checkpoint, which stays live)
+    var frontierSrc: DataFrame = null
     var d = 1
     var done = maxDepth == 0
+    def free(df: DataFrame): Unit =
+      if (df != null) org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(df)
     while (!done) {
       val next = e.join(frontier.withColumnRenamed("v", "a"), "a")
         .select(col("b").as("v")).distinct()
         .join(visited, Seq("v"), "left_anti")
         .withColumn("level", lit(d))
         .localCheckpoint()
-      if (next.isEmpty) done = true
+      // superseded blocks are garbage the moment the dependent checkpoint
+      // materializes — release now, don't wait for GC + ContextCleaner
+      free(frontierSrc)
+      if (next.isEmpty) { free(next); done = true }
       else {
-        visited = visited.union(next).localCheckpoint()
+        val grown = visited.union(next).localCheckpoint()
+        free(visited)
+        visited = grown
         frontier = next.select(col("v"))
+        frontierSrc = next
         d += 1
         if (d > maxDepth) done = true
       }
     }
+    // `visited` (a checkpoint) is the only frame the caller reads
+    free(frontierSrc)
+    free(e)
     visited
   }
 }

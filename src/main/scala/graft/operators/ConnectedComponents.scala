@@ -86,11 +86,18 @@ object ConnectedComponents {
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      // the superseded round's blocks are garbage THIS instant — release
+      // them instead of waiting for a full GC to drive the ContextCleaner
+      // (a long-lived session otherwise accumulates every round of every
+      // run; no-op on round 0's derived frame)
+      if (!reliable) org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
       labels = next
       it += 1
       if (dbg) println(f"[cc] round $it: ckpt ${(t1 - t0) / 1e9}%.3f s, sum ${(System.nanoTime() - t1) / 1e9}%.3f s")
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
+    // the returned frame reads only the final labels checkpoint
+    if (!reliable) org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(sym)
     labels.select(col("v"), col("lbl").as("root"))
   }
 

@@ -38,6 +38,7 @@ object KCore {
     var prev = deg.count()
     var r = 1
     var converged = false
+    import org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint
     while (r <= rounds && !converged) {
       val keep = deg.filter(col("dg") >= k).select(col("x")).localCheckpoint()
       val cur = keep.count()
@@ -48,14 +49,19 @@ object KCore {
         converged = true
         ((r + 1) to rounds).foreach(i => out += ((i.toLong, 0L, cur)))
       } else {
-        e = e.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+        val induced = e.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
           .select(col("u"), col("v")).localCheckpoint()
+        // release superseded round blocks immediately (see Bfs/CC note)
+        unpersistCheckpoint(e)
+        e = induced
         deg = degrees(e)
         prev = cur
       }
+      unpersistCheckpoint(keep) // the induced edge checkpoint absorbed it
       r += 1
     }
+    unpersistCheckpoint(e) // the profile is driver-side rows by now
     import spark.implicits._
     spark.createDataFrame(out.result()).toDF("round", "n_peeled", "n_remaining")
       .orderBy($"round")
@@ -64,20 +70,28 @@ object KCore {
   /** Vertices surviving `rounds` peel rounds (= the exact k-core when the
     * profile shows a zero-peel round — spec-checked). */
   def coreVertices(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint
     var e = edges.select(col("u"), col("v")).localCheckpoint()
     var keep = degrees(e).filter(col("dg") >= k).select(col("x")).localCheckpoint()
     var prev = keep.count()
     var r = 1
     while (r < rounds) {
-      e = e.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+      val induced = e.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v")).localCheckpoint()
-      keep = degrees(e).filter(col("dg") >= k).select(col("x")).localCheckpoint()
+      val survivors = degrees(induced).filter(col("dg") >= k)
+        .select(col("x")).localCheckpoint()
+      // both superseded checkpoints are garbage now — release immediately
+      unpersistCheckpoint(e)
+      unpersistCheckpoint(keep)
+      e = induced
+      keep = survivors
       val cur = keep.count()
       // counts equal ⇒ sets equal (peeling is monotone) ⇒ fixed point
       r = if (cur == prev) rounds else r + 1
       prev = cur
     }
+    unpersistCheckpoint(e) // `keep` (returned) is its own checkpoint
     keep
   }
 

@@ -37,6 +37,7 @@ object LabelPropagation {
       .localCheckpoint() // read by every round: symmetrize+dedup ONCE
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
+    var prevCkpt: org.apache.spark.sql.DataFrame = null
     for (i <- 1 to rounds) {
       labels = sym
         .join(labels.withColumnRenamed("node", "v"), "v")
@@ -45,8 +46,16 @@ object LabelPropagation {
         .groupBy(col("u"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("u").as("node"), (-col("m.nl")).as("label"))
-      // bound plan depth on long runs without serializing short ones
-      if (i % 5 == 0 && i < rounds) labels = labels.localCheckpoint()
+      // bound plan depth on long runs without serializing short ones;
+      // release the superseded interior checkpoint immediately (the final
+      // labels plan still reads sym and the LAST checkpoint — those stay)
+      if (i % 5 == 0 && i < rounds) {
+        val c = labels.localCheckpoint()
+        if (prevCkpt != null)
+          org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(prevCkpt)
+        prevCkpt = c
+        labels = c
+      }
     }
     labels
   }

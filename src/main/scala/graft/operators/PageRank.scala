@@ -91,6 +91,11 @@ object PageRank {
       .groupBy(col("a").as("v"))
       .agg(expr(s"$base + (85 * sum(${Scale / n} div deg_b)) div 100").as("rank"))
     var it = 1
+    // interior checkpoints only: the FINAL ranks plan still reads symDeg
+    // and the last checkpoint, so those stay live for the caller; every
+    // superseded interior checkpoint is released the moment its successor
+    // materializes (see ConnectedComponents note)
+    var prevCkpt: DataFrame = null
     while (it < iters) {
       val next = symDeg.join(ranks.hint("shuffle_hash"), symDeg("b") === ranks("v"))
         .groupBy(symDeg("a").as("v"))
@@ -98,7 +103,11 @@ object PageRank {
       it += 1
       ranks =
         if (it < iters && it % checkpointEvery == 0) {
-          if (reliable) next.checkpoint() else next.localCheckpoint()
+          val c = if (reliable) next.checkpoint() else next.localCheckpoint()
+          if (!reliable && prevCkpt != null)
+            org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(prevCkpt)
+          prevCkpt = c
+          c
         } else next
     }
     ranks.select(col("v"), col("rank"))

@@ -16,4 +16,23 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Release the storage blocks of a `localCheckpoint()`ed Dataset NOW.
+    *
+    * Iterative operators (connected components, BFS, k-core, PageRank)
+    * checkpoint each round and drop the reference to the previous round —
+    * but the superseded blocks stay in the BlockManager until a full GC
+    * lets the ContextCleaner notice the dead RDD. On a long-lived session
+    * (a 215-query bench JVM, or a week-old cluster app) that lag
+    * accumulates into executor-storage pressure that measurably degrades
+    * later queries (bfs1 timed 5.7s late in a bench run vs 1.7s fresh).
+    * The loop KNOWS the exact moment a round's blocks become garbage, so
+    * it should say so instead of waiting for the GC to guess. No-op for
+    * plans that aren't a materialized checkpoint (`LogicalRDD`).
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }
