@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   *
   * Each round is one hash-shuffle equijoin of the (materialized-once)
   * edge set against the current frontier plus one left-anti join against
-  * the visited set — never anything quadratic, no driver-side graph. The
-  * frontier and visited relations are localCheckpoint'ed per round:
-  * iterative joins otherwise stack lineage linearly in depth (same
-  * discipline as [[ConnectedComponents.run]]). An empty frontier
-  * short-circuits remaining rounds (one O(1) isEmpty job on a
-  * checkpointed, frontier-sized frame per round).
+  * the visited set — never anything quadratic, no driver-side graph. Each
+  * LEVEL is localCheckpoint'ed once (iterative joins otherwise stack
+  * lineage linearly in depth — the [[ConnectedComponents.run]]
+  * discipline); the visited set is a plain UNION over those level
+  * checkpoints, so no round pays a copy job for it and the live blocks
+  * are exactly the result. An empty frontier short-circuits remaining
+  * rounds (one O(1) isEmpty job on a checkpointed, frontier-sized frame
+  * per round).
   */
 object Bfs {
 
@@ -34,9 +36,14 @@ object Bfs {
     var visited = sources.select(col("v")).distinct()
       .withColumn("level", lit(0)).localCheckpoint()
     var frontier = visited.select(col("v"))
-    // the checkpoint backing `frontier` (null on round 1: the initial
-    // frontier reads the visited checkpoint, which stays live)
-    var frontierSrc: DataFrame = null
+    // `visited` is a UNION over the per-level checkpoints, never
+    // re-checkpointed: each level's blocks are materialized exactly once
+    // and the union plan just reads them, so (a) no per-round copy job for
+    // the visited set, and (b) nothing is duplicated in storage — the live
+    // blocks ARE the result. Depth is the (small) query parameter, so the
+    // union width is bounded. Superseded-block hygiene: only an
+    // empty-frontier `next` is garbage (freed immediately); every other
+    // checkpoint backs the returned frame.
     var d = 1
     var done = maxDepth == 0
     def free(df: DataFrame): Unit =
@@ -47,22 +54,15 @@ object Bfs {
         .join(visited, Seq("v"), "left_anti")
         .withColumn("level", lit(d))
         .localCheckpoint()
-      // superseded blocks are garbage the moment the dependent checkpoint
-      // materializes — release now, don't wait for GC + ContextCleaner
-      free(frontierSrc)
       if (next.isEmpty) { free(next); done = true }
       else {
-        val grown = visited.union(next).localCheckpoint()
-        free(visited)
-        visited = grown
+        visited = visited.union(next)
         frontier = next.select(col("v"))
-        frontierSrc = next
         d += 1
         if (d > maxDepth) done = true
       }
     }
-    // `visited` (a checkpoint) is the only frame the caller reads
-    free(frontierSrc)
+    // the edge checkpoint is not part of the returned plan
     free(e)
     visited
   }
