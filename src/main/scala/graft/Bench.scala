@@ -16,10 +16,11 @@ package graft
   * pre- and post-sentinels land within 2× of the calm baseline (min of 9
   * calibration runs after JIT warm-up); hot pre-sentinels cause a short
   * back-off instead of burning a doomed sample. If a query exhausts its
-  * attempt budget without 3 clean samples it is flagged, and a run with any
-  * flagged query REFUSES to write the canonical BENCH_DETAIL artifact
-  * (writes `<name>.contended` instead) so a stolen-host run can never
-  * masquerade as the round's record again.
+  * attempt budget without 3 clean samples (even partially — a best-of-1
+  * is not a best-of-3) it is flagged, and a run with any flagged query
+  * REFUSES to write the canonical BENCH_DETAIL artifact (writes
+  * `<name>.contended` instead) so a stolen-host run can never masquerade
+  * as the round's record again.
   */
 object Bench {
 
@@ -115,7 +116,11 @@ object Bench {
       QResult(name, best, worst, clean.size, stolen, err)
     }
 
-    val contended = results.filter(r => r.cleanSamples == 0 && r.err.isEmpty).map(_.name)
+    // refusal criterion = the documented protocol: a query that exhausted
+    // its budget without CleanTarget steal-free samples taints the run
+    // (clean_samples in the artifact shows HOW under-sampled each one was)
+    val contended = results
+      .filter(r => r.cleanSamples < CleanTarget && r.err.isEmpty).map(_.name)
     val hostContended = contended.nonEmpty
 
     val qs = results.map(r => "\"" + r.name + "\":" + f"${r.best}%.3f")

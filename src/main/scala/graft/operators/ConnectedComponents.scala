@@ -95,6 +95,12 @@ object ConnectedComponents {
       it += 1
       if (dbg) println(f"[cc] round $it: ckpt ${(t1 - t0) / 1e9}%.3f s, sum ${(System.nanoTime() - t1) / 1e9}%.3f s")
     }
+    if (!converged && !reliable) {
+      // failure path: nothing backs a returned frame — release everything
+      // (otherwise each failed/retried run strands sym + the last round)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(sym)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
+    }
     require(converged, s"connected components did not converge in $maxIter rounds")
     // the returned frame reads only the final labels checkpoint
     if (!reliable) org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(sym)

@@ -61,6 +61,9 @@ object TriangleCount {
     // adjacency, stream the edges — a sort buys nothing for a join that
     // ends in one global sum (the count() is free; localCheckpoint just
     // materialized o).
+    // e backs nothing once deg/o/adj are materialized — release it (the
+    // returned plan reads only those three checkpoints + the tri scalar)
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(e)
     val big = o.count() > 500000L
     def buildSide(df: DataFrame): DataFrame = if (big) df.hint("shuffle_hash") else df
     val interCnt = {

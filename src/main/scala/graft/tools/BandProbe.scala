@@ -83,9 +83,8 @@ object BandProbe {
     sb ++= "largest n — the concrete \"band width is a corpus-size dial\" row.\n"
     val prev = if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
       java.nio.file.Files.readString(java.nio.file.Paths.get(out)) else ""
-    val cut = prev.indexOf("\n## banding knee probe")
-    val base = if (cut >= 0) prev.substring(0, cut) else prev
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), base + sb.toString)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      MdSections.upsert(prev, "## banding knee probe", sb.toString))
     println(s"[bandprobe] appended to $out")
     spark.stop()
   }

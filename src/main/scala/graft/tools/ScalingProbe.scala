@@ -82,14 +82,11 @@ object ScalingProbe {
       val slope = math.log(times(2) / times(1)) / math.log(10.0)
       (name, times, slope)
     }
-    val sb = new StringBuilder
-    if (decadeOnly) {
-      // keep the tri-SF table from the prior full run; re-measure the
-      // decade below in this fresh JVM
-      val prev = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
-      val cut = prev.indexOf("\n## sf0.1 → sf1 decade")
-      sb ++= (if (cut >= 0) prev.substring(0, cut + 1) else prev)
-    } else {
+    // the tri-SF table is the document HEAD; the decade is an owned "## "
+    // section — both composed via MdSections so re-running either mode
+    // never deletes the OTHER tools' sections (BandProbe / StreamBench)
+    val headText: Option[String] = if (decadeOnly) None else Some {
+      val sb = new StringBuilder
       sb ++= "# SCALING — seconds at sf0.001 / 0.01 / 0.1 and the 0.01→0.1 log-log slope\n\n"
       sb ++= "Generated by `graft.tools.ScalingProbe` (best-of-3 per point, one JVM).\n"
       sb ++= "Slope ≤ ~1 = at-most-linear in data over the measured decade; ≈ 0 =\n"
@@ -98,8 +95,10 @@ object ScalingProbe {
       rows.foreach { case (n, ts, sl) =>
         sb ++= f"| $n | ${ts(0)}%.3f | ${ts(1)}%.3f | ${ts(2)}%.3f | $sl%.2f |\n"
       }
+      sb.toString
     }
-    sf1Dir.foreach { dir =>
+    val decadeText: Option[String] = sf1Dir.map { dir =>
+      val sb = new StringBuilder
       // One more decade for the steepest-slope queries from the 0.01→0.1
       // fit (plus pr1/d2, the two most expensive operators overall).
       val steep = Seq("pf2_numeric_profile", "g4_cube", "d6_simhash_hamming",
@@ -176,15 +175,25 @@ object ScalingProbe {
         |and the popcount verify (that distinct was the 1.08-slope term the
         |first round-6 probe measured). tc1's edge list and wedge count both
         |grow exactly ×10 (measured in DuckDB), so its row measures join
-        |strategy, not algorithmic blowup — the operator aggregates oriented
-        |adjacency lists once and counts per-edge via array_intersect, so
+        |strategy, not algorithmic blowup — the operator aggregates SORTED
+        |oriented adjacency lists once and counts per edge with an
+        |allocation-free two-pointer merge (functions.SortedIntersectCount;
+        |the built-in size(array_intersect) hash-built and materialized the
+        |intersection per edge and was replaced for exactly that cost), so
         |the ~80·|E| wedge stream is never materialized or shuffled at all
         |(beyond broadcast size the two edge⋈adjacency joins force
         |SHUFFLE_HASH — a sort buys nothing for a join that ends in one
         |global sum).
         |""".stripMargin
+      sb.toString
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    val outPath = java.nio.file.Paths.get(out)
+    val prev = if (java.nio.file.Files.exists(outPath))
+      java.nio.file.Files.readString(outPath) else ""
+    var content = headText.map(h => MdSections.replaceHead(prev, h)).getOrElse(prev)
+    decadeText.foreach(d =>
+      content = MdSections.upsert(content, "## sf0.1 → sf1 decade", d))
+    java.nio.file.Files.writeString(outPath, content)
     println(s"[scaling] wrote $out")
     rows.foreach { case (n, _, sl) => println(f"[scaling] $n%-24s slope $sl%.2f") }
     spark.stop()

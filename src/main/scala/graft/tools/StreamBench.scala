@@ -77,7 +77,10 @@ object StreamBench {
     // 100k updates through 1,000 state rows
     val types = (0 until 1000).map(i => f"type_$i%04d")
     val dayBatches = (0 until 100).map { d =>
-      val day = f"2025-01-${d % 28 + 1}%02d~$d%03d" // lexically increasing per key
+      // zero-padded counter key: lexically increasing across ALL batches
+      // (ewmaDaily's contract is day-ordered arrival; a calendar prefix
+      // that wraps would break the ordering from its wrap point on)
+      val day = f"day$d%03d"
       types.map(t => graft.streaming.StatefulOps.DayCount(t, day, (d + 1).toLong))
     }
     val in2 = MemoryStream[graft.streaming.StatefulOps.DayCount]
@@ -115,9 +118,8 @@ object StreamBench {
     println(f"[streambench] ewmaDaily $n2 rows $sec2%.2f s ${rate2}%.0f rows/s state=$st2")
     val prev = if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
       java.nio.file.Files.readString(java.nio.file.Paths.get(out)) else ""
-    val cut = prev.indexOf("\n## streaming throughput")
-    val base = if (cut >= 0) prev.substring(0, cut) else prev
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), base + sb.toString)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      MdSections.upsert(prev, "## streaming throughput", sb.toString))
     println(s"[streambench] appended to $out")
     spark.stop()
   }
