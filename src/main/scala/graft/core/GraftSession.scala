@@ -42,6 +42,15 @@ object GraftSession {
   def local(n: Int = cpus): SparkSession = {
     val s = builder(s"local[$n]", math.max(4, n)).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Iterative operators deliberately unpersist superseded localCheckpoint
+    // RDDs (GraftSqlBridge.unpersistCheckpoint) — Spark WARNs once per
+    // release that truncated lineage cannot be recomputed, which is the
+    // point (the blocks are verified-dead rounds); hundreds of those lines
+    // per bench run drown real warnings, so the RDD loggers go to ERROR.
+    Seq("org.apache.spark.rdd.MapPartitionsRDD", "org.apache.spark.rdd.RDD",
+        "org.apache.spark.rdd.ParallelCollectionRDD")
+      .foreach(l => org.apache.logging.log4j.core.config.Configurator
+        .setLevel(l, org.apache.logging.log4j.Level.ERROR))
     s
   }
 
