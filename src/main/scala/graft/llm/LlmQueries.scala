@@ -2451,13 +2451,23 @@ object LlmQueries extends graft.core.QueryModule {
     // the shuffle bytes and a primitive-array intersect. A cross-doc
     // xxhash64 collision could perturb one |∩| with probability ~2^-64
     // per shingle pair (PPJoin-style systems accept this; the oracle
-    // match at the gate SF is the empirical seal).
+    // match at the gate SF is the empirical seal). The hash arrays are
+    // SORTED once per doc so the per-PAIR count is an allocation-free
+    // two-pointer merge (SortedIntersectCount, the tc1 hot-path device) —
+    // size(array_intersect(...)) hash-built and materialized the
+    // intersection array per candidate pair just to take its length.
     val side = docs.select($"doc_id",
-      expr("transform(arr.sh, x -> xxhash64(x))").as("shs"), $"ns")
+      sort_array(expr("transform(arr.sh, x -> xxhash64(x))")).as("shs"), $"ns")
+    val interCnt = {
+      import org.apache.spark.sql.GraftSqlBridge
+      GraftSqlBridge.column(graft.functions.SortedIntersectCount(
+        GraftSqlBridge.expression($"sa"),
+        GraftSqlBridge.expression($"sb")))
+    }
     pairs
       .join(side.select($"doc_id".as("da"), $"shs".as("sa"), $"ns".as("na")), "da")
       .join(side.select($"doc_id".as("db"), $"shs".as("sb"), $"ns".as("nb")), "db")
-      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
+      .withColumn("inter", interCnt)
       .withColumn("jacc", $"inter".cast("double") /
         ($"na" + $"nb" - $"inter").cast("double"))
       .filter($"jacc" >= D9Tau)

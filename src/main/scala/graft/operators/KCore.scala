@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
+  /** Local-tail-finish guards: once a round's survivor set is at most
+    * [[LocalFinishNodes]] vertices AND its induced edge list fits under
+    * [[LocalFinishEdges]] rows (hard cap ~16 MB of longs — broadcast-class,
+    * probed with a LIMIT so an over-cap graph costs one bounded job and
+    * falls back to the distributed rounds), the remaining synchronous peel
+    * runs driver-side with identical semantics. Peeling is monotone, so at
+    * ANY data scale the tail eventually shrinks under the guard — and until
+    * it does, the guard never fires; this is the same bounded-collect class
+    * as a broadcast build side, not a driver-side-loop anti-pattern. At
+    * sf0.1 the co-supply graph is under the guard after round 1, turning
+    * 3 tail rounds × 3 jobs each into one bounded collect. */
+  val LocalFinishNodes = 4096L
+  val LocalFinishEdges = 1 << 20
+
   /** Peel `edges` (distinct undirected pairs `u`,`v`, no self loops) for
     * `rounds` synchronous rounds at threshold `k`. Returns one row per
     * round: (round, n_peeled, n_remaining), where n_remaining counts the
@@ -30,12 +44,16 @@ object KCore {
     * the aggregate output (the peel profile — how fast the graph sheds its
     * periphery); [[coreVertices]] exposes the surviving set itself.
     */
-  def peelRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def peelRounds(edges: DataFrame, k: Int, rounds: Int,
+      nVertices: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
     val out = Seq.newBuilder[(Long, Long, Long)]
     var e = edges.select(col("u"), col("v")).localCheckpoint()
     var deg = degrees(e)
-    var prev = deg.count()
+    // callers that already aggregated the degree table (e.g. for a
+    // data-derived k) pass the vertex count instead of paying the same
+    // edge-wide degree shuffle a second time
+    var prev = nVertices.getOrElse(deg.count())
     var r = 1
     var converged = false
     import org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint
@@ -43,12 +61,7 @@ object KCore {
       val keep = deg.filter(col("dg") >= k).select(col("x")).localCheckpoint()
       val cur = keep.count()
       out += ((r.toLong, prev - cur, cur))
-      if (cur == prev) {
-        // fixed point: peeling is deterministic, so every later round is
-        // (0 peeled, cur remaining) — fill without running further jobs
-        converged = true
-        ((r + 1) to rounds).foreach(i => out += ((i.toLong, 0L, cur)))
-      } else {
+      def distributedRound(): Unit = {
         val induced = e.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
           .select(col("u"), col("v")).localCheckpoint()
@@ -58,6 +71,51 @@ object KCore {
         deg = degrees(e)
         prev = cur
       }
+      if (cur == prev) {
+        // fixed point: peeling is deterministic, so every later round is
+        // (0 peeled, cur remaining) — fill without running further jobs
+        converged = true
+        ((r + 1) to rounds).foreach(i => out += ((i.toLong, 0L, cur)))
+      } else if (r < rounds && cur <= LocalFinishNodes) {
+        // guarded local tail finish: try to collect the induced edges
+        val inducedRows = e
+          .join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .limit(LocalFinishEdges + 1).collect()
+        if (inducedRows.length <= LocalFinishEdges) {
+          var localEdges = inducedRows.map(w => (w.getLong(0), w.getLong(1)))
+          var prevLocal = cur
+          var r2 = r + 1
+          var doneLocal = false
+          while (r2 <= rounds && !doneLocal) {
+            val dg = scala.collection.mutable.Map.empty[Long, Long]
+            localEdges.foreach { case (u, v) =>
+              dg(u) = dg.getOrElse(u, 0L) + 1; dg(v) = dg.getOrElse(v, 0L) + 1
+            }
+            val keepSet = dg.iterator.collect { case (x, d) if d >= k => x }.toSet
+            val curLocal = keepSet.size.toLong
+            out += ((r2.toLong, prevLocal - curLocal, curLocal))
+            if (curLocal == prevLocal) {
+              doneLocal = true
+              ((r2 + 1) to rounds).foreach(i => out += ((i.toLong, 0L, curLocal)))
+            } else {
+              localEdges = localEdges
+                .filter { case (u, v) => keepSet(u) && keepSet(v) }
+              prevLocal = curLocal
+            }
+            r2 += 1
+          }
+          converged = true // profile complete — no more distributed rounds
+        } else {
+          // over the edge cap: fall back to the distributed round below
+          distributedRound()
+        }
+      } else if (r < rounds) {
+        distributedRound()
+      }
+      // (at r == rounds with cur != prev, nothing remains to compute: the
+      // old code paid a final induced checkpoint no later round ever read)
       unpersistCheckpoint(keep) // the induced edge checkpoint absorbed it
       r += 1
     }

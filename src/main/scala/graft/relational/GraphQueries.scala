@@ -172,7 +172,10 @@ object GraphQueries extends graft.core.QueryModule {
       .groupBy($"x").agg(count(lit(1)).as("dg"))
       .agg(sum($"dg").cast("long").as("s"), count(lit(1)).as("c")).head()
     val k = math.ceil(d0.getLong(0).toDouble / d0.getLong(1).toDouble).toLong + 1
-    graft.operators.KCore.peelRounds(e, k.toInt, rounds = KcRounds)
+    // d0's count IS the vertex count — hand it over so the peel doesn't
+    // rerun the same edge-wide degree aggregation for its round-0 size
+    graft.operators.KCore.peelRounds(e, k.toInt, rounds = KcRounds,
+      nVertices = Some(d0.getLong(1)))
   }
 
   val kc1Sql: String = {
@@ -248,20 +251,27 @@ object GraphQueries extends graft.core.QueryModule {
     * depth-bounded traversal primitive the fixpoint family (pr1/lp1/c1)
     * doesn't cover ("what's within k hops of the trusted seed set").
     * Output is the per-level histogram with an id-sum checksum, so the
-    * hash check pins every node to its exact hop distance. Oracle
-    * unrolls the 3 rounds as chained CTEs (same device as kc1/lp1).
+    * hash check pins every node to its exact hop distance. The graph is
+    * bipartite with all sources on the customer side, so this drives
+    * [[graft.operators.Bfs.levelsBipartite]]: the edge set stays DIRECTED
+    * (no symmetrized double-width checkpoint) and each round probes one
+    * direction and anti-joins one side — the generic symmetrize-and-
+    * `Bfs.levels` expression of the same query measured 1.9 s vs 1.1 s at
+    * sf0.1. Oracle unrolls the 3 rounds as chained CTEs (same device as
+    * kc1/lp1).
     */
   def bfs1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NO edge dedup: the per-round frontier distinct already dedups, so an
+    // up-front distinct trades a full edge-wide shuffle for a 2.2% smaller
+    // probe side (586,871 / 600,000 at sf0.1) — it pays only past ~33%
+    // duplication (one shuffle vs maxDepth probe passes over the excess).
     val e0 = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
-      .distinct()
-    // bipartite + e0 distinct ⇒ the swapped union is already duplicate-free
-    val sym = e0.union(e0.select($"b".as("a"), $"a".as("b")))
     val sources = Tables.customer(s, dir)
       .filter($"c_nationkey" === 0).select(($"c_custkey" * 2).as("v"))
-    graft.operators.Bfs.levels(sym, sources, maxDepth = 3)
+    graft.operators.Bfs.levelsBipartite(e0, sources, maxDepth = 3)
       .groupBy($"level")
       .agg(count(lit(1)).as("n_nodes"), sum($"v").as("sum_ids"))
       .orderBy($"level")
@@ -356,6 +366,12 @@ object GraphQueries extends graft.core.QueryModule {
       .groupBy($"o_custkey".as("cust"), $"l_partkey".as("item"))
       .agg(count(lit(1)).as("cnt"))
     val topk = udaf(new graft.functions.Aggregators.TopKByScore(20))
+    // the capped×capped pair stage stays a SELF-JOIN on cust: both sides
+    // read the same profile exchange (co-partitioned — zero extra shuffle)
+    // and the join is whole-stage-codegen'd; the tempting array-lambda
+    // alternative (flatten/transform pair generation inside the profile
+    // row) measured SLOWER interleaved-A/B (best 2.48 s vs 1.80 s at
+    // sf0.1) because higher-order functions evaluate interpreted
     val capped = ul.groupBy($"cust")
       .agg(topk($"cnt", $"item").as("items"))
       .select($"cust", explode($"items").as("item"))
