@@ -272,6 +272,11 @@ object LlmQueries extends graft.core.QueryModule {
     * against a brute-force longest-common-substring reference (Ds1Spec).
     */
   def dupSpans(docs: DataFrame, minTokens: Long = 5, freqCap: Int = Ds1FreqCap): DataFrame = {
+    // the within-doc frequency cap stays a COUNT WINDOW: the tempting
+    // hash-agg shape (collect_list positions per (doc, shingle), filter,
+    // re-explode) measured slower interleaved-A/B at sf0.1 (best 1.67 s
+    // vs 1.33 s) — the list materialization + Generate costs more than
+    // the window's sort at this group cardinality
     val psh = docs
       .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)

@@ -299,20 +299,28 @@ object GraphQueries extends graft.core.QueryModule {
   /** mb1: market-basket association rules on the order→brand bipartite
     * projection — support / confidence / lift for co-purchased brand
     * pairs, the curation analogue being "which source×topic combinations
-    * co-occur in a shard". The pair stage self-joins baskets on the order
-    * key, so the blowup per order is C(brands-in-order, 2) — bounded by
-    * basket size, never corpus-quadratic; brand supports are a
-    * dictionary-sized relation and broadcast back onto the pairs.
+    * co-occur in a shard". Baskets are built ONCE as per-order brand SETS
+    * (one shuffle on the order key, map-side-combined collect_set), and
+    * every downstream — order count, brand supports, the C(brands,2)
+    * pair stream — reads that same exchange: the pair stage is a chained
+    * double explode of the basket array (codegen'd Generate, bounded by
+    * basket size), not a bask×bask self-join. The previous distinct
+    * (ok, b) formulation partitioned on the PAIR, so its pair self-join
+    * re-shuffled both sides on ok — two extra edge-wide exchanges.
+    * Brand supports are a dictionary-sized relation and broadcast back
+    * onto the pairs.
     */
   def mb1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bask = Tables.lineitem(s, dir)
       .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey".as("ok"), $"p_brand".as("b")).distinct()
-    val nb = bask.agg(countDistinct($"ok").as("n"))
-    val supp = bask.groupBy($"b").agg(count(lit(1)).as("s"))
-    val pairs = bask.toDF("ok", "brand_a")
-      .join(bask.toDF("ok", "brand_b"), "ok")
+      .select($"l_orderkey".as("ok"), $"p_brand".as("b"))
+      .groupBy($"ok").agg(collect_set($"b").as("bs"))
+    val nb = bask.agg(count(lit(1)).as("n"))
+    val supp = bask.select(explode($"bs").as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("s"))
+    val pairs = bask.select(explode($"bs").as("brand_a"), $"bs")
+      .select($"brand_a", explode($"bs").as("brand_b"))
       .filter($"brand_a" < $"brand_b")
       .groupBy($"brand_a", $"brand_b").agg(count(lit(1)).as("supp_ab"))
     graft.core.ScalarSub.withScalars(

@@ -88,7 +88,11 @@ object ScalingProbe {
     val headText: Option[String] = if (decadeOnly) None else Some {
       val sb = new StringBuilder
       sb ++= "# SCALING — seconds at sf0.001 / 0.01 / 0.1 and the 0.01→0.1 log-log slope\n\n"
-      sb ++= "Generated by `graft.tools.ScalingProbe` (best-of-3 per point, one JVM).\n"
+      // the parallelism is part of the measurement's identity: a local[4]
+      // run of the same sweep reads 2-3x slower on the wide shuffles and
+      // once shipped as an artifact that mismatch is invisible — state it
+      sb ++= s"Generated by `graft.tools.ScalingProbe` (best-of-3 per point, one JVM,\n"
+      sb ++= s"local[${graft.core.GraftSession.cpus}] — set SPARK_GRAFT_CPUS; Bench uses 32).\n"
       sb ++= "Slope ≤ ~1 = at-most-linear in data over the measured decade; ≈ 0 =\n"
       sb ++= "fixed-overhead-dominated at these sizes.\n\n"
       sb ++= "| query | sf0.001 | sf0.01 | sf0.1 | slope |\n|---|---|---|---|---|\n"
