@@ -25,17 +25,18 @@ object KCore {
 
   /** Local-tail-finish guards: once a round's survivor set is at most
     * [[LocalFinishNodes]] vertices AND its induced edge list fits under
-    * [[LocalFinishEdges]] rows (hard cap ~16 MB of longs — broadcast-class,
-    * probed with a LIMIT so an over-cap graph costs one bounded job and
-    * falls back to the distributed rounds), the remaining synchronous peel
-    * runs driver-side with identical semantics. Peeling is monotone, so at
-    * ANY data scale the tail eventually shrinks under the guard — and until
-    * it does, the guard never fires; this is the same bounded-collect class
-    * as a broadcast build side, not a driver-side-loop anti-pattern. At
-    * sf0.1 the co-supply graph is under the guard after round 1, turning
-    * 3 tail rounds × 3 jobs each into one bounded collect. */
+    * [[LocalFinishEdges]] rows (collected as primitive (Long, Long) tuples,
+    * ~48 B each ⇒ ~12 MB at the cap — broadcast-class, probed with a LIMIT
+    * so an over-cap graph costs one bounded job and falls back to the
+    * distributed rounds), the remaining synchronous peel runs driver-side
+    * with identical semantics. Peeling is monotone, so at ANY data scale
+    * the tail eventually shrinks under the guard — and until it does, the
+    * guard never fires; this is the same bounded-collect class as a
+    * broadcast build side, not a driver-side-loop anti-pattern. At sf0.1
+    * the co-supply graph is under the guard after round 1, turning 3 tail
+    * rounds × 3 jobs each into one bounded collect. */
   val LocalFinishNodes = 4096L
-  val LocalFinishEdges = 1 << 20
+  val LocalFinishEdges = 1 << 18
 
   /** Peel `edges` (distinct undirected pairs `u`,`v`, no self loops) for
     * `rounds` synchronous rounds at threshold `k`. Returns one row per
@@ -48,7 +49,13 @@ object KCore {
       nVertices: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
     val out = Seq.newBuilder[(Long, Long, Long)]
-    var e = edges.select(col("u"), col("v")).localCheckpoint()
+    // ids normalized to LONG at the boundary: key columns are
+    // Integral-class under the testdata drift contract (int32 ↔ int64
+    // across regenerations), and the local tail finish reads them as
+    // primitive longs — without the cast a regenerated int32 file would
+    // pass every DataFrame round and crash the first collect
+    var e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")).localCheckpoint()
     var deg = degrees(e)
     // callers that already aggregated the degree table (e.g. for a
     // data-derived k) pass the vertex count instead of paying the same
@@ -61,13 +68,18 @@ object KCore {
       val keep = deg.filter(col("dg") >= k).select(col("x")).localCheckpoint()
       val cur = keep.count()
       out += ((r.toLong, prev - cur, cur))
-      def distributedRound(): Unit = {
-        val induced = e.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+      // ONE induced-subgraph expression serves both execution paths — the
+      // local finish's claim of semantic identity with the distributed
+      // rounds must not depend on two copies staying in sync
+      def induced: DataFrame =
+        e.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
-          .select(col("u"), col("v")).localCheckpoint()
+          .select(col("u"), col("v"))
+      def distributedRound(): Unit = {
+        val next = induced.localCheckpoint()
         // release superseded round blocks immediately (see Bfs/CC note)
         unpersistCheckpoint(e)
-        e = induced
+        e = next
         deg = degrees(e)
         prev = cur
       }
@@ -77,14 +89,14 @@ object KCore {
         converged = true
         ((r + 1) to rounds).foreach(i => out += ((i.toLong, 0L, cur)))
       } else if (r < rounds && cur <= LocalFinishNodes) {
-        // guarded local tail finish: try to collect the induced edges
-        val inducedRows = e
-          .join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
-          .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
-          .select(col("u"), col("v"))
-          .limit(LocalFinishEdges + 1).collect()
-        if (inducedRows.length <= LocalFinishEdges) {
-          var localEdges = inducedRows.map(w => (w.getLong(0), w.getLong(1)))
+        // guarded local tail finish: try to collect the induced edges as
+        // primitive tuples (an untyped Row collect would transiently hold
+        // ~10× the bytes in boxed GenericRows)
+        import spark.implicits._
+        val inducedEdges =
+          induced.limit(LocalFinishEdges + 1).as[(Long, Long)].collect()
+        if (inducedEdges.length <= LocalFinishEdges) {
+          var localEdges = inducedEdges
           var prevLocal = cur
           var r2 = r + 1
           var doneLocal = false
@@ -129,7 +141,9 @@ object KCore {
     * profile shows a zero-peel round — spec-checked). */
   def coreVertices(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint
-    var e = edges.select(col("u"), col("v")).localCheckpoint()
+    // same long normalization as peelRounds (testdata Integral drift)
+    var e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")).localCheckpoint()
     var keep = degrees(e).filter(col("dg") >= k).select(col("x")).localCheckpoint()
     var prev = keep.count()
     var r = 1

@@ -41,6 +41,21 @@ class CheckpointHygieneSpec extends SparkTestBase {
     assert(leaked <= 7, s"leaked $leaked checkpoint RDDs")
   }
 
+  test("Bfs.levelsBipartite releases the edge checkpoint, keeps levels") {
+    val session = spark
+    import session.implicits._
+    // bipartite chain: left i → right i and right i → left i+1 (as two
+    // directed left→right edges over disjoint id spaces)
+    val edges = (1L until 300L).flatMap(i =>
+      Seq((2 * i, 2 * i + 1), (2 * i + 2, 2 * i + 1))).toDF("a", "b")
+    val sources = Seq(2L).toDF("v")
+    val before = persisted
+    val lv = Bfs.levelsBipartite(edges, sources, maxDepth = 6)
+    assert(lv.count() == 7)
+    val leaked = (persisted -- before).size
+    assert(leaked <= 7, s"leaked $leaked checkpoint RDDs")
+  }
+
   test("KCore peelRounds releases every round's edges and survivor sets") {
     val session = spark
     import session.implicits._

@@ -74,4 +74,22 @@ class KCoreSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(core === Set(1L, 2L, 3L, 4L))
   }
+
+  test("int32 edge columns survive the local tail finish (testdata drift)") {
+    // key columns are Integral-class under the testdata drift contract —
+    // a regenerated parquet may ship int32 where int64 shipped before.
+    // The local finish reads primitive longs, so the operator must
+    // normalize at the boundary; this pins the int input path end-to-end
+    // (the tiny graph is under the tail-finish guard from round 1).
+    import spark.implicits._
+    val edges = Seq((1, 2), (2, 3), (1, 3), (3, 4), (4, 5)).toDF("u", "v")
+    val rows = KCore.peelRounds(edges, k = 2, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (want, _) = refPeel(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)), k = 2, rounds = 4)
+    assert(rows === want)
+    val core = KCore.coreVertices(edges, 2, 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(core === Set(1L, 2L, 3L))
+  }
 }
