@@ -24,9 +24,12 @@ import org.apache.spark.sql.types._
   * element_at+cast nodes per row) with one primitive loop over the packed
   * float arrays — the pq1 hot path.
   *
-  * Contract: array elements non-null (embedding vectors); a null in any
-  * argument propagates null (NullIntolerant via TernaryExpression).
-  */
+  * Contract: x elements non-null (embedding vectors); a null in any
+  * argument — OR a null CENTROID element of `cents` (pq1 builds the
+  * centroid array from `first(when(vec_id = c, …))` aggregates, which
+  * yield null when a centroid row is absent from the table) — propagates
+  * null, exactly as the element_at/CASE cascade this expression replaced
+  * degraded. */
 case class PqAdcDistance(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
 
@@ -51,6 +54,8 @@ case class PqAdcDistance(first: Expression, second: Expression, third: Expressio
     val cents = cv.asInstanceOf[ArrayData]
     val tarr = tv.asInstanceOf[ArrayData]
     val k = cents.numElements()
+    var cc = 0
+    while (cc < k) { if (cents.isNullAt(cc)) return null; cc += 1 }
     val nsub = if (k > 0) tarr.numElements() / k else 0
     val sd = if (nsub > 0) x.numElements() / nsub else 0
     var acc = 0.0
@@ -93,27 +98,33 @@ case class PqAdcDistance(first: Expression, second: Expression, third: Expressio
       val bestC = ctx.freshName("bestC")
       val bestD = ctx.freshName("bestD")
       val ce = ctx.freshName("ce")
+      val cc = ctx.freshName("cc")
       s"""
          |int $k = $cents.numElements();
-         |int $nsub = $k > 0 ? $tarr.numElements() / $k : 0;
-         |int $sd = $nsub > 0 ? $x.numElements() / $nsub : 0;
-         |double $acc = 0.0;
-         |for (int $m = 0; $m < $nsub; $m++) {
-         |  int $bestC = 0;
-         |  double $bestD = Double.POSITIVE_INFINITY;
-         |  for (int $c = 0; $c < $k; $c++) {
-         |    org.apache.spark.sql.catalyst.util.ArrayData $ce = $cents.getArray($c);
-         |    double $d = 0.0;
-         |    for (int $i = 0; $i < $sd; $i++) {
-         |      int $idx = $m * $sd + $i;
-         |      double $diff = (double) $x.getFloat($idx) - (double) $ce.getFloat($idx);
-         |      $d += $diff * $diff;
-         |    }
-         |    if ($d < $bestD) { $bestD = $d; $bestC = $c; }
-         |  }
-         |  $acc += $tarr.getDouble($m * $k + $bestC);
+         |for (int $cc = 0; $cc < $k; $cc++) {
+         |  if ($cents.isNullAt($cc)) { ${ev.isNull} = true; break; }
          |}
-         |${ev.value} = $acc;
+         |if (!${ev.isNull}) {
+         |  int $nsub = $k > 0 ? $tarr.numElements() / $k : 0;
+         |  int $sd = $nsub > 0 ? $x.numElements() / $nsub : 0;
+         |  double $acc = 0.0;
+         |  for (int $m = 0; $m < $nsub; $m++) {
+         |    int $bestC = 0;
+         |    double $bestD = Double.POSITIVE_INFINITY;
+         |    for (int $c = 0; $c < $k; $c++) {
+         |      org.apache.spark.sql.catalyst.util.ArrayData $ce = $cents.getArray($c);
+         |      double $d = 0.0;
+         |      for (int $i = 0; $i < $sd; $i++) {
+         |        int $idx = $m * $sd + $i;
+         |        double $diff = (double) $x.getFloat($idx) - (double) $ce.getFloat($idx);
+         |        $d += $diff * $diff;
+         |      }
+         |      if ($d < $bestD) { $bestD = $d; $bestC = $c; }
+         |    }
+         |    $acc += $tarr.getDouble($m * $k + $bestC);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 
@@ -158,6 +169,9 @@ case class PqAdcTable(left: Expression, right: Expression, subDim: Int)
     val q = qv.asInstanceOf[ArrayData]
     val cents = cv.asInstanceOf[ArrayData]
     val k = cents.numElements()
+    // null centroid element → null result (see PqAdcDistance contract)
+    var cc = 0
+    while (cc < k) { if (cents.isNullAt(cc)) return null; cc += 1 }
     val nsub = q.numElements() / subDim
     val out = new Array[Double](nsub * k)
     var m = 0
@@ -193,23 +207,29 @@ case class PqAdcTable(left: Expression, right: Expression, subDim: Int)
       val d = ctx.freshName("d")
       val diff = ctx.freshName("diff")
       val ce = ctx.freshName("ce")
+      val cc = ctx.freshName("cc")
       s"""
          |int $k = $cents.numElements();
-         |int $nsub = $q.numElements() / $subDim;
-         |double[] $out = new double[$nsub * $k];
-         |for (int $m = 0; $m < $nsub; $m++) {
-         |  for (int $c = 0; $c < $k; $c++) {
-         |    org.apache.spark.sql.catalyst.util.ArrayData $ce = $cents.getArray($c);
-         |    double $d = 0.0;
-         |    for (int $i = 0; $i < $subDim; $i++) {
-         |      int $idx = $m * $subDim + $i;
-         |      double $diff = (double) $q.getFloat($idx) - (double) $ce.getFloat($idx);
-         |      $d += $diff * $diff;
-         |    }
-         |    $out[$m * $k + $c] = $d;
-         |  }
+         |for (int $cc = 0; $cc < $k; $cc++) {
+         |  if ($cents.isNullAt($cc)) { ${ev.isNull} = true; break; }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |if (!${ev.isNull}) {
+         |  int $nsub = $q.numElements() / $subDim;
+         |  double[] $out = new double[$nsub * $k];
+         |  for (int $m = 0; $m < $nsub; $m++) {
+         |    for (int $c = 0; $c < $k; $c++) {
+         |      org.apache.spark.sql.catalyst.util.ArrayData $ce = $cents.getArray($c);
+         |      double $d = 0.0;
+         |      for (int $i = 0; $i < $subDim; $i++) {
+         |        int $idx = $m * $subDim + $i;
+         |        double $diff = (double) $q.getFloat($idx) - (double) $ce.getFloat($idx);
+         |        $d += $diff * $diff;
+         |      }
+         |      $out[$m * $k + $c] = $d;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
 

@@ -24,7 +24,13 @@ object TriangleCount {
     * (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
     * clustering = 3·triangles / wedges (the global transitivity). */
   def run(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    // ids normalized to LONG at the boundary (the KCore discipline): key
+    // columns are Integral-class under the testdata drift contract, and
+    // the adjacency lists feed SortedIntersectCount, which requires
+    // ARRAY<BIGINT> — int32 input would fail analysis where the old
+    // type-agnostic wedge self-join ran fine
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")).localCheckpoint()
     // materialized: read by the two orientation joins AND the stats scalar
     // (un-checkpointed, the scalar subquery re-ran the whole degree
     // shuffle as its own job)

@@ -102,6 +102,35 @@ class PqAdcSpec extends SparkTestBase {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("null CENTROID element propagates null instead of crashing") {
+    // pq1 builds cents via array(first(when(vec_id = c, …))…): an absent
+    // centroid row yields a null ELEMENT, which the replaced element_at/
+    // CASE cascade null-propagated — the native expressions must degrade
+    // the same way, in both interpreted eval and codegen
+    import spark.implicits._
+    val df = Seq((q, Seq(c0, null))).toDF("x", "cents")
+      .select(adcTable($"x", $"cents", 2).as("t"),
+        adcDist($"x", $"cents", typedLit(Seq(1.0, 2.0, 3.0, 4.0))).as("d"))
+    val r = df.head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // interpreted path too (LocalTableScan can still constant-fold; force
+    // eval directly)
+    val centsWithNull = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        c0.toArray[Any]), null))
+    val xa = new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray[Any])
+    val ta = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](1.0, 2.0, 3.0, 4.0))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val centsT = ArrayType(ArrayType(FloatType), containsNull = true)
+    assert(PqAdcTable(Literal(xa, ArrayType(FloatType)),
+      Literal(centsWithNull, centsT), 2).eval(null) == null)
+    assert(PqAdcDistance(Literal(xa, ArrayType(FloatType)),
+      Literal(centsWithNull, centsT),
+      Literal(ta, ArrayType(DoubleType))).eval(null) == null)
+  }
+
   test("participates in whole-stage codegen (no fallback)") {
     import spark.implicits._
     // parquet-backed source (a LocalTableScan never enters codegen)

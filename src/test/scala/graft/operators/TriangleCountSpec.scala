@@ -73,4 +73,14 @@ class TriangleCountSpec extends SparkTestBase {
     val r = stats(star ++ Seq((1L, 2L), (2L, 3L), (1L, 3L)))
     assert(r.getAs[Long]("n_triangles") == 1)
   }
+
+  test("int32 edge columns count correctly (testdata drift)") {
+    // the sorted-intersect adjacency path needs ARRAY<BIGINT>; Integral-
+    // class drift may ship int32 keys, which the operator must normalize
+    // at the boundary (the old wedge self-join was type-agnostic)
+    import spark.implicits._
+    val r = TriangleCount.run(
+      Seq((1, 2), (2, 3), (1, 3), (3, 4)).toDF("u", "v")).head()
+    assert(r.getAs[Long]("n_triangles") == 1)
+  }
 }
