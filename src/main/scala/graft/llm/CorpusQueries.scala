@@ -48,29 +48,42 @@ object CorpusQueries extends graft.core.QueryModule {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
 
-  /** mix1: temperature-scaled domain mixture — per-source sampling weight
-    * w_i ∝ (tokens_i / Σtokens)^0.7 (the multinomial temperature trick from
-    * multilingual/domain-balance training recipes), normalized to sum 1.
-    * Both normalizations run as 1-row aggregates broadcast back (no
-    * unpartitioned window). Token counts are exact integers; wsum is a
-    * LEFT FOLD over the source-sorted weight list (not an unordered double
-    * SUM — partition merge order could flip a 6-dp rounding boundary), the
-    * same determinism discipline as s4/t8.
-    */
-  def mix1(s: SparkSession, dir: String): DataFrame = {
+  /** The temperature-T per-source weight pass SHARED by mix1/mix2/mix3 —
+    * one definition of the temperature constant and of the determinism-
+    * critical wsum discipline (a LEFT FOLD over the source-sorted weight
+    * list, not an unordered double SUM whose partition merge order could
+    * flip a 6-dp rounding boundary; the s4/t8 discipline). Returns the
+    * per-source frame with (source, [n_docs], tokens, tot_tokens, w, wsum);
+    * both normalizations run as 1-row aggregates broadcast back (no
+    * unpartitioned window). */
+  private val MixTemperature = 0.7
+  private def srcWeights(s: SparkSession, dir: String,
+      withDocCounts: Boolean): DataFrame = {
     import s.implicits._
-    val bySrc = Tables.documents(s, dir)
+    val grouped = Tables.documents(s, dir)
       .select($"source", size(TextOps.tokens($"text")).cast("long").as("tok"))
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("tokens"))
+    val bySrc =
+      if (withDocCounts) grouped.agg(count(lit(1)).as("n_docs"), sum($"tok").as("tokens"))
+      else grouped.agg(sum($"tok").as("tokens"))
     val tot = bySrc.agg(sum($"tokens").as("tot_tokens"))
     val w = graft.core.ScalarSub.withScalars(bySrc, tot)
-      .withColumn("w", pow($"tokens".cast("double") / $"tot_tokens".cast("double"), 0.7))
+      .withColumn("w", pow($"tokens".cast("double") / $"tot_tokens".cast("double"),
+        MixTemperature))
     val wsum = w
       .agg(sort_array(collect_list(struct($"source", $"w"))).as("ws"))
       .select(aggregate($"ws", lit(0.0),
         (acc, x) => acc + x("w").cast("double")).as("wsum"))
     graft.core.ScalarSub.withScalars(w, wsum)
+  }
+
+  /** mix1: temperature-scaled domain mixture — per-source sampling weight
+    * w_i ∝ (tokens_i / Σtokens)^0.7 (the multinomial temperature trick from
+    * multilingual/domain-balance training recipes), normalized to sum 1.
+    */
+  def mix1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    srcWeights(s, dir, withDocCounts = true)
       .select($"source", $"n_docs", $"tokens",
         round($"w" / $"wsum", 6).as("mix_weight"))
       .orderBy($"source")
@@ -100,23 +113,19 @@ object CorpusQueries extends graft.core.QueryModule {
     * never a corpus-wide rank window). The training-batch assembly step:
     * weights → an actual reproducible document sample.
     */
+  /** Sample budget, used BOTH in the quota formula and as the bottom-k
+    * aggregator's capacity: k_i ≤ budget always, so one name keeps the
+    * coupling visible — a budget raised without the aggregator capacity
+    * would silently leave quota slots unfilled. */
+  private val MixBudget = 60
   def mix2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val bySrc = docs
-      .select($"source", size(TextOps.tokens($"text")).cast("long").as("tok"))
-      .groupBy($"source").agg(sum($"tok").as("tokens"))
-    val tot = bySrc.agg(sum($"tokens").as("tot_tokens"))
-    val w = graft.core.ScalarSub.withScalars(bySrc, tot)
-      .withColumn("w", pow($"tokens".cast("double") / $"tot_tokens".cast("double"), 0.7))
-    val wsum = w
-      .agg(sort_array(collect_list(struct($"source", $"w"))).as("ws"))
-      .select(aggregate($"ws", lit(0.0),
-        (acc, x) => acc + x("w").cast("double")).as("wsum"))
-    val quota = graft.core.ScalarSub.withScalars(w, wsum)
+    val quota = srcWeights(s, dir, withDocCounts = false)
       .select($"source",
-        greatest(lit(1L), floor($"w" / $"wsum" * 60.0).cast("long")).as("k"))
-    val bk = udaf(new graft.functions.Aggregators.BottomKByStringKey(60))
+        greatest(lit(1L),
+          floor($"w" / $"wsum" * MixBudget.toDouble).cast("long")).as("k"))
+    val bk = udaf(new graft.functions.Aggregators.BottomKByStringKey(MixBudget))
     docs.groupBy($"source").agg(bk(md5($"text"), $"doc_id").as("ids"))
       .select($"source", posexplode($"ids").as(Seq("pos", "doc_id")))
       .select($"source", ($"pos" + 1).cast("long").as("rk"), $"doc_id")
@@ -200,17 +209,7 @@ object CorpusQueries extends graft.core.QueryModule {
     */
   def mix3(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bySrc = Tables.documents(s, dir)
-      .select($"source", size(TextOps.tokens($"text")).cast("long").as("tok"))
-      .groupBy($"source").agg(sum($"tok").as("tokens"))
-    val tot = bySrc.agg(sum($"tokens").as("tot_tokens"))
-    val w = graft.core.ScalarSub.withScalars(bySrc, tot)
-      .withColumn("w", pow($"tokens".cast("double") / $"tot_tokens".cast("double"), 0.7))
-    val wsum = w
-      .agg(sort_array(collect_list(struct($"source", $"w"))).as("ws"))
-      .select(aggregate($"ws", lit(0.0),
-        (acc, x) => acc + x("w").cast("double")).as("wsum"))
-    graft.core.ScalarSub.withScalars(w, wsum)
+    srcWeights(s, dir, withDocCounts = false)
       .withColumn("target", $"w" / $"wsum" * (lit(2.0) * $"tot_tokens".cast("double")))
       .withColumn("epochs", $"target" / $"tokens".cast("double"))
       .select($"source", $"tokens",
@@ -259,7 +258,7 @@ object CorpusQueries extends graft.core.QueryModule {
   def ord1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val keyed = Tables.documents(s, dir)
-      .select($"doc_id", (($"doc_id" * 2654435761L) % 4294967296L).as("h"))
+      .select($"doc_id", GlobalRank.knuthHash($"doc_id").as("h"))
     GlobalRank.withRowNumber(keyed, Seq(col("h"), col("doc_id")),
         rn = "rank", nTotal = None)
       .filter($"rank" <= 25)
@@ -295,7 +294,7 @@ object CorpusQueries extends graft.core.QueryModule {
     * pruned by Catalyst — the same sharing pattern as docStats. */
   private[graft] def manifest(docs: DataFrame, shardSize: Long): DataFrame = {
     val keyed = docs.select(col("doc_id"),
-      ((col("doc_id") * 2654435761L) % 4294967296L).as("h"),
+      GlobalRank.knuthHash(col("doc_id")).as("h"),
       size(TextOps.tokens(col("text"))).cast("long").as("tok"), col("text"))
     GlobalRank.withRowNumber(keyed, Seq(col("h"), col("doc_id")),
         rn = "rank", nTotal = None)
@@ -359,7 +358,7 @@ object CorpusQueries extends graft.core.QueryModule {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val keyed = docs.select($"doc_id",
-      (($"doc_id" * 2654435761L) % 4294967296L).as("h"), $"text")
+      GlobalRank.knuthHash($"doc_id").as("h"), $"text")
     val ranked = GlobalRank.withRowNumber(keyed, Seq($"h", $"doc_id"),
       rn = "rank", nTotal = Some("n"))
     val leaves = ranked
@@ -367,7 +366,7 @@ object CorpusQueries extends graft.core.QueryModule {
       .groupBy($"pos")
       .agg(sort_array(collect_list(struct($"rank", $"text"))).as("ds"))
       .select($"pos",
-        md5(array_join(transform($"ds", d => d("text")), "")
+        md5(array_join(transform($"ds", d => d("text")), "\u0001")
           .cast("binary")).as("h"))
     def up(df: DataFrame): DataFrame = df
       .groupBy(expr("pos div 2").as("pos"))

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.text.TextOps
@@ -150,9 +149,9 @@ object QualityQueries extends graft.core.QueryModule {
       |  CAST(SUM(length(props) - length(regexp_replace(props, '[0-9]+', '', 'g'))) AS BIGINT)
       |    AS n_digit_chars,
       |  COUNT(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS n_shapes,
-      |  min(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS v_min,
-      |  max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS v_max,
-      |  CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS v_sum
+      |  min(CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS BIGINT)) AS v_min,
+      |  max(CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS BIGINT)) AS v_max,
+      |  CAST(SUM(CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS BIGINT)) AS BIGINT) AS v_sum
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- dsir1
@@ -205,7 +204,8 @@ object QualityQueries extends graft.core.QueryModule {
 
   def dsir1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val u = (($"doc_id" * 2654435761L) % 4294967296L + 1).cast("double") / 4294967297.0
+    val u = (graft.operators.GlobalRank.knuthHash($"doc_id") + 1)
+      .cast("double") / 4294967297.0
     dsirScored(s, dir)
       .withColumn("key", lit(8.0) * $"lw" - log(-log(u)))
       .orderBy($"key".desc, $"doc_id")
@@ -261,8 +261,13 @@ object QualityQueries extends graft.core.QueryModule {
       .select($"doc_id", expr("filter(split(text, ' '), x -> x != '')").as("toks"))
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("nseg", ceil(size($"toks").cast("double") / 10.0).cast("int"))
+      // nseg = 0 (zero-token doc) must yield NO segments: bare
+      // sequence(0, nseg - 1) auto-steps DOWN to [0, -1] there, which
+      // would emit two phantom empty segments where the oracle's
+      // range(0, 0) emits none — the slice-to-nseg guard makes the empty
+      // case an empty array while leaving nseg > 0 untouched
       .select($"doc_id", $"n_tokens", explode(expr(
-        """transform(sequence(0, nseg - 1),
+        """transform(slice(sequence(0, greatest(nseg - 1, 0)), 1, nseg),
           |  i -> struct(array_join(slice(toks, i*10 + 1, 10), ' ') AS seg,
           |              size(slice(toks, i*10 + 1, 10)) AS sl))""".stripMargin)).as("s"))
       .select($"doc_id", $"n_tokens", $"s.seg".as("seg"), $"s.sl".cast("long").as("sl"))
@@ -314,11 +319,6 @@ object QualityQueries extends graft.core.QueryModule {
   // Scale: one doc_id-keyed aggregation over the token stream; zero joins,
   // zero windows, fully codegen'd. Determinism: integer counts into one
   // fixed-order double expression per doc; round(...,6) at the edge only.
-  /** Shared scored frame for lr1/qf1: per-doc engineered features + the
-    * fixed-linear-model sigmoid score, with the doc's source carried
-    * through the explode (source is functionally dependent on doc_id, so
-    * adding it to the groupBy changes no aggregate). Unrounded — callers
-    * round at their output edge. */
   /** Adds stop_frac/ttr/z/score to any frame carrying the docStats columns
     * plus mean_wl — the ONE definition of the lr1 model, applied to
     * docStats directly (lrScored) or on top of the rule table (cal1). */

@@ -29,6 +29,15 @@ import org.apache.spark.sql.types.LongType
   */
 object GlobalRank {
 
+  /** Knuth multiplicative hash of a BIGINT id into [0, 2³²) — the
+    * deterministic pseudo-random order SHARED by the training-order
+    * permutation (ord1 / tm1 / mf1 / mkl1 / CorpusExport.writeOrderedShards)
+    * and dsir1's Gumbel uniforms, and mirrored literally in their DuckDB
+    * oracles. ONE definition so the cross-query contract cannot drift: a
+    * typo'd constant in a single copy would silently reorder only that
+    * query's output. */
+  def knuthHash(id: Column): Column = (id * lit(2654435761L)) % lit(4294967296L)
+
   /** `df` + 1-based global rank column `rn` by `sort` + (optionally) the
     * total row count as column `n` — both computed in one shuffle plus one
     * lightweight counting pass (no single-partition stage anywhere). */
