@@ -432,7 +432,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   val mk1Sql: String =
     """WITH tr AS (
       |  SELECT event_type AS src,
-      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst
       |  FROM events),
       |c AS (SELECT src, dst, COUNT(*) AS c FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
       |t AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY 1)
@@ -570,7 +570,8 @@ object AnalyticsQueries extends graft.core.QueryModule {
     val ev = Tables.events(s, dir)
       .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"user_id")
     val hashed = ev
-      .withColumn("h0", ($"user_id" * lit(2654435761L) + lit(12345L)) % lit(4294967296L))
+      .withColumn("h0", (($"user_id".cast("decimal(38,0)") * lit(2654435761L)
+        + lit(12345L)) % lit(4294967296L)).cast("long"))
       .withColumn("h1", expr("h0 ^ shiftright(h0, 16)"))
       .withColumn("h2", ($"h1" * lit(49632381L)) % lit(4294967296L))
       .withColumn("h3", expr("h2 ^ shiftright(h2, 13)"))
@@ -951,7 +952,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |    lead(event_type, 2) OVER w AS n2,
       |    lead(event_type, 3) OVER w AS n3
       |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
       |p AS (
       |  SELECT src, 1 AS gap, n1 AS dst FROM l WHERE n1 IS NOT NULL
       |  UNION ALL SELECT src, 2, n2 FROM l WHERE n2 IS NOT NULL
@@ -972,15 +973,21 @@ object AnalyticsQueries extends graft.core.QueryModule {
   // with the tolerance applied post-match — engine-independent semantics.
   def at1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the attribution window and the latency are MICROSECOND semantics on
+    // both engines: the oracle differences epoch_us values, so the Spark
+    // side truncates ts_ns to µs BEFORE the as-of join and the subtraction
+    // — under the nanos events encoding, applying the 24 h tolerance in ns
+    // (or differencing ns then div 1000) disagrees with the oracle whenever
+    // a sub-µs remainder wraps the µs boundary
     val ev = Tables.events(s, dir)
     val purchases = ev.filter($"event_type" === "purchase")
-      .select($"user_id", $"ts_ns", $"ts", $"event_id")
+      .select($"user_id", expr("ts_ns div 1000").as("ts_us"), $"ts", $"event_id")
     val clicks = ev.filter($"event_type" === "click")
-      .select($"user_id", $"ts_ns", $"event_id".as("click_id"),
-        $"ts_ns".as("click_ts_ns"))
+      .select($"user_id", expr("ts_ns div 1000").as("ts_us"),
+        $"event_id".as("click_id"), expr("ts_ns div 1000").as("click_ts_us"))
     graft.operators.AsOfJoin.backwardWithin(purchases, clicks, "user_id",
-        "ts_ns", Seq("click_id", "click_ts_ns"), 86400L * 1000000000L)
-      .withColumn("lat_us", expr("(ts_ns - click_ts_ns) div 1000"))
+        "ts_us", Seq("click_id", "click_ts_us"), 86400L * 1000000L)
+      .withColumn("lat_us", expr("ts_us - click_ts_us"))
       .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_purchases"),
         count($"click_id").as("n_attributed"),
@@ -1055,7 +1062,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     val k = 256
     val Mod = 4294967296L
     val bk = udaf(new graft.functions.Aggregators.BottomK(k))
-    val pri = (c: org.apache.spark.sql.Column) => (c * lit(2654435761L)) % lit(Mod)
+    val pri = (c: org.apache.spark.sql.Column) => graft.operators.GlobalRank.knuthHash(c)
     val ud = Tables.events(s, dir)
       .select(to_date($"ts").as("day"), $"user_id").distinct()
     val daySk = ud.groupBy($"day")
@@ -1075,7 +1082,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
       .withColumn("th_u", least($"th_min",
         when(size($"mk") >= k, pri(element_at($"mk", k))).otherwise(lit(Mod))))
       .withColumn("nu", size(filter($"mk",
-        x => (x * lit(2654435761L)) % lit(Mod) < $"th_u")).cast("long"))
+        x => graft.operators.GlobalRank.knuthHash(x) < $"th_u")).cast("long"))
       .withColumn("est_mau7",
         $"nu".cast("double") * lit(4294967296.0) / $"th_u".cast("double"))
     val exact = au1(s, dir).select($"day", $"mau7".as("exact_mau7"))
@@ -1142,6 +1149,12 @@ object AnalyticsQueries extends graft.core.QueryModule {
   // per-type offset correction and NO low-cardinality per-type window
   // (5 types would mean 5 single-threaded sort chains). The argmax is a
   // mergeable max(struct) with a deterministic (abscum, ts, id) tiebreak.
+  // KNOWN BOUND: withPrefixSum accumulates in a raw JVM long (no ANSI
+  // check), and dev is pre-scaled by the group size n, so |cum| grows
+  // ~ n^1.5·σ_cents — past ~1e9 rows/type the accumulator needs the
+  // DECIMAL variant of the prefix sum (tracked; DuckDB's HUGEINT window
+  // is immune, so a wrap would show as a cross-engine mismatch, not a
+  // silent agreement).
   def cp1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = Tables.events(s, dir)
@@ -1199,7 +1212,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
     val k = 256
     val Mod = 4294967296L // 2^32 hash space of the BottomK priority
     val bk = udaf(new graft.functions.Aggregators.BottomK(k))
-    val pri = (c: org.apache.spark.sql.Column) => (c * lit(2654435761L)) % lit(Mod)
+    val pri = (c: org.apache.spark.sql.Column) => graft.operators.GlobalRank.knuthHash(c)
     val ev = Tables.events(s, dir)
     val aSet = ev.filter($"event_type" === "click" && $"user_id" % 3 =!= 0)
       .select($"user_id")
@@ -1222,7 +1235,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
         graft.core.ScalarSub.withScalars(sa, sb), exact)
       .withColumn("theta", least(thA, thB))
       .withColumn("u", filter(array_union($"sa", $"sb"),
-        x => (x * lit(2654435761L)) % lit(Mod) < $"theta"))
+        x => graft.operators.GlobalRank.knuthHash(x) < $"theta"))
       .withColumn("nu", size($"u").cast("long"))
       .withColumn("ni", size(filter($"u",
         x => array_contains($"sa", x) && array_contains($"sb", x))).cast("long"))
@@ -1347,24 +1360,29 @@ object AnalyticsQueries extends graft.core.QueryModule {
   // could straddle power-of-two boundaries differently across libms.
   def ia1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // MICROSECOND domain throughout (ordering, pairing, gaps): the oracle
+    // orders by and differences epoch_us, so under the nanos encoding a
+    // ts_ns-ordered window would pair same-µs events differently and a
+    // ns-difference-then-div gap can land one µs off (at1's fix note)
     val ev = Tables.events(s, dir)
-      .select($"event_type", to_date($"ts").as("day"), $"ts_ns", $"event_id")
+      .select($"event_type", to_date($"ts").as("day"),
+        expr("ts_ns div 1000").as("ts_us"), $"event_id")
     val inDay = Window.partitionBy($"event_type", $"day")
-      .orderBy($"ts_ns", $"event_id")
+      .orderBy($"ts_us", $"event_id")
     val within = ev
-      .withColumn("prev", lag($"ts_ns", 1).over(inDay))
+      .withColumn("prev", lag($"ts_us", 1).over(inDay))
       .filter($"prev".isNotNull)
-      .select($"event_type", expr("(ts_ns - prev) div 1000").as("gap_us"))
+      .select($"event_type", ($"ts_us" - $"prev").as("gap_us"))
     // day-boundary pairs: (type, present-day) first/last — agg-sized
     val byDay = ev.groupBy($"event_type", $"day")
-      .agg(min(struct($"ts_ns", $"event_id")).as("first"),
-        max(struct($"ts_ns", $"event_id")).as("last"))
+      .agg(min(struct($"ts_us", $"event_id")).as("first"),
+        max(struct($"ts_us", $"event_id")).as("last"))
     val overDays = Window.partitionBy($"event_type").orderBy($"day")
     val boundary = byDay
-      .withColumn("prev_last", lag($"last.ts_ns", 1).over(overDays))
+      .withColumn("prev_last", lag($"last.ts_us", 1).over(overDays))
       .filter($"prev_last".isNotNull)
       .select($"event_type",
-        expr("(first.ts_ns - prev_last) div 1000").as("gap_us"))
+        ($"first.ts_us" - $"prev_last").as("gap_us"))
     within.unionByName(boundary)
       .withColumn("bucket", (length(bin($"gap_us" + 1)) - 1).cast("long"))
       .groupBy($"event_type", $"bucket")
@@ -1859,11 +1877,14 @@ object AnalyticsQueries extends graft.core.QueryModule {
     import s.implicits._
     val m = Tables.events(s, dir)
       .withColumn("bucket",
-        (($"user_id" * lit(2654435761L)) % lit(4294967296L)) % lit(2))
+        graft.operators.GlobalRank.knuthHash($"user_id") % lit(2))
       .groupBy($"event_type", $"bucket")
       .agg(count(lit(1)).as("n"),
         sum(round($"value" * 100, 0).cast("long")).as("s1"),
-        sum(round($"value" * 100, 0).cast("long") *
+        // cents^2 ~ 3e9/row: a BIGINT sum overflows within a few e9 rows
+        // per (type, bucket) — the reg1 overflow class; DECIMAL(38,0) both
+        // engines (readout is a double ratio, so the type cast washes out)
+        sum(round($"value" * 100, 0).cast("decimal(38,0)") *
           round($"value" * 100, 0).cast("long")).as("s2"))
     def d6(c: org.apache.spark.sql.Column) = c.cast("double")
     val a = m.filter($"bucket" === 0).select($"event_type",
@@ -1886,8 +1907,8 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |    CAST((user_id * 2654435761) % 4294967296 % 2 AS BIGINT) AS bucket,
       |    COUNT(*) AS n,
       |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s1,
-      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
-      |      * CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s2
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS DECIMAL(38,0))
+      |      * CAST(ROUND(value * 100, 0) AS BIGINT)) AS DECIMAL(38,0)) AS s2
       |  FROM events GROUP BY 1, 2),
       |a AS (SELECT event_type, n AS na, s1 AS sa1, s2 AS sa2 FROM m WHERE bucket = 0),
       |b AS (SELECT event_type AS bt, n AS nb, s1 AS sb1, s2 AS sb2 FROM m WHERE bucket = 1)
@@ -2468,7 +2489,8 @@ object AnalyticsQueries extends graft.core.QueryModule {
     // enough here: its arithmetic-progression lattice biases the
     // leading-zero statistic HLL reads (measured +86% on sequential ids).
     val hashed = ev
-      .withColumn("h0", ($"user_id" * lit(2654435761L) + lit(12345L)) % lit(4294967296L))
+      .withColumn("h0", (($"user_id".cast("decimal(38,0)") * lit(2654435761L)
+        + lit(12345L)) % lit(4294967296L)).cast("long"))
       .withColumn("h1", expr("h0 ^ shiftright(h0, 16)"))
       .withColumn("h2", ($"h1" * lit(49632381L)) % lit(4294967296L))
       .withColumn("h3", expr("h2 ^ shiftright(h2, 13)"))

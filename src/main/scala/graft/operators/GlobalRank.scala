@@ -35,8 +35,17 @@ object GlobalRank {
     * and dsir1's Gumbel uniforms, and mirrored literally in their DuckDB
     * oracles. ONE definition so the cross-query contract cannot drift: a
     * typo'd constant in a single copy would silently reorder only that
-    * query's output. */
-  def knuthHash(id: Column): Column = (id * lit(2654435761L)) % lit(4294967296L)
+    * query's output.
+    *
+    * The multiply routes through DECIMAL(38,0): for id ≥ 2⁶³/2654435761
+    * ≈ 3.47e9 (a realistic id space at the 100 TB posture) the bigint
+    * product overflows — Spark under ANSI throws where DuckDB promotes to
+    * HUGEINT and keeps the exact mod-2³² residue. The decimal route
+    * computes that same exact residue (and is bit-identical to the long
+    * path for every smaller id), so the SQL mirrors stay literal. */
+  def knuthHash(id: Column): Column =
+    ((id.cast("decimal(38,0)") * lit(2654435761L)) % lit(4294967296L))
+      .cast("long")
 
   /** `df` + 1-based global rank column `rn` by `sort` + (optionally) the
     * total row count as column `n` — both computed in one shuffle plus one
