@@ -21,13 +21,17 @@ object AnalyticsQueries extends graft.core.QueryModule {
 
   private def vdec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
-  // A4: model-index counts — groupBy(round(value/100)).count.
+  // A4/A5 share ONE definition of the model-index bucket — the named
+  // reference semantic Chain.modelCounts — so the a4 histogram and a5's
+  // Bayes-factor inputs cannot drift apart (they were three hand-rolled
+  // copies of groupBy(round(value/100)).count).
+  private def eventModelCounts(s: SparkSession, dir: String): DataFrame =
+    Chain.modelCounts(Tables.events(s, dir), col("value") / 100)
+
+  // A4: model-index counts.
   def a4(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, dir)
-      .groupBy(round($"value" / 100).cast("long").as("nmodel"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy($"nmodel")
+    eventModelCounts(s, dir).orderBy($"nmodel")
   }
   val a4Sql: String =
     """SELECT CAST(round(value / 100) AS BIGINT) AS nmodel, COUNT(*) AS cnt
@@ -36,10 +40,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   // A5: pairwise log Bayes factors over the A4 counts (self-join i<j).
   def a5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val counts = Tables.events(s, dir)
-      .groupBy(round($"value" / 100).cast("long").as("nmodel"))
-      .agg(count(lit(1)).as("cnt"))
-    Chain.logBayesFactors(counts)
+    Chain.logBayesFactors(eventModelCounts(s, dir))
       .withColumn("log_bf", round($"log_bf", 6))
       .orderBy($"model_i", $"model_j")
   }
@@ -565,23 +566,37 @@ object AnalyticsQueries extends graft.core.QueryModule {
       |    AS last_vs_trend
       |FROM x ORDER BY event_type""".stripMargin
 
+  /** The hll avalanche hash chain + rho ladder SHARED by hll1/hll2 — adds
+    * (reg, rho) to any frame carrying user_id (other columns ride along).
+    * xor-shift-multiply avalanche (xxhash32 shape): a single LCG's
+    * arithmetic-progression lattice biases the leading-zero statistic HLL
+    * reads (measured +86% on sequential ids). Only the FIRST multiply can
+    * exceed bigint (id * 2654435761); it routes through DECIMAL(38,0) for
+    * the exact mod-2^32 residue (the knuthHash discipline) — every later
+    * step runs on < 2^32 state. One definition so the two sketches (and
+    * their literal SQL mirrors) cannot drift. */
+  private def hllRegRho(df: DataFrame): DataFrame = {
+    val hashed = df
+      .withColumn("h0", ((col("user_id").cast("decimal(38,0)") * lit(2654435761L)
+        + lit(12345L)) % lit(4294967296L)).cast("long"))
+      .withColumn("h1", expr("h0 ^ shiftright(h0, 16)"))
+      .withColumn("h2", (col("h1") * lit(49632381L)) % lit(4294967296L))
+      .withColumn("h3", expr("h2 ^ shiftright(h2, 13)"))
+      .withColumn("h4", (col("h3") * lit(179424673L)) % lit(4294967296L))
+      .withColumn("h", expr("(h4 ^ shiftright(h4, 16)) % 16777216"))
+      .withColumn("reg", col("h") % 64)
+      .withColumn("w", expr("h div 64"))
+    var rho: org.apache.spark.sql.Column = when(col("w") >= lit(1L << 17), 1)
+    for (k <- 2 to 18) rho = rho.when(col("w") >= lit(1L << (18 - k)), k)
+    hashed.withColumn("rho", rho.otherwise(19))
+      .drop("h0", "h1", "h2", "h3", "h4", "h", "w")
+  }
+
   def hll2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
       .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"user_id")
-    val hashed = ev
-      .withColumn("h0", (($"user_id".cast("decimal(38,0)") * lit(2654435761L)
-        + lit(12345L)) % lit(4294967296L)).cast("long"))
-      .withColumn("h1", expr("h0 ^ shiftright(h0, 16)"))
-      .withColumn("h2", ($"h1" * lit(49632381L)) % lit(4294967296L))
-      .withColumn("h3", expr("h2 ^ shiftright(h2, 13)"))
-      .withColumn("h4", ($"h3" * lit(179424673L)) % lit(4294967296L))
-      .withColumn("h", expr("(h4 ^ shiftright(h4, 16)) % 16777216"))
-      .withColumn("reg", $"h" % 64)
-      .withColumn("w", expr("h div 64"))
-    var rho: org.apache.spark.sql.Column = when($"w" >= lit(1L << 17), 1)
-    for (k <- 2 to 18) rho = rho.when($"w" >= lit(1L << (18 - k)), k)
-    val withRho = hashed.withColumn("rho", rho.otherwise(19))
+    val withRho = hllRegRho(ev)
     val daily = withRho.groupBy($"day", $"reg").agg(max($"rho").as("m"))
     val merged = daily.groupBy($"reg").agg(max($"m").as("m"))
     val direct = withRho.groupBy($"reg").agg(max($"rho").as("m"))
@@ -2484,23 +2499,7 @@ object AnalyticsQueries extends graft.core.QueryModule {
   def hll1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir).select($"event_type", $"user_id")
-    // xor-shift-multiply avalanche (xxhash32 shape), 32-bit state so no
-    // bigint multiply can overflow in either engine. A single LCG is NOT
-    // enough here: its arithmetic-progression lattice biases the
-    // leading-zero statistic HLL reads (measured +86% on sequential ids).
-    val hashed = ev
-      .withColumn("h0", (($"user_id".cast("decimal(38,0)") * lit(2654435761L)
-        + lit(12345L)) % lit(4294967296L)).cast("long"))
-      .withColumn("h1", expr("h0 ^ shiftright(h0, 16)"))
-      .withColumn("h2", ($"h1" * lit(49632381L)) % lit(4294967296L))
-      .withColumn("h3", expr("h2 ^ shiftright(h2, 13)"))
-      .withColumn("h4", ($"h3" * lit(179424673L)) % lit(4294967296L))
-      .withColumn("h", expr("(h4 ^ shiftright(h4, 16)) % 16777216"))
-      .withColumn("reg", $"h" % 64)
-      .withColumn("w", expr("h div 64"))
-    var rho: org.apache.spark.sql.Column = when($"w" >= lit(1L << 17), 1)
-    for (k <- 2 to 18) rho = rho.when($"w" >= lit(1L << (18 - k)), k)
-    val regs = hashed.withColumn("rho", rho.otherwise(19))
+    val regs = hllRegRho(ev)
       .groupBy($"event_type", $"reg").agg(max($"rho").as("m"))
     val sket = regs.groupBy($"event_type").agg(
       count(lit(1)).as("nreg"),
