@@ -47,6 +47,11 @@ case class PqAdcDistance(first: Expression, second: Expression, third: Expressio
   }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Can evaluate to null even with non-nullable children (null centroid
+  // ELEMENT of `cents`) — without this override nullSafeCodeGen's
+  // non-nullable branch interpolates ev.isNull as the literal `false` and
+  // the `${ev.isNull} = true;` below emits uncompilable `false = true;`.
+  override def nullable: Boolean = true
   override def prettyName: String = "pq_adc_distance"
 
   override protected def nullSafeEval(xv: Any, cv: Any, tv: Any): Any = {
@@ -163,6 +168,10 @@ case class PqAdcTable(left: Expression, right: Expression, subDim: Int)
   }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // Same null-centroid-element contract as PqAdcDistance: nullable must be
+  // forced true or the generated `${ev.isNull} = true;` is `false = true;`
+  // under all-non-nullable children.
+  override def nullable: Boolean = true
   override def prettyName: String = "pq_adc_table"
 
   override protected def nullSafeEval(qv: Any, cv: Any): Any = {

@@ -318,7 +318,7 @@ object IndexQueries extends graft.core.QueryModule {
     */
   def spl1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bucket = (($"doc_id" * 2654435761L) % 4294967296L) % 100
+    val bucket = graft.operators.GlobalRank.knuthHash($"doc_id") % 100
     Tables.documents(s, dir)
       .select($"source", size(TextOps.tokens($"text")).cast("long").as("tok"),
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -395,7 +395,8 @@ object IndexQueries extends graft.core.QueryModule {
     */
   def wsm1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val u = (($"doc_id" * 2654435761L) % 4294967296L + 1).cast("double") / 4294967297.0
+    val u = (graft.operators.GlobalRank.knuthHash($"doc_id") + 1)
+      .cast("double") / 4294967297.0
     val bk = udaf(new graft.functions.Aggregators.BottomKByPriority(4))
     Tables.documents(s, dir)
       .select($"lang", $"doc_id",

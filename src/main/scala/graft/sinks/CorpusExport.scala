@@ -99,7 +99,7 @@ object CorpusExport {
   def writeOrderedShards(docs: DataFrame, outDir: String, idCol: String,
       shardSize: Long): Long = {
     val keyed = docs.withColumn("__h",
-      (col(idCol) * 2654435761L) % 4294967296L)
+      graft.operators.GlobalRank.knuthHash(col(idCol)))
     val ranked = graft.operators.GlobalRank
       .withRowNumber(keyed, Seq(col("__h"), col(idCol)), rn = "__rank",
         nTotal = None)

@@ -131,6 +131,27 @@ class PqAdcSpec extends SparkTestBase {
       Literal(ta, ArrayType(DoubleType))).eval(null) == null)
   }
 
+  test("non-nullable children still compile under codegen (nullable override)") {
+    // With all-non-nullable children and no `nullable=true` override,
+    // nullSafeCodeGen takes its non-nullable branch where ev.isNull is the
+    // LITERAL `false` — the null-centroid guard's `${ev.isNull} = true;`
+    // then emits uncompilable `false = true;`. fallback=false makes that a
+    // hard failure instead of a silent interpreted retry.
+    import spark.implicits._
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val nn = coalesce($"embedding", typedLit(Seq.fill(64)(0.0f))) // nullable=false
+    val cents = array(nn, nn)
+    val tarr = coalesce(adcTable(nn, cents, 8), typedLit(Seq.fill(16)(0.0)))
+    val df = e.select(adcDist(nn, cents, tarr).as("d"))
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(df.filter($"d" =!= 0.0).count() === 0) // every row vs itself → 0
+      assert(df.queryExecution.executedPlan.toString.contains("*("))
+      assert(df.schema("d").nullable) // schema must admit the null-centroid case
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("participates in whole-stage codegen (no fallback)") {
     import spark.implicits._
     // parquet-backed source (a LocalTableScan never enters codegen)
