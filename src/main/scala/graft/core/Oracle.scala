@@ -66,4 +66,23 @@ object Oracle {
     s"CAST(${sqlMoney(price)} * ${sqlOneMinus(disc)} AS DECIMAL(18,4))"
   def sqlChargeTerm(price: String, disc: String, tax: String): String =
     s"CAST(${sqlRevenueTerm(price, disc)} * ${sqlOnePlus(tax)} AS DECIMAL(24,6))"
+
+  /** SAFE oracle-side decimal→double cast for sums whose SCALED mantissa
+    * can cross 2⁵³ (≈9.0e15). DuckDB converts a decimal by rounding the
+    * integer mantissa to double FIRST and dividing by 10^scale second —
+    * two roundings — while Spark's BigDecimal.doubleValue rounds once,
+    * correctly. The divergence is real, not theoretical: at sf1 q1's
+    * sum_charge is DECIMAL(38,6) ≈ 2.79e10 → mantissa 2.79e16 > 2⁵³, and
+    * DuckDB lands 1 ulp high (…941593 vs the correctly-rounded …94159).
+    *
+    * The rewrite `double(trunc(s)) + double(s − trunc(s))` is exactly the
+    * correctly-rounded conversion while |trunc(s)| < 2⁵³ (sums to ~9e15
+    * currency units, sf ≈ 3e5): both addends are EXACT doubles (integer
+    * part < 2⁵³; fractional part has scale-6 mantissa < 10⁶ — when it
+    * isn't exactly representable its ≤2⁻⁵⁴ rounding error cannot move the
+    * final IEEE add across a rounding boundary, because a scale-6 grid
+    * point is never closer than 1/(10⁶·2¹⁹) ≈ 2e-12 to a double midpoint
+    * at these magnitudes), and the one visible rounding is the add itself. */
+  def sqlDSafe(s: String): String =
+    s"(CAST(TRUNC($s) AS DOUBLE) + CAST($s - TRUNC($s) AS DOUBLE))"
 }

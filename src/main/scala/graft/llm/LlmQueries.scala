@@ -81,7 +81,7 @@ object LlmQueries extends graft.core.QueryModule {
         keep = Seq(col("lang")))
     }
 
-  private def docTids(s: SparkSession, dir: String): DataFrame =
+  private[llm] def docTids(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "docTids") {
       val pt = docTokens(s, dir)
       // dictionary is vocabulary-sized → broadcast; the token stream never shuffles
@@ -338,16 +338,42 @@ object LlmQueries extends graft.core.QueryModule {
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "simhashPairs")(simhashPairs0(s, dir))
 
+  /** Doc count above which simhash candidate generation switches from the
+    * four 16-bit chunk bands to the 20-combo 32-bit block keys (both exact
+    * for hamming ≤ 3 — see [[simhashComboPairs]]). Derived from two
+    * measurements, not argued:
+    *  - graft.llm.SimhashGeoProbe (r8, interleaved one-JVM A/B at
+    *    local[32]): combo costs a flat ~4.3 s (20 unioned joins × task
+    *    overhead) at 50k docs where band16 runs 1.29 s — band16 WINS the
+    *    whole measured range, so the dial must sit above it;
+    *  - graft.tools.BandProbe (SCALING.md banding-knee table): band16's
+    *    false-candidate term follows 4·n²/2¹⁷ (2.8M false at n=300k,
+    *    quadratic after), priced at ~0.3–0.5 µs per candidate by the sf1
+    *    probe's throughput.
+    * Crossover: 4·n²/2¹⁷ · 0.4 µs > 4.3 s at n ≈ 6e5 (at 1M docs band16
+    * pays ~12 s of false candidates; combo stays flat). System property
+    * override for probes. */
+  private[llm] def simhashComboThreshold: Long =
+    sys.props.get("graft.simhash.comboThreshold").map(_.toLong)
+      .getOrElse(500000L)
+
   private def simhashPairs0(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // 64-bit simhash as four 16-bit chunks, banded whole: hamming ≤ 3 over
-    // the virtual 64-bit hash guarantees (pigeonhole) at least one chunk
-    // is EQUAL, so four chunk-equality joins are exact — and a random
-    // collision costs n²/65536 per band, not the n²/256 a 16-bit hash's
-    // 8-bit bands cost (the sf1 probe measured that superlinear).
-    // The per-doc hash feeds EIGHT join sides — materialize once via
-    // localCheckpoint (not persist: CacheManager leak).
+    // The per-doc hash feeds every band join side — materialize once via
+    // localCheckpoint (not persist: CacheManager leak). The checkpoint
+    // makes the geometry-dial count() below a metadata-cheap second job.
     val sh = TextOps.simhashChunks(docTids(s, dir)).localCheckpoint()
+    if (sh.count() >= simhashComboThreshold) simhashComboPairs(s, sh)
+    else simhashBand16Pairs(s, sh)
+  }
+
+  /** 4×16-bit chunk-equality banding — exact for hamming ≤ 3 over the
+    * virtual 64-bit hash (pigeonhole: ≤3 bad bits leave ≥1 of 4 chunks
+    * clean). Random-collision candidates 4·n²/2¹⁷: the right shape below
+    * the banding knee, superlinear above it. */
+  private[llm] def simhashBand16Pairs(s: SparkSession,
+      sh: DataFrame): DataFrame = {
+    import s.implicits._
     def side(p: String) = sh.select(($"doc_id".as(s"d$p") +:
       TextOps.ChunkParams.indices.map(c => col(s"sh$c").as(s"sh$c$p"))): _*)
     // Exactly-once multi-index rule: band c emits a pair only when c is
@@ -365,6 +391,62 @@ object LlmQueries extends graft.core.QueryModule {
       val firstMatch = (0 until c)
         .map(k => col(s"sh${k}a") =!= col(s"sh${k}b"))
         .foldLeft(col(s"sh${c}a") === col(s"sh${c}b"))(_ && _)
+      side("a").join(side("b"), firstMatch && $"da" < $"db")
+        .select($"da", $"db", hamming.as("hamming"))
+    }.reduce(_ unionByName _)
+      .filter($"hamming" <= 3)
+      .select($"da", $"db", $"hamming")
+  }
+
+  /** Combination banding (the multi-index scheme of Manku/Jain/Das Sarma,
+    * WWW'07 §3): split the 64-bit hash into SIX blocks (11,11,11,11,10,10
+    * bits); with ≤3 bad bits at most 3 blocks are dirty, so ≥3 of 6 are
+    * clean and at least one of the C(6,3)=20 3-block COMBINATIONS matches
+    * exactly — each combo key is a packed ≤33-bit long, so the equijoin
+    * collision rate is 20·n²/2³³ where the 16-bit chunk bands pay
+    * 4·n²/2¹⁷: a 13,000× candidate cut, bought with a flat 20-way union.
+    * Exactly-once by the same first-match rule as the 4-band shape (emit
+    * at combo t only when combos 0..t−1 all differ — every qualifying
+    * pair has exactly one first clean combo, so no distinct). Output is
+    * the same exact hamming ≤ 3 pair set: the geometry is a plan choice,
+    * never a semantic one. */
+  private[llm] def simhashComboPairs(s: SparkSession, sh: DataFrame): DataFrame = {
+    import s.implicits._
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    val offs = widths.scanLeft(0)(_ + _)
+    // block q = bits [offs(q), offs(q)+width) of the virtual 64-bit hash,
+    // where bit (16c + j) is bit j of chunk sh_c — gathered by shift/mask
+    // straddling chunk boundaries.
+    def blockCol(q: Int): Column = {
+      val (lo, hi) = (offs(q), offs(q) + widths(q))
+      (0 until 4).flatMap { c =>
+        val (cLo, cHi) = (16 * c, 16 * c + 16)
+        val (oLo, oHi) = (math.max(lo, cLo), math.min(hi, cHi))
+        if (oLo >= oHi) None
+        else Some(shiftright(col(s"sh$c"), oLo - cLo)
+          .bitwiseAND(lit((1L << (oHi - oLo)) - 1)) * lit(1L << (oLo - lo)))
+      }.reduce(_ + _)
+    }
+    val combos = (0 until 6).combinations(3).toSeq // lexicographic, stable
+    val keyed = sh.select(
+      (col("doc_id") +: (0 until 4).map(c => col(s"sh$c"))) ++
+        (0 until 6).map(q => blockCol(q).as(s"b$q")): _*)
+    val withKeys = keyed.select(
+      (col("doc_id") +: (0 until 4).map(c => col(s"sh$c"))) ++
+        combos.zipWithIndex.map { case (Seq(i, j, k), t) =>
+          ((col(s"b$i") * lit(1L << 22)) + (col(s"b$j") * lit(1L << 11)) +
+            col(s"b$k")).as(s"k$t")
+        }: _*)
+    def side(p: String) = withKeys.select(
+      (col("doc_id").as(s"d$p") +:
+        (0 until 4).map(c => col(s"sh$c").as(s"sh$c$p"))) ++
+        combos.indices.map(t => col(s"k$t").as(s"k$t$p")): _*)
+    val hamming = (0 until 4).map(c =>
+      bit_count(col(s"sh${c}a").bitwiseXOR(col(s"sh${c}b")))).reduce(_ + _).cast("long")
+    combos.indices.map { t =>
+      val firstMatch = (0 until t)
+        .map(u => col(s"k${u}a") =!= col(s"k${u}b"))
+        .foldLeft(col(s"k${t}a") === col(s"k${t}b"))(_ && _)
       side("a").join(side("b"), firstMatch && $"da" < $"db")
         .select($"da", $"db", hamming.as("hamming"))
     }.reduce(_ unionByName _)
@@ -2379,8 +2461,23 @@ object LlmQueries extends graft.core.QueryModule {
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
         (VectorOps.dotNative($"a.embedding", $"b.embedding") /
           (sqrt($"a.n2") * sqrt($"b.n2"))).as("cos"))
-    val sym = p.select($"va".as("src"), $"vb".as("nb"), $"cos")
-      .unionAll(p.select($"vb".as("src"), $"va".as("nb"), $"cos"))
+    // MEASURED NEGATIVE (r8, graft.llm.Knn1Probe — interleaved one-JVM
+    // A/B at sf1/local[32]): emitting both directions via ONE
+    // explode(array(struct(va,vb), struct(vb,va))) — to avoid the union's
+    // second dot-product evaluation — ran 9.2 s vs the union's 5.5 s
+    // best. The recomputed dot is 64 codegen'd FMAs per pair; the explode
+    // pays a per-row array-of-structs allocation plus a Generate row
+    // copy, which costs more than the arithmetic it saves. The union
+    // stays; the prop dial exists only for the probe.
+    val sym =
+      if (sys.props.get("graft.knn1.explodeSym").contains("true"))
+        p.select(explode(array(
+            struct($"va".as("src"), $"vb".as("nb")),
+            struct($"vb".as("src"), $"va".as("nb")))).as("e"), $"cos")
+          .select($"e.src".as("src"), $"e.nb".as("nb"), $"cos")
+      else
+        p.select($"va".as("src"), $"vb".as("nb"), $"cos")
+          .unionAll(p.select($"vb".as("src"), $"va".as("nb"), $"cos"))
     val bk = udaf(new graft.functions.Aggregators.BottomKPairs(3))
     sym.groupBy($"src")
       .agg(bk(-$"cos", $"nb").as("nbs"))
@@ -2436,22 +2533,65 @@ object LlmQueries extends graft.core.QueryModule {
         ($"ns" - ceil($"ns".cast("double") * lit(D9Tau)) + 1).cast("int"))
       .withColumn("prefix", slice($"arr", lit(1), $"plen"))
   }
-  def d9(s: SparkSession, dir: String): DataFrame = {
+  /** Candidate pair generation for d9, both A/B arms of the r8 probe.
+    * `positional = true` adds two EXACT cuts on top of the length filter:
+    *  - join keys are xxhash64 of the prefix shingle (8-byte shuffle keys
+    *    instead of strings; a key collision only ADDS a candidate that the
+    *    exact verify then drops, so completeness is untouched);
+    *  - PPJoin's POSITIONAL filter (Xiao et al. 2008 §3.2): for a match on
+    *    prefix positions (pa, pb) (0-based in the canonical sort), the
+    *    overlap is bounded by min(na−pa, nb−pb) — everything before the
+    *    match in either array is non-shared by construction of the FIRST
+    *    shared element, and a true pair's first shared prefix element
+    *    always passes (its bound ≥ the real overlap ≥ α). Matches whose
+    *    bound < α = ⌈τ·(na+nb)/(1+τ)⌉ are pruned BEFORE the distinct
+    *    shuffle — the fan-out term the sf1 decade measured as slope 0.68.
+    */
+  private[llm] def d9Pairs(docs: DataFrame, positional: Boolean): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = d9Docs(s, dir).localCheckpoint()
-    // LENGTH FILTER at candidate time (the second AllPairs pruner):
-    // J ≥ τ forces τ·|x| ≤ |y| ≤ |x|/τ, so size-incompatible pairs never
-    // leave the join. Still complete — it's a necessary condition of the
-    // threshold, not a heuristic.
-    val cand = docs.select($"doc_id", $"lang", $"ns", explode($"prefix").as("pe"))
-      .select($"doc_id", $"lang", $"ns", $"pe.sh".as("sh"))
-    val pairs = cand.select($"doc_id".as("da"), $"lang", $"sh", $"ns".as("na"))
-      .join(cand.select($"doc_id".as("db"), $"lang", $"sh", $"ns".as("nb")),
-        Seq("lang", "sh"))
-      .filter($"da" < $"db" &&
-        $"nb".cast("double") >= $"na".cast("double") * D9Tau &&
-        $"nb".cast("double") <= $"na".cast("double") / D9Tau)
-      .select($"da", $"db").distinct()
+    if (!positional) {
+      val cand = docs.select($"doc_id", $"lang", $"ns", explode($"prefix").as("pe"))
+        .select($"doc_id", $"lang", $"ns", $"pe.sh".as("sh"))
+      cand.select($"doc_id".as("da"), $"lang", $"sh", $"ns".as("na"))
+        .join(cand.select($"doc_id".as("db"), $"lang", $"sh", $"ns".as("nb")),
+          Seq("lang", "sh"))
+        .filter($"da" < $"db" &&
+          $"nb".cast("double") >= $"na".cast("double") * D9Tau &&
+          $"nb".cast("double") <= $"na".cast("double") / D9Tau)
+        .select($"da", $"db").distinct()
+    } else {
+      val cand = docs.select($"doc_id", $"lang", $"ns",
+          posexplode($"prefix").as(Seq("pos", "pe")))
+        .select($"doc_id", $"lang", $"ns", $"pos",
+          xxhash64($"pe.sh").as("shh"))
+      val alpha = ceil(($"na" + $"nb").cast("double") * lit(D9Tau / (1 + D9Tau)))
+      cand.select($"doc_id".as("da"), $"lang", $"shh", $"ns".as("na"), $"pos".as("pa"))
+        .join(cand.select($"doc_id".as("db"), $"lang", $"shh", $"ns".as("nb"),
+          $"pos".as("pb")), Seq("lang", "shh"))
+        .filter($"da" < $"db" &&
+          $"nb".cast("double") >= $"na".cast("double") * D9Tau &&
+          $"nb".cast("double") <= $"na".cast("double") / D9Tau &&
+          least($"na" - $"pa", $"nb" - $"pb").cast("double") >= alpha)
+        .select($"da", $"db").distinct()
+    }
+  }
+
+  def d9(s: SparkSession, dir: String): DataFrame =
+    d9From(d9Docs(s, dir).localCheckpoint(), positional = true)
+
+  /** Full d9 pipeline from a checkpointed d9Docs frame — the probe entry
+    * (both candidate arms share the verify stage, so an A/B on this
+    * function times exactly the candidate-geometry term).
+    * LENGTH FILTER at candidate time (the second AllPairs pruner):
+    * J ≥ τ forces τ·|x| ≤ |y| ≤ |x|/τ, so size-incompatible pairs never
+    * leave the join. Still complete — it's a necessary condition of the
+    * threshold, not a heuristic. Positional arm adopted from the r8
+    * interleaved probe (see d9Pairs doc). */
+  private[llm] def d9From(docs: DataFrame, positional: Boolean): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pairs = d9Pairs(docs, positional)
     // verification intersects 64-bit shingle HASHES, not strings — ~1/3
     // the shuffle bytes and a primitive-array intersect. A cross-doc
     // xxhash64 collision could perturb one |∩| with probability ~2^-64

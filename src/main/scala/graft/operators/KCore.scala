@@ -24,19 +24,35 @@ import org.apache.spark.sql.functions._
 object KCore {
 
   /** Local-tail-finish guards: once a round's survivor set is at most
-    * [[LocalFinishNodes]] vertices AND its induced edge list fits under
-    * [[LocalFinishEdges]] rows (collected as primitive (Long, Long) tuples,
-    * ~48 B each ⇒ ~12 MB at the cap — broadcast-class, probed with a LIMIT
-    * so an over-cap graph costs one bounded job and falls back to the
-    * distributed rounds), the remaining synchronous peel runs driver-side
-    * with identical semantics. Peeling is monotone, so at ANY data scale
-    * the tail eventually shrinks under the guard — and until it does, the
-    * guard never fires; this is the same bounded-collect class as a
-    * broadcast build side, not a driver-side-loop anti-pattern. At sf0.1
-    * the co-supply graph is under the guard after round 1, turning 3 tail
-    * rounds × 3 jobs each into one bounded collect. */
-  val LocalFinishNodes = 4096L
-  val LocalFinishEdges = 1 << 18
+    * [[LocalFinishNodes]] vertices AND its induced edge list is PROVABLY
+    * under [[LocalFinishEdges]] rows, the remaining synchronous peel runs
+    * driver-side with identical semantics (collected as primitive
+    * (Long, Long) tuples — broadcast-class driver memory, ~50 MB at the
+    * cap). Peeling is monotone, so at ANY data scale the tail eventually
+    * shrinks under the guard — and until it does, the guard never fires;
+    * this is the same bounded-collect class as a broadcast build side,
+    * not a driver-side-loop anti-pattern.
+    *
+    * The edge guard is the survivors' DEGREE SUM halved — every induced
+    * edge is counted from both endpoints in the current round's degree
+    * table, so Σ dg(keep)/2 is a sound upper bound that costs one tiny
+    * aggregation over the already-checkpointed survivor table. The r7
+    * shape probed with `induced.limit(cap+1).collect` instead, which RUNS
+    * the induced join to find out: harmless under the old 4096-node guard
+    * (by the time it fired the graph was tiny), but under this wider
+    * guard an over-cap miss would pay the round's most expensive join
+    * twice (probe + fallback). The degree bound is conservative (it
+    * counts edges to just-peeled neighbours), so a fire is always safe
+    * and a miss costs one metadata-cheap aggregation. Measured
+    * (graft.tools.KcProbe, interleaved one-JVM A/B at sf1/local[32]):
+    * old vs new guard is a wash there (4.92 s vs 4.88 s best) — the sf1
+    * cost floor is the oracle-pinned edge CONSTRUCTION (distinct → window
+    * → distinct over the co-supply pairs), not round count; the wider
+    * guard is kept for graphs whose tails shed slower. */
+  def LocalFinishNodes: Long =
+    sys.props.get("graft.kcore.localNodes").map(_.toLong).getOrElse(32768L)
+  def LocalFinishEdges: Long =
+    sys.props.get("graft.kcore.localEdges").map(_.toLong).getOrElse(1L << 20)
 
   /** Peel `edges` (distinct undirected pairs `u`,`v`, no self loops) for
     * `rounds` synchronous rounds at threshold `k`. Returns one row per
@@ -65,15 +81,17 @@ object KCore {
     var converged = false
     import org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint
     while (r <= rounds && !converged) {
-      val keep = deg.filter(col("dg") >= k).select(col("x")).localCheckpoint()
+      // survivors kept WITH their degree: the local-finish edge bound is
+      // sum(dg)/2 over this (small, checkpointed) table — one cheap job
+      val keep = deg.filter(col("dg") >= k).localCheckpoint()
       val cur = keep.count()
       out += ((r.toLong, prev - cur, cur))
       // ONE induced-subgraph expression serves both execution paths — the
       // local finish's claim of semantic identity with the distributed
       // rounds must not depend on two copies staying in sync
       def induced: DataFrame =
-        e.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
-          .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+        e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
           .select(col("u"), col("v"))
       def distributedRound(): Unit = {
         val next = induced.localCheckpoint()
@@ -88,41 +106,36 @@ object KCore {
         // (0 peeled, cur remaining) — fill without running further jobs
         converged = true
         ((r + 1) to rounds).foreach(i => out += ((i.toLong, 0L, cur)))
-      } else if (r < rounds && cur <= LocalFinishNodes) {
-        // guarded local tail finish: try to collect the induced edges as
-        // primitive tuples (an untyped Row collect would transiently hold
-        // ~10× the bytes in boxed GenericRows)
+      } else if (r < rounds && cur <= LocalFinishNodes &&
+          keep.agg(sum(col("dg"))).head().getLong(0) / 2 <= LocalFinishEdges) {
+        // guarded local tail finish: the degree-sum bound above PROVES the
+        // induced edge set fits, so this collect is bounded before it
+        // runs (primitive tuples — an untyped Row collect would
+        // transiently hold ~10× the bytes in boxed GenericRows)
         import spark.implicits._
-        val inducedEdges =
-          induced.limit(LocalFinishEdges + 1).as[(Long, Long)].collect()
-        if (inducedEdges.length <= LocalFinishEdges) {
-          var localEdges = inducedEdges
-          var prevLocal = cur
-          var r2 = r + 1
-          var doneLocal = false
-          while (r2 <= rounds && !doneLocal) {
-            val dg = scala.collection.mutable.Map.empty[Long, Long]
-            localEdges.foreach { case (u, v) =>
-              dg(u) = dg.getOrElse(u, 0L) + 1; dg(v) = dg.getOrElse(v, 0L) + 1
-            }
-            val keepSet = dg.iterator.collect { case (x, d) if d >= k => x }.toSet
-            val curLocal = keepSet.size.toLong
-            out += ((r2.toLong, prevLocal - curLocal, curLocal))
-            if (curLocal == prevLocal) {
-              doneLocal = true
-              ((r2 + 1) to rounds).foreach(i => out += ((i.toLong, 0L, curLocal)))
-            } else {
-              localEdges = localEdges
-                .filter { case (u, v) => keepSet(u) && keepSet(v) }
-              prevLocal = curLocal
-            }
-            r2 += 1
+        var localEdges = induced.as[(Long, Long)].collect()
+        var prevLocal = cur
+        var r2 = r + 1
+        var doneLocal = false
+        while (r2 <= rounds && !doneLocal) {
+          val dg = scala.collection.mutable.Map.empty[Long, Long]
+          localEdges.foreach { case (u, v) =>
+            dg(u) = dg.getOrElse(u, 0L) + 1; dg(v) = dg.getOrElse(v, 0L) + 1
           }
-          converged = true // profile complete — no more distributed rounds
-        } else {
-          // over the edge cap: fall back to the distributed round below
-          distributedRound()
+          val keepSet = dg.iterator.collect { case (x, d) if d >= k => x }.toSet
+          val curLocal = keepSet.size.toLong
+          out += ((r2.toLong, prevLocal - curLocal, curLocal))
+          if (curLocal == prevLocal) {
+            doneLocal = true
+            ((r2 + 1) to rounds).foreach(i => out += ((i.toLong, 0L, curLocal)))
+          } else {
+            localEdges = localEdges
+              .filter { case (u, v) => keepSet(u) && keepSet(v) }
+            prevLocal = curLocal
+          }
+          r2 += 1
         }
+        converged = true // profile complete — no more distributed rounds
       } else if (r < rounds) {
         distributedRound()
       }

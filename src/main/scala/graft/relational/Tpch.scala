@@ -51,7 +51,7 @@ object Tpch extends graft.core.QueryModule {
        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
        | CAST(SUM(${sqlRevenueTerm("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
-       | CAST(SUM(${sqlChargeTerm("l_extendedprice", "l_discount", "l_tax")}) AS DOUBLE) AS sum_charge,
+       | ${sqlDSafe(s"SUM(${sqlChargeTerm("l_extendedprice", "l_discount", "l_tax")})")} AS sum_charge,
        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
        | CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,

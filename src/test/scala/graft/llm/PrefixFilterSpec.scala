@@ -7,6 +7,20 @@ class PrefixFilterSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.01"
 
+  test("d9: positional arm emits the identical pair set and a smaller candidate set") {
+    val session = spark
+    import session.implicits._
+    val docs = LlmQueries.d9Docs(session, sf).localCheckpoint()
+    val a = LlmQueries.d9From(docs, positional = false)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    val b = LlmQueries.d9From(docs, positional = true)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(a.nonEmpty && a === b)
+    val cn = LlmQueries.d9Pairs(docs, positional = false).count()
+    val cp = LlmQueries.d9Pairs(docs, positional = true).count()
+    assert(cp <= cn, s"positional filter must not add candidates ($cp > $cn)")
+  }
+
   test("d9: prefix filtering shrinks the candidate set vs any-shared-shingle") {
     val session = spark
     import session.implicits._
