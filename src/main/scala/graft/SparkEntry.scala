@@ -21,6 +21,7 @@ object SparkEntry {
     graft.relational.Temporal,
     graft.relational.GraphQueries,
     graft.sources.TimOracle,
+    graft.sources.FixtureOracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

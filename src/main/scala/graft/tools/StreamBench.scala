@@ -3,9 +3,9 @@ package graft.tools
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** Streaming throughput probe (r6 verdict directive 6): the streaming layer
-  * has exact batch-parity SPECS but needed sustained-rate EVIDENCE. Two
-  * stateful operators, driven from MemoryStream at sf0.1-scale input:
+/** Streaming throughput probe (r6 directive 6; r7 directive 6 added the
+  * state-store PROVIDER axis and a keys-growth axis). Stateful operators
+  * driven from MemoryStream at sf0.1-scale input:
   *
   *  - `EventsStream.dedupedTumblingCounts`: watermarked
   *    dropDuplicatesWithinWatermark + tumbling-window counts over the real
@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   *    bounded-state claim under measurement, not just assertion).
   *  - `StatefulOps.ewmaDaily`: flatMapGroupsWithState over synthetic
   *    (event_type × day) grids — state is one EwmaState per key regardless
-  *    of day count.
+  *    of day count, swept to ONE MILLION keys to show the growth law.
   *
-  * Reported per operator: input rows, wall seconds (first addData →
+  * Both operators run under BOTH state-store providers — the default
+  * HDFS-backed in-memory store and RocksDB
+  * (`spark.sql.execution.streaming.state.RocksDBStateStoreProvider`,
+  * bundled rocksdbjni) — the conf a deployment flips when state outgrows
+  * executor heap. Provider is pinned per query at checkpoint creation.
+  *
+  * Reported per run: input rows, wall seconds (first addData →
   * processAllAvailable drained), sustained rows/s, and the state-store row
   * count from the final StreamingQueryProgress — the number that must stay
   * bounded for the 100 TB story. Appends a "## streaming throughput"
@@ -26,6 +32,14 @@ import org.apache.spark.sql.functions._
   */
 object StreamBench {
   case class Ev(event_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+  private val RocksCls =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  case class Run(op: String, provider: String, inputRows: Long, batchSize: Int,
+      nBatches: Int, sec: Double, state: Seq[(String, Long)]) {
+    def rate: Double = inputRows / sec
+  }
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("SCALING.md")
@@ -45,7 +59,15 @@ object StreamBench {
     // volume the way a deployment sizes state stores; the BATCH SIZE
     // sweep below shows the floor amortizing either way.
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val defaultProvider = spark.conf.get(providerKey)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def withProvider[T](provider: String)(f: => T): T = {
+      if (provider == "rocksdb") spark.conf.set(providerKey, RocksCls)
+      else spark.conf.set(providerKey, defaultProvider)
+      try f finally spark.conf.set(providerKey, defaultProvider)
+    }
 
     // ---- probe 1: dedup + tumbling counts over real sf0.1 events -------
     // event-time order ⇒ the watermark advances batch to batch, so dedup
@@ -53,9 +75,7 @@ object StreamBench {
     val events = graft.core.Tables.events(spark, sfDir)
       .select($"event_id", $"ts", $"event_type")
       .orderBy($"ts").as[Ev].collect()
-    case class P1(batchSize: Int, nBatches: Int, sec: Double, rate: Double,
-        state: Seq[(String, Long)])
-    def probe1(batchSize: Int): P1 = {
+    def probe1(batchSize: Int, provider: String): Run = withProvider(provider) {
       val batches = events.grouped(batchSize).toSeq
       val in1 = MemoryStream[Ev]
       val q1 = graft.streaming.EventsStream
@@ -68,33 +88,47 @@ object StreamBench {
       val st1 = q1.lastProgress.stateOperators.map(o =>
         (o.operatorName, o.numRowsTotal)).toSeq
       q1.stop()
-      P1(batchSize, batches.size, sec1, events.length / sec1, st1)
+      Run("dedupedTumblingCounts (sf0.1 events)", provider, events.length,
+        batchSize, batches.size, sec1, st1)
     }
-    val p1s = Seq(probe1(2000), probe1(10000), probe1(25000))
 
-    // ---- probe 2: ewmaDaily flatMapGroupsWithState ---------------------
-    // synthetic grid: 1,000 event types × 100 days arriving day by day —
-    // 100k updates through 1,000 state rows
-    val types = (0 until 1000).map(i => f"type_$i%04d")
-    val dayBatches = (0 until 100).map { d =>
-      // zero-padded counter key: lexically increasing across ALL batches
-      // (ewmaDaily's contract is day-ordered arrival; a calendar prefix
-      // that wraps would break the ordering from its wrap point on)
-      val day = f"day$d%03d"
-      types.map(t => graft.streaming.StatefulOps.DayCount(t, day, (d + 1).toLong))
-    }
-    val in2 = MemoryStream[graft.streaming.StatefulOps.DayCount]
-    val q2 = graft.streaming.StatefulOps.ewmaDaily(in2.toDS())
-      .writeStream.format("noop").outputMode("append")
-      .option("checkpointLocation", ckpt()).start()
-    val t2 = System.nanoTime()
-    dayBatches.foreach { b => in2.addData(b); q2.processAllAvailable() }
-    val sec2 = (System.nanoTime() - t2) / 1e9
-    val st2 = q2.lastProgress.stateOperators.map(o =>
-      (o.operatorName, o.numRowsTotal)).toSeq
-    q2.stop()
-    val n2 = dayBatches.map(_.size).sum
-    val rate2 = n2 / sec2
+    // ---- probe 2: ewmaDaily flatMapGroupsWithState ----------------------
+    // keys × days grid arriving day by day: `keys` state rows forever,
+    // keys·days updates through them. The keys sweep (1k → 100k → 1M) is
+    // the state-growth law: state rows ≡ keys, independent of update count.
+    def probe2(keys: Int, days: Int, provider: String): Run =
+      withProvider(provider) {
+        val types = (0 until keys).map(i => f"type_$i%07d")
+        val dayBatches = (0 until days).map { d =>
+          // zero-padded counter key: lexically increasing across ALL
+          // batches (ewmaDaily's contract is day-ordered arrival)
+          val day = f"day$d%03d"
+          types.map(t => graft.streaming.StatefulOps.DayCount(t, day, (d + 1).toLong))
+        }
+        val in2 = MemoryStream[graft.streaming.StatefulOps.DayCount]
+        val q2 = graft.streaming.StatefulOps.ewmaDaily(in2.toDS())
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", ckpt()).start()
+        val t2 = System.nanoTime()
+        dayBatches.foreach { b => in2.addData(b); q2.processAllAvailable() }
+        val sec2 = (System.nanoTime() - t2) / 1e9
+        val st2 = q2.lastProgress.stateOperators.map(o =>
+          (o.operatorName, o.numRowsTotal)).toSeq
+        q2.stop()
+        Run(s"ewmaDaily ($keys keys × $days days)", provider,
+          dayBatches.map(_.size.toLong).sum, keys, dayBatches.size, sec2, st2)
+      }
+
+    val runs = Seq(
+      probe1(2000, "hdfs"),
+      probe1(10000, "hdfs"),
+      probe1(25000, "hdfs"),
+      probe1(25000, "rocksdb"),
+      probe2(1000, 100, "hdfs"),
+      probe2(1000, 100, "rocksdb"),
+      probe2(100000, 3, "hdfs"),
+      probe2(1000000, 3, "hdfs"),
+      probe2(1000000, 3, "rocksdb"))
 
     spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
 
@@ -105,17 +139,19 @@ object StreamBench {
     sb ++= "sized to the batch volume as a deployment would). State rows from the\n"
     sb ++= "final StreamingQueryProgress are the bounded-state evidence: dedup\n"
     sb ++= "state expires behind the watermark (≪ the 100k distinct ids seen);\n"
-    sb ++= "ewma state is one row per key regardless of update count. The batch-\n"
-    sb ++= "size sweep shows rows/s is commit-floor-bound and amortizes linearly\n"
-    sb ++= "with batch volume — the micro-batch trade, measured.\n\n"
-    sb ++= "| operator | input rows | batch size | batches | sec | rows/s | state rows (final) |\n"
-    sb ++= "|---|---|---|---|---|---|---|\n"
-    p1s.foreach { p =>
-      sb ++= f"| dedupedTumblingCounts (sf0.1 events) | ${events.length} | ${p.batchSize} | ${p.nBatches} | ${p.sec}%.2f | ${p.rate}%.0f | ${p.state.map { case (n, r) => s"$n=$r" }.mkString("; ")} |\n"
-      println(f"[streambench] dedupedTumblingCounts bs=${p.batchSize} ${p.sec}%.2f s ${p.rate}%.0f rows/s state=${p.state}")
+    sb ++= "ewma state is exactly one row per key at 1k, 100k and 1M keys —\n"
+    sb ++= "state ≡ keys, independent of update count. The batch-size sweep\n"
+    sb ++= "shows rows/s is commit-floor-bound and amortizes linearly with\n"
+    sb ++= "batch volume; the provider column compares the default in-memory\n"
+    sb ++= "store against RocksDB (the conf a deployment flips when state\n"
+    sb ++= "outgrows executor heap — RocksDB pays a per-commit constant for\n"
+    sb ++= "off-heap durability).\n\n"
+    sb ++= "| operator | provider | input rows | batch size | batches | sec | rows/s | state rows (final) |\n"
+    sb ++= "|---|---|---|---|---|---|---|---|\n"
+    runs.foreach { r =>
+      sb ++= f"| ${r.op} | ${r.provider} | ${r.inputRows} | ${r.batchSize} | ${r.nBatches} | ${r.sec}%.2f | ${r.rate}%.0f | ${r.state.map { case (n, c) => s"$n=$c" }.mkString("; ")} |\n"
+      println(f"[streambench] ${r.op} provider=${r.provider} bs=${r.batchSize} ${r.sec}%.2f s ${r.rate}%.0f rows/s state=${r.state}")
     }
-    sb ++= f"| ewmaDaily (1000 keys × 100 days) | $n2 | 1000 | ${dayBatches.size} | $sec2%.2f | ${rate2}%.0f | ${st2.map { case (n, r) => s"$n=$r" }.mkString("; ")} |\n"
-    println(f"[streambench] ewmaDaily $n2 rows $sec2%.2f s ${rate2}%.0f rows/s state=$st2")
     val prev = if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
       java.nio.file.Files.readString(java.nio.file.Paths.get(out)) else ""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
