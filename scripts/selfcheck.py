@@ -171,6 +171,16 @@ if json_out:
     print(f"wrote {json_out}")
 if capped:
     print(f"capped (excluded): {len(capped)}: {', '.join(capped)}")
+# The cap documents a handful of structurally pathological oracle
+# formulations — it must never be able to hollow out the gate. If more
+# than 5 queries (or 3% of the inventory) cap, the run is too excluded
+# to call a pass: exit nonzero so automation keyed on the exit code sees
+# the hole instead of a green.
+cap_ceiling = max(5, int(0.03 * total))
+over_capped = len(capped) > cap_ceiling
+if over_capped:
+    print(f"TOO MANY CAPPED: {len(capped)} > ceiling {cap_ceiling} — "
+          "run is too excluded to count as a pass")
 print(f"\n{total-fails-len(capped)}/{total-len(capped)} passed"
       + (f" ({len(capped)} capped)" if capped else ""))
-sys.exit(1 if fails else 0)
+sys.exit(1 if fails or over_capped else 0)

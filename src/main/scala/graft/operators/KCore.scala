@@ -107,7 +107,11 @@ object KCore {
         converged = true
         ((r + 1) to rounds).foreach(i => out += ((i.toLong, 0L, cur)))
       } else if (r < rounds && cur <= LocalFinishNodes &&
-          keep.agg(sum(col("dg"))).head().getLong(0) / 2 <= LocalFinishEdges) {
+          // coalesce: a round that peels EVERY survivor leaves keep empty
+          // and sum(dg) null — getLong on that is an NPE, and the empty
+          // tail is exactly the cheapest local finish there is
+          keep.agg(coalesce(sum(col("dg")), lit(0L)))
+            .head().getLong(0) / 2 <= LocalFinishEdges) {
         // guarded local tail finish: the degree-sum bound above PROVES the
         // induced edge set fits, so this collect is bounded before it
         // runs (primitive tuples — an untyped Row collect would

@@ -170,13 +170,49 @@ object FixtureOracles extends graft.core.QueryModule {
        |      ON COLUMNS(* EXCLUDE par) INTO NAME k VALUE v)
        |ORDER BY row_par, col_par""".stripMargin
 
+  // ---- S13: bilby result JSON → posterior long form ----
+
+  /** Constant bilby `*_result.json` in the reference's shape
+    * ({"posterior":{"content":{par:[draws]}}}, results.py:1071-1081) —
+    * dyadic-grid doubles plus one bare JSON INTEGER draw (the reader's
+    * JInt branch; DuckDB's DOUBLE[] cast promotes it identically). */
+  def s13RoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outDir = s"$FixtureBase/bilby"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val draws: Seq[(String, Seq[String])] = Seq(
+      "par_a" -> Seq("0.5", "1.25", "-2.0", "3"),
+      "par_b" -> Seq("-0.015625", "4.5", "6.75", "0.0"))
+    val content = draws.map { case (p, vs) =>
+      s""""$p": [${vs.mkString(", ")}]""" }.mkString(", ")
+    graft.sinks.NoiseFileWriter.atomicWrite(
+      java.nio.file.Paths.get(s"$outDir/fake_result.json"),
+      s"""{"label": "fixture", "posterior": {"content": {$content}}}""")
+    SmallReaders.readBilbyResult(s, s"$outDir/fake_result.json")
+      .orderBy($"step", $"par")
+  }
+
+  private val s13Sql: String =
+    s"""WITH c AS (SELECT json_extract(content, '$$.posterior.content') AS ct
+       |           FROM read_text('$FixtureBase/bilby/fake_result.json')),
+       |k AS (SELECT ct, unnest(json_keys(ct)) AS par FROM c),
+       |v AS (SELECT par,
+       |        unnest(list_transform(
+       |          CAST(json_extract(ct, '$$."' || par || '"') AS DOUBLE[]),
+       |          (x, i) -> struct_pack(step := i - 1, value := x))) AS s
+       |      FROM k)
+       |SELECT s.step AS step, par, s.value AS value FROM v
+       |ORDER BY step, par""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_noisefile_roundtrip" -> s6RoundTrip,
     "s9_chain_roundtrip" -> s9RoundTrip,
-    "s8_covariance_roundtrip" -> s8RoundTrip)
+    "s8_covariance_roundtrip" -> s8RoundTrip,
+    "s13_bilby_roundtrip" -> s13RoundTrip)
 
   val oracles: Map[String, String] = Map(
     "s6_noisefile_roundtrip" -> s6Sql,
     "s9_chain_roundtrip" -> s9Sql,
-    "s8_covariance_roundtrip" -> s8Sql)
+    "s8_covariance_roundtrip" -> s8Sql,
+    "s13_bilby_roundtrip" -> s13Sql)
 }

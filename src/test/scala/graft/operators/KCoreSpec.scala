@@ -92,4 +92,16 @@ class KCoreSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(core === Set(1L, 2L, 3L))
   }
+
+  test("a round that peels every survivor doesn't NPE the edge-bound guard") {
+    // perfect matching, k=2: all degrees are 1, so round 1 eliminates the
+    // whole graph — keep is EMPTY, sum(dg) aggregates to null, and the
+    // r8 degree-sum guard must coalesce instead of getLong-ing the null
+    // (0 survivors <= LocalFinishNodes, so the guard branch IS taken)
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("u", "v")
+    val rows = KCore.peelRounds(edges, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, 4L, 0L), (2L, 0L, 0L), (3L, 0L, 0L)))
+  }
 }
