@@ -380,9 +380,21 @@ object GraphQueries extends graft.core.QueryModule {
     // alternative (flatten/transform pair generation inside the profile
     // row) measured SLOWER interleaved-A/B (best 2.48 s vs 1.80 s at
     // sf0.1) because higher-order functions evaluate interpreted
-    val capped = ul.groupBy($"cust")
+    // MEASURED NEGATIVE (r8, graft.relational.Cf1Probe — interleaved
+    // one-JVM A/B): localCheckpoint-ing the capped profile (it feeds
+    // three consumers; exchange reuse dedupes only the shuffle, so the
+    // topk UDAF agg re-runs per consumer) lost at sf0.1 in every round
+    // (best 1.98 s vs 1.51 s — the materialization barrier costs more
+    // than the two extra small aggs) and was inside the ±20% noise band
+    // at sf1 (5.10 vs 6.39 best, mixed rounds). The lazy shape stays;
+    // the prop dial exists only for the probe.
+    val capped0 = ul.groupBy($"cust")
       .agg(topk($"cnt", $"item").as("items"))
       .select($"cust", explode($"items").as("item"))
+    val capped =
+      if (sys.props.get("graft.cf1.checkpoint").contains("true"))
+        capped0.localCheckpoint()
+      else capped0
     val supp = capped.groupBy($"item").agg(count(lit(1)).as("ni"))
     val pairs = capped.toDF("cust", "ia")
       .join(capped.toDF("cust", "ib"), "cust")
