@@ -340,22 +340,31 @@ object LlmQueries extends graft.core.QueryModule {
 
   /** Doc count above which simhash candidate generation switches from the
     * four 16-bit chunk bands to the 20-combo 32-bit block keys (both exact
-    * for hamming ≤ 3 — see [[simhashComboPairs]]). Derived from two
-    * measurements, not argued:
-    *  - graft.llm.SimhashGeoProbe (r8, interleaved one-JVM A/B at
-    *    local[32]): combo costs a flat ~4.3 s (20 unioned joins × task
-    *    overhead) at 50k docs where band16 runs 1.29 s — band16 WINS the
-    *    whole measured range, so the dial must sit above it;
-    *  - graft.tools.BandProbe (SCALING.md banding-knee table): band16's
-    *    false-candidate term follows 4·n²/2¹⁷ (2.8M false at n=300k,
-    *    quadratic after), priced at ~0.3–0.5 µs per candidate by the sf1
-    *    probe's throughput.
-    * Crossover: 4·n²/2¹⁷ · 0.4 µs > 4.3 s at n ≈ 6e5 (at 1M docs band16
-    * pays ~12 s of false candidates; combo stays flat). System property
+    * for hamming ≤ 3 — see [[simhashComboPairs]]). MEASURED end-to-end by
+    * graft.llm.SimhashGeoProbe (interleaved one-JVM A/B at local[32];
+    * `--synthetic` = uniform chunks + a 129k true-pair skew block, the
+    * BandProbe corpus):
+    *
+    *   docs      band16    combo
+    *   50k real  1.29 s    4.34 s
+    *   200k syn  0.51 s    5.48 s
+    *   500k syn  1.31 s    7.89 s
+    *   1M   syn  2.01 s   11.54 s
+    *
+    * Why band16 holds so long: its false candidates (4·n²/2¹⁷) are
+    * generated AND popcount-killed inside the join stage — they never
+    * shuffle — at ~60 ns each, while combo re-scans the hash table 40×
+    * (20 joins × 2 sides) and shuffles 20 keys/doc: a linear term with a
+    * ~11.5 µs/doc constant. Equating 4·n²/2¹⁷·60 ns with 11.5 µs·n puts
+    * the crossover at n ≈ 6e6; the dial sits at 5M. Caveat the probe
+    * exists to re-test: real corpora hash less uniformly than the
+    * synthetic (short docs concentrate chunk values), which can only
+    * pull the knee EARLIER — re-run the probe on the target corpus
+    * before trusting band16 past ~1M skewed docs. System property
     * override for probes. */
   private[llm] def simhashComboThreshold: Long =
     sys.props.get("graft.simhash.comboThreshold").map(_.toLong)
-      .getOrElse(500000L)
+      .getOrElse(5000000L)
 
   private def simhashPairs0(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
