@@ -29,18 +29,37 @@ object LabelPropagation {
 
   /** `edges`: columns (u, v), treated as undirected (symmetrized and
     * deduped internally). Returns (node, label) after `rounds` synchronous
-    * majority updates from the all-distinct initialization. */
-  def run(edges: DataFrame, rounds: Int): DataFrame = {
-    val sym = edges.select(col("u"), col("v"))
+    * majority updates from the all-distinct initialization.
+    *
+    * Shuffle geometry (r9, the [[PageRank]] symDeg lesson applied): sym is
+    * checkpointed PRE-PARTITIONED on the per-round join key `v` —
+    * LogicalRDD keeps the hash partitioning across the checkpoint, so no
+    * round re-shuffles the edge list (the r8 shape paid one edge-wide sym
+    * shuffle EVERY round: distinct()'s (u, v) partitioning doesn't satisfy
+    * the join's clustering on v). The build itself stays one shuffle:
+    * hash partitioning on v alone satisfies the dedup's (u, v) clustering,
+    * so distinct() runs on the repartition exchange without another. Each
+    * round then pays exactly one edge-wide exchange — repartition(u) after
+    * the join — which co-locates BOTH vote aggregations (clustering by u
+    * satisfies the (u, label) grain too), where the r8 shape paid the sym
+    * shuffle plus separate (u, label) and (u) exchanges. Measured
+    * interleaved-A/B (graft.tools.Lp1Probe, local[32]): see SCALING.md. */
+  def run(edges: DataFrame, rounds: Int): DataFrame =
+    run(edges, rounds, prePartition = true)
+
+  private[graft] def run(edges: DataFrame, rounds: Int,
+      prePartition: Boolean): DataFrame = {
+    val sym0 = edges.select(col("u"), col("v"))
       .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
+    val sym = (if (prePartition) sym0.repartition(col("v")).distinct()
+               else sym0.distinct())
       .localCheckpoint() // read by every round: symmetrize+dedup ONCE
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
     var prevCkpt: org.apache.spark.sql.DataFrame = null
     for (i <- 1 to rounds) {
-      labels = sym
-        .join(labels.withColumnRenamed("node", "v"), "v")
+      val voted = sym.join(labels.withColumnRenamed("node", "v"), "v")
+      labels = (if (prePartition) voted.repartition(col("u")) else voted)
         .groupBy(col("u"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("u"))

@@ -361,45 +361,77 @@ object GraphQueries extends graft.core.QueryModule {
   // pairs per customer where a rank window would SORT every (cust,item)
   // row of every group — the window sort was the single largest sf1 cost
   // in the r6 bench (34.9s), and the profile cap is exactly the top-k-per-
-  // group shape the aggregate exists for. The self-join then emits
-  // ≤ C(20,2)=190 pairs per customer regardless of corpus size. Item
-  // supports are a dictionary-sized broadcast; the only wide shuffle is
-  // the (a,b) pair count. Top-20 by unrounded cosine (identical expression
-  // both engines), keys as the tiebreak.
-  def cf1(s: SparkSession, dir: String): DataFrame = {
+  // group shape the aggregate exists for. The pair stage (mb1's chained
+  // double explode over the profile array) then emits ≤ C(20,2)=190 pairs
+  // per customer regardless of corpus size. Item supports are a
+  // dictionary-sized broadcast; the only wide shuffle is the (a,b) pair
+  // count. Top-20 by unrounded cosine (identical expression both
+  // engines), keys as the tiebreak.
+  def cf1(s: SparkSession, dir: String): DataFrame =
+    cf1Shape(s, dir, "arrayckpt")
+
+  /** The cf1 pipeline with a named downstream shape — the probe entry
+    * (graft.relational.Cf1Probe interleaves the arms in one JVM).
+    *
+    * "arrayckpt" (ADOPTED, r9): the capped profile is kept in ARRAY form
+    * (one row per customer, ≤20 items) and localCheckpoint'ed, so the
+    * expensive TopKByScore UDAF aggregation runs exactly ONCE — the r8
+    * weak-row mechanism was that agg re-running for each of its three
+    * consumers (exchange reuse dedupes only the shuffle below it). The
+    * checkpoint is customer-COUNT-sized (≤20 longs per row), an order
+    * smaller than r8's exploded-form checkpoint, and the pair stage is
+    * mb1's chained double explode (codegen'd Generate, ≤C(20,2) pairs per
+    * customer) instead of a self-join — no join build, no second read of
+    * the profile exchange. Measured interleaved-A/B (r9 Cf1Probe,
+    * local[32], best-of-5/6, both arms sharing the single-exchange ul):
+    * sf0.1 1.15 vs 1.16 s (wash — the shared scan+shuffle dominates
+    * there), sf1 3.50 vs 4.53 s (the agg re-runs are the decade cost);
+    * vs the r8 record (two-exchange ul, lazy self-join) sf1 6.39 → 3.50 s
+    * and sf0.1 1.51 → 1.15 s. Identical output rows every round.
+    *
+    * "selfjoin-lazy" (the r8 shape, kept for the probe): exploded profile,
+    * lazy (agg re-runs ×3), co-partitioned self-join pair stage. The
+    * r8-measured negatives on OTHER arms (exploded-form checkpoint, HOF
+    * flatten/transform pair generation) are in SCALING.md's probe table. */
+  private[relational] def cf1Shape(s: SparkSession, dir: String,
+      shape: String): DataFrame = {
     import s.implicits._
+    // ONE shuffle feeds BOTH aggregation grains: hash partitioning on
+    // cust alone satisfies the (cust, item) clustering requirement too
+    // (same cust ⇒ same partition ⇒ same (cust, item) co-located), so the
+    // explicit repartition replaces two ENSURE_REQUIREMENTS exchanges —
+    // (cust, item) for the count, then cust for the top-k — with one.
+    // Map-side combine loses nothing here: per-(cust, item) counts are
+    // ~1 at every SF (measured 600k → 580k), so the partial agg the
+    // groupBy-induced exchange would run compresses nothing.
     val ul = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey"),
         $"o_orderkey" === $"l_orderkey")
+      .repartition($"o_custkey")
       .groupBy($"o_custkey".as("cust"), $"l_partkey".as("item"))
       .agg(count(lit(1)).as("cnt"))
     val topk = udaf(new graft.functions.Aggregators.TopKByScore(20))
-    // the capped×capped pair stage stays a SELF-JOIN on cust: both sides
-    // read the same profile exchange (co-partitioned — zero extra shuffle)
-    // and the join is whole-stage-codegen'd; the tempting array-lambda
-    // alternative (flatten/transform pair generation inside the profile
-    // row) measured SLOWER interleaved-A/B (best 2.48 s vs 1.80 s at
-    // sf0.1) because higher-order functions evaluate interpreted
-    // MEASURED NEGATIVE (r8, graft.relational.Cf1Probe — interleaved
-    // one-JVM A/B): localCheckpoint-ing the capped profile (it feeds
-    // three consumers; exchange reuse dedupes only the shuffle, so the
-    // topk UDAF agg re-runs per consumer) lost at sf0.1 in every round
-    // (best 1.98 s vs 1.51 s — the materialization barrier costs more
-    // than the two extra small aggs) and was inside the ±20% noise band
-    // at sf1 (5.10 vs 6.39 best, mixed rounds). The lazy shape stays;
-    // the prop dial exists only for the probe.
-    val capped0 = ul.groupBy($"cust")
-      .agg(topk($"cnt", $"item").as("items"))
-      .select($"cust", explode($"items").as("item"))
-    val capped =
-      if (sys.props.get("graft.cf1.checkpoint").contains("true"))
-        capped0.localCheckpoint()
-      else capped0
-    val supp = capped.groupBy($"item").agg(count(lit(1)).as("ni"))
-    val pairs = capped.toDF("cust", "ia")
-      .join(capped.toDF("cust", "ib"), "cust")
-      .filter($"ia" < $"ib")
-      .groupBy($"ia", $"ib").agg(count(lit(1)).as("co"))
+    val profArr = ul.groupBy($"cust").agg(topk($"cnt", $"item").as("items"))
+    val (supp, pairs) = shape match {
+      case "arrayckpt" =>
+        val prof = profArr.localCheckpoint()
+        val sp = prof.select(explode($"items").as("item"))
+          .groupBy($"item").agg(count(lit(1)).as("ni"))
+        val pr = prof.select(explode($"items").as("ia"), $"items")
+          .select($"ia", explode($"items").as("ib"))
+          .filter($"ia" < $"ib")
+          .groupBy($"ia", $"ib").agg(count(lit(1)).as("co"))
+        (sp, pr)
+      case "selfjoin-lazy" =>
+        val capped = profArr.select($"cust", explode($"items").as("item"))
+        val sp = capped.groupBy($"item").agg(count(lit(1)).as("ni"))
+        val pr = capped.toDF("cust", "ia")
+          .join(capped.toDF("cust", "ib"), "cust")
+          .filter($"ia" < $"ib")
+          .groupBy($"ia", $"ib").agg(count(lit(1)).as("co"))
+        (sp, pr)
+      case other => sys.error(s"unknown cf1 shape: $other")
+    }
     pairs.filter($"co" >= 2)
       .join(broadcast(supp.toDF("ia", "na")), "ia")
       .join(broadcast(supp.toDF("ib", "nb")), "ib")

@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Interleaved one-JVM A/Bs for the two fixed-point graph rows the r8
+  * verdict left unprobed (r7 directive 8):
+  *
+  *  - `lp1`: [[graft.operators.LabelPropagation]] with vs without the
+  *    pre-partitioned edge checkpoint + single-exchange vote aggregation
+  *    (the PageRank symDeg geometry applied to LPA).
+  *  - `pr1`: [[graft.operators.PageRank]] lazy 3-iteration chain (the
+  *    shipped shape: checkpointEvery=4 ⇒ no interior checkpoint) vs
+  *    checkpointEvery=2 (the "two rank updates per checkpoint" arm —
+  *    materializes after iteration 2, so the final job re-derives less).
+  *
+  * Usage: runMain graft.tools.Lp1Probe <dir> [rounds=5] [lp1|pr1|both]
+  */
+object Lp1Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val rounds = args.lift(1).map(_.toInt).getOrElse(5)
+    val which = args.lift(2).getOrElse("both")
+    val spark = graft.core.GraftSession.local()
+    import spark.implicits._
+    import graft.core.Tables
+
+    def ab(tag: String, arms: Seq[(String, () => Seq[String])]): Unit = {
+      arms.foreach { case (_, f) => f() } // warm codegen + shuffle service
+      val best = collection.mutable.Map.empty[String, Double].withDefaultValue(Double.MaxValue)
+      (1 to rounds).foreach { r =>
+        val outs = arms.map { case (name, f) =>
+          val t0 = System.nanoTime()
+          val rows = f()
+          val t = (System.nanoTime() - t0) / 1e9
+          best(name) = math.min(best(name), t)
+          (name, t, rows)
+        }
+        require(outs.map(_._3).distinct.size == 1, s"$tag arms diverge")
+        println(s"[lp1probe] $tag round $r: " +
+          outs.map { case (n, t, _) => f"$n $t%.3fs" }.mkString(" "))
+      }
+      println(s"[lp1probe] RESULT $tag " +
+        arms.map { case (n, _) => f"${n}_best=${best(n)}%.3fs" }.mkString(" "))
+    }
+
+    // lp1's oracle-pinned edge construction (co-supply adjacency chain)
+    def edges = {
+      import org.apache.spark.sql.expressions.Window
+      val ps = Tables.lineitem(spark, dir)
+        .select($"l_partkey".as("p"), $"l_suppkey".as("sup")).distinct()
+      val w = Window.partitionBy($"p").orderBy($"sup")
+      ps.withColumn("v", lead($"sup", 1).over(w))
+        .filter($"v".isNotNull)
+        .select($"sup".as("u"), $"v").distinct()
+    }
+
+    if (which == "lp1" || which == "both") ab("lp1", Seq(
+      "shuffle-per-round" -> (() => graft.operators.LabelPropagation
+        .run(edges, rounds = 3, prePartition = false)
+        .orderBy($"node").collect().map(_.toString).toSeq),
+      "prepartitioned" -> (() => graft.operators.LabelPropagation
+        .run(edges, rounds = 3, prePartition = true)
+        .orderBy($"node").collect().map(_.toString).toSeq)))
+
+    if (which == "pr1" || which == "both") {
+      def pr(ckptEvery: Int) = {
+        val e = Tables.lineitem(spark, dir)
+          .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+          .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+          .distinct()
+        graft.operators.PageRank
+          .run(e, iters = 3, checkpointEvery = ckptEvery, assumeDistinct = true)
+          .orderBy($"v").collect().map(_.toString).toSeq
+      }
+      ab("pr1", Seq(
+        "lazy-chain" -> (() => pr(4)),
+        "ckpt-every-2" -> (() => pr(2))))
+    }
+    spark.stop()
+  }
+}
