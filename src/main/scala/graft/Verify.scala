@@ -62,6 +62,20 @@ object Verify {
     // has no oracle (rows-only check)" from "query silently vanished".
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       selected.map(_._1).sorted.map(jsonQ).mkString("[", ",", "]"))
+    // Iterative (non-recursive) oracle formulations for the queries whose
+    // recursive-CTE oracles are sf1-infeasible in DuckDB — selfcheck.py
+    // switches to these when a wall cap is in force (see
+    // LlmQueries.ccIterPairsSql). The SQL is authored next to the
+    // recursive forms it mirrors; this file is just the transport.
+    val iter = graft.llm.LlmQueries
+    def obj(m: Map[String, String]) =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonQ(k)}: ${jsonQ(v)}" }
+        .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_iter.json"),
+      s"""{"pairs": ${jsonQ(iter.ccIterPairsSql)}, """ +
+        s""""loop": ${obj(iter.ccIterLoop)}, """ +
+        s""""finals": ${obj(iter.ccIterFinals.filter { case (k, _) =>
+          only.forall(_.contains(k)) })}, "max_rounds": 200}""")
     spark.stop()
   }
 }

@@ -664,9 +664,13 @@ object LlmQueries extends graft.core.QueryModule {
       .orderBy($"cluster_id")
   }
 
-  val cs1Sql: String =
-    s"""$ccCompCtes,
-       |pt2 AS (
+  /** cs1's score+argmax tail over a component table named `compTable` —
+    * shared verbatim between the recursive-CTE oracle (compTable = the
+    * `comp` CTE) and the iterative oracle's final (compTable = the
+    * materialized `cc_comp` temp table), so the two formulations cannot
+    * drift apart. */
+  private def cs1Tail(compTable: String): String =
+    s"""pt2 AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
        |  FROM documents),
        |m2 AS (
@@ -687,10 +691,73 @@ object LlmQueries extends graft.core.QueryModule {
        |  SELECT comp.root, comp.v, sc.score,
        |    ROW_NUMBER() OVER (PARTITION BY comp.root ORDER BY sc.score DESC, comp.v) AS rk,
        |    COUNT(*) OVER (PARTITION BY comp.root) AS n_docs
-       |  FROM comp JOIN sc ON comp.v = sc.doc_id)
+       |  FROM $compTable comp JOIN sc ON comp.v = sc.doc_id)
        |SELECT root AS cluster_id, CAST(n_docs AS BIGINT) AS n_docs, v AS keeper,
        |  round(score, 6) AS keeper_score, CAST(n_docs - 1 AS BIGINT) AS n_dropped
        |FROM r WHERE rk = 1 AND n_docs >= 2 ORDER BY cluster_id""".stripMargin
+
+  val cs1Sql: String =
+    s"""$ccCompCtes,
+       |${cs1Tail("comp")}""".stripMargin
+
+  /** ITERATIVE DuckDB oracle for the c1/c2/cs1 transitive closure — the
+    * sf1-feasible formulation of [[ccCompCtes]] (r8 verdict directive 4).
+    *
+    * The recursive CTE materializes `reach` = every (node, reachable-node)
+    * pair, which is QUADRATIC in cluster size and blows the sf1 wall cap
+    * (16–18 s at sf0.1 already); min-label propagation converges to the
+    * identical `comp(v, root = min reachable)` table in O(diameter) rounds
+    * of cheap equijoins. scripts/selfcheck.py drives the loop (DuckDB has
+    * no procedural SQL): it materializes `cc_pairs` via [[ccIterPairsSql]],
+    * derives `cc_edges`/`cc_comp`, re-runs the relaxation round until the
+    * changed-row count hits zero, then evaluates each query's
+    * [[ccIterFinals]] SELECT against the converged `cc_comp` — whose
+    * schema (v, root) and contents equal the recursive oracle's `comp` by
+    * the fixpoint argument above (and empirically: both formulations are
+    * hash-checked against Spark at the sf0.01 gate). The SQL lives HERE,
+    * next to the recursive forms it must mirror, and reaches Python via
+    * Verify's `oracle_iter.json` dump — one source of truth. */
+  val ccIterPairsSql: String =
+    s"""CREATE TEMP TABLE cc_pairs AS
+       |$duckTokCtes,
+       |$chunkPairCtes
+       |SELECT da, db FROM pairs""".stripMargin
+
+  /** The min-label relaxation loop over the materialized pair table —
+    * selfcheck.py runs `edges` then `init` once, then alternates `round` /
+    * `changed` (promoting cc_next → cc_comp between rounds, a pure
+    * table-name swap kept Python-side) until `changed` returns 0. Roots
+    * only ever decrease and the node set is fixed, so the fixpoint is the
+    * per-component minimum — exactly the recursive `comp`. */
+  val ccIterLoop: Map[String, String] = Map(
+    "edges" ->
+      """CREATE TEMP TABLE cc_edges AS
+        |SELECT da AS a, db AS b FROM cc_pairs UNION SELECT db, da FROM cc_pairs""".stripMargin,
+    "init" ->
+      "CREATE TEMP TABLE cc_comp AS SELECT DISTINCT a AS v, a AS root FROM cc_edges",
+    "round" ->
+      """CREATE TEMP TABLE cc_next AS
+        |SELECT v, MIN(root) AS root FROM (
+        |  SELECT e.a AS v, c.root FROM cc_edges e JOIN cc_comp c ON e.b = c.v
+        |  UNION ALL SELECT v, root FROM cc_comp) u
+        |GROUP BY v""".stripMargin,
+    "changed" ->
+      "SELECT COUNT(*) FROM cc_next n JOIN cc_comp c USING (v) WHERE n.root <> c.root",
+  )
+
+  /** Final SELECTs over the converged `cc_comp(v, root)` — same
+    * expressions as the recursive oracles' tails, comp → cc_comp. */
+  val ccIterFinals: Map[String, String] = Map(
+    "c1_dedup_clusters" ->
+      """SELECT root AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs, MAX(v) AS max_id
+        |FROM cc_comp GROUP BY root HAVING COUNT(*) >= 2
+        |ORDER BY cluster_id""".stripMargin,
+    "c2_dedup_droplist" ->
+      """SELECT v AS doc_id, root AS cluster_id FROM cc_comp WHERE root <> v
+        |ORDER BY doc_id""".stripMargin,
+    "cs1_canonical_selection" ->
+      s"""WITH ${cs1Tail("cc_comp")}""".stripMargin,
+  )
 
   // D5: embedding-cosine near-dup pairs within a coarse partition (label =
   // IVF cell) — unrolled dot products for cross-engine bit-exactness.

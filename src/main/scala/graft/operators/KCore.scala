@@ -49,10 +49,8 @@ object KCore {
     * cost floor is the oracle-pinned edge CONSTRUCTION (distinct → window
     * → distinct over the co-supply pairs), not round count; the wider
     * guard is kept for graphs whose tails shed slower. */
-  def LocalFinishNodes: Long =
-    sys.props.get("graft.kcore.localNodes").map(_.toLong).getOrElse(32768L)
-  def LocalFinishEdges: Long =
-    sys.props.get("graft.kcore.localEdges").map(_.toLong).getOrElse(1L << 20)
+  val LocalFinishNodes: Long = 32768L
+  val LocalFinishEdges: Long = 1L << 20
 
   /** Peel `edges` (distinct undirected pairs `u`,`v`, no self loops) for
     * `rounds` synchronous rounds at threshold `k`. Returns one row per
@@ -60,9 +58,16 @@ object KCore {
     * vertices surviving that round's degree test. The per-round counts ARE
     * the aggregate output (the peel profile — how fast the graph sheds its
     * periphery); [[coreVertices]] exposes the surviving set itself.
-    */
+    *
+    * `localNodes` / `localEdges` override the tail-finish guard geometry —
+    * probes (graft.tools.KcProbe) pass alternatives EXPLICITLY; the
+    * production constants are immutable (the r8 sys.props dial was read
+    * on every call, so a stray property set earlier in a shared JVM
+    * silently changed production guard geometry — ADVICE r8). */
   def peelRounds(edges: DataFrame, k: Int, rounds: Int,
-      nVertices: Option[Long] = None): DataFrame = {
+      nVertices: Option[Long] = None,
+      localNodes: Long = LocalFinishNodes,
+      localEdges: Long = LocalFinishEdges): DataFrame = {
     val spark = edges.sparkSession
     val out = Seq.newBuilder[(Long, Long, Long)]
     // ids normalized to LONG at the boundary: key columns are
@@ -106,12 +111,12 @@ object KCore {
         // (0 peeled, cur remaining) — fill without running further jobs
         converged = true
         ((r + 1) to rounds).foreach(i => out += ((i.toLong, 0L, cur)))
-      } else if (r < rounds && cur <= LocalFinishNodes &&
+      } else if (r < rounds && cur <= localNodes &&
           // coalesce: a round that peels EVERY survivor leaves keep empty
           // and sum(dg) null — getLong on that is an NPE, and the empty
           // tail is exactly the cheapest local finish there is
           keep.agg(coalesce(sum(col("dg")), lit(0L)))
-            .head().getLong(0) / 2 <= LocalFinishEdges) {
+            .head().getLong(0) / 2 <= localEdges) {
         // guarded local tail finish: the degree-sum bound above PROVES the
         // induced edge set fits, so this collect is bounded before it
         // runs (primitive tuples — an untyped Row collect would

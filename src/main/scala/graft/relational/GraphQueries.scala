@@ -159,7 +159,14 @@ object GraphQueries extends graft.core.QueryModule {
     * engines.
     */
   private val KcRounds = 6
-  def kc1(s: SparkSession, dir: String): DataFrame = {
+  def kc1(s: SparkSession, dir: String): DataFrame =
+    kc1Guard(s, dir, graft.operators.KCore.LocalFinishNodes,
+      graft.operators.KCore.LocalFinishEdges)
+
+  /** kc1 with an explicit tail-finish guard geometry — the KcProbe entry
+    * (guard overrides travel as parameters, never shared-JVM sys.props). */
+  private[graft] def kc1Guard(s: SparkSession, dir: String,
+      localNodes: Long, localEdges: Long): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val ps = Tables.lineitem(s, dir)
@@ -175,7 +182,8 @@ object GraphQueries extends graft.core.QueryModule {
     // d0's count IS the vertex count — hand it over so the peel doesn't
     // rerun the same edge-wide degree aggregation for its round-0 size
     graft.operators.KCore.peelRounds(e, k.toInt, rounds = KcRounds,
-      nVertices = Some(d0.getLong(1)))
+      nVertices = Some(d0.getLong(1)),
+      localNodes = localNodes, localEdges = localEdges)
   }
 
   val kc1Sql: String = {

@@ -13,12 +13,12 @@ object KcProbe {
     val dir = args(0)
     val rounds = args.lift(1).map(_.toInt).getOrElse(3)
     val spark = graft.core.GraftSession.local()
-    val fn = graft.SparkEntry.queries("kc1_kcore_peel")
+    // guard geometry as EXPLICIT parameters (kc1Guard) — the r8 sys.props
+    // dial leaked into any later KCore use in the same JVM (ADVICE r8)
     def run(nodes: Long, edges: Long): (Double, Seq[String]) = {
-      sys.props("graft.kcore.localNodes") = nodes.toString
-      sys.props("graft.kcore.localEdges") = edges.toString
       val t0 = System.nanoTime()
-      val rows = fn(spark, dir).collect().map(_.toString).toSeq
+      val rows = graft.relational.GraphQueries.kc1Guard(spark, dir, nodes, edges)
+        .collect().map(_.toString).toSeq
       ((System.nanoTime() - t0) / 1e9, rows)
     }
     run(4096L, 1L << 18); run(32768L, 1L << 20) // warm both paths
