@@ -341,30 +341,34 @@ object LlmQueries extends graft.core.QueryModule {
   /** Doc count above which simhash candidate generation switches from the
     * four 16-bit chunk bands to the 20-combo 32-bit block keys (both exact
     * for hamming ≤ 3 — see [[simhashComboPairs]]). MEASURED end-to-end by
-    * graft.llm.SimhashGeoProbe (interleaved one-JVM A/B at local[32];
-    * `--synthetic` = uniform chunks + a 129k true-pair skew block, the
-    * BandProbe corpus):
+    * graft.llm.SimhashGeoProbe (interleaved one-JVM A/B at local[32]).
+    * `--synthetic` = uniform chunks + a 129k true-pair skew block (the
+    * BandProbe corpus); `--zipf` = the r9 SKEWED re-test the r8 dial
+    * comment demanded — 20% of docs draw each chunk from a Zipf(1) head
+    * of 4,096 popular values (per-chunk self-match Σp² ≈ 5.7e-4, ~37×
+    * uniform — the short-doc/boilerplate regime):
     *
-    *   docs      band16    combo
-    *   50k real  1.29 s    4.34 s
-    *   200k syn  0.51 s    5.48 s
-    *   500k syn  1.31 s    7.89 s
-    *   1M   syn  2.01 s   11.54 s
+    *   docs       band16    combo        docs        band16    combo
+    *   50k real   1.29 s    4.34 s       200k zipf   0.42 s    5.11 s
+    *   200k syn   0.51 s    5.48 s       500k zipf   2.12 s    7.48 s
+    *   500k syn   1.31 s    7.89 s       1M   zipf   5.02 s   10.18 s
+    *   1M   syn   2.01 s   11.54 s       2M   zipf  18.43 s   16.01 s
     *
-    * Why band16 holds so long: its false candidates (4·n²/2¹⁷) are
-    * generated AND popcount-killed inside the join stage — they never
-    * shuffle — at ~60 ns each, while combo re-scans the hash table 40×
-    * (20 joins × 2 sides) and shuffles 20 keys/doc: a linear term with a
-    * ~11.5 µs/doc constant. Equating 4·n²/2¹⁷·60 ns with 11.5 µs·n puts
-    * the crossover at n ≈ 6e6; the dial sits at 5M. Caveat the probe
-    * exists to re-test: real corpora hash less uniformly than the
-    * synthetic (short docs concentrate chunk values), which can only
-    * pull the knee EARLIER — re-run the probe on the target corpus
-    * before trusting band16 past ~1M skewed docs. System property
-    * override for probes. */
-  private[llm] def simhashComboThreshold: Long =
-    sys.props.get("graft.simhash.comboThreshold").map(_.toLong)
-      .getOrElse(5000000L)
+    * Why band16 holds under uniform hashing: its false candidates
+    * (4·n²/2¹⁷) are generated AND popcount-killed inside the join stage —
+    * they never shuffle — while combo re-scans the hash table 40× (20
+    * joins × 2 sides) and shuffles 20 keys/doc (~11.5 µs/doc linear);
+    * the uniform-model crossover is n ≈ 6e6. Under the tested skew the
+    * quadratic term inflates ~37× and the measured knee moves into
+    * (1M, 2M) — combo first wins at the 2M row. The dial sits at the
+    * LAST point where band16 still won under the worst tested skew (1M):
+    * past the knee band16 is quadratic while an early combo switch costs
+    * only its ~2–6× linear constant, so the dial errs low. Re-run
+    * `--zipf` (or the real corpus) before trusting band16 beyond this on
+    * hotter-than-Zipf(1) data. (Immutable — the geometry probes call
+    * [[simhashBand16Pairs]]/[[simhashComboPairs]] directly; a sys.props
+    * dial would leak across a shared JVM, the r8-ADVICE KCore lesson.) */
+  private[llm] val simhashComboThreshold: Long = 1000000L
 
   private def simhashPairs0(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

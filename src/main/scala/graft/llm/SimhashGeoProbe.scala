@@ -11,17 +11,33 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.llm.SimhashGeoProbe <dir> [rounds=3]
   *    or: runMain graft.llm.SimhashGeoProbe --synthetic <nDocs> [rounds=3]
+  *    or: runMain graft.llm.SimhashGeoProbe --zipf <nDocs> [rounds=3]
   *
   * The synthetic mode validates the [[LlmQueries.simhashComboThreshold]]
   * crossover EMPIRICALLY at corpus sizes the fixtures can't reach: the
   * BandProbe generator (uniform xxhash64 16-bit chunks + a 64×64
   * near-identical skew block as the true-pair recall load) feeds the two
   * REAL candidate arms end-to-end, popcount verify included.
+  *
+  * The zipf mode is the SKEWED-corpus re-test the r8 dial comment demanded
+  * (short docs / boilerplate templates concentrate chunk values, which
+  * pulls the band16 knee earlier): each chunk value draws, independently
+  * per chunk, from a 20%-weight Zipf(1) head over 4,096 popular values
+  * (inverse-CDF rank = ⌊exp(u·ln 4096)⌋, so the hottest value carries
+  * ~2.4% of ALL docs) with the remaining 80% uniform over the 2¹⁶ space.
+  * Per-chunk self-match probability Σp² ≈ 4.4e-4 vs 1.5e-5 uniform — a
+  * ~30× candidate inflation for the 1-chunk band16 keys, while the
+  * 3-block combo keys square-ish it away. Same 64×64 true-pair block.
   */
 object SimhashGeoProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local()
     import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def skewBlock = spark.range(64L * 64).select(
+      ($"id".as("doc_id") +:
+        (0 until 4).map(c => abs(xxhash64($"id" % 64, lit(100 + c)))
+          .bitwiseAND(lit((1L << 16) - 1)).as(s"sh$c"))): _*)
     val (sh, dir, rounds) =
       if (args.headOption.contains("--synthetic")) {
         val n = args(1).toLong
@@ -29,25 +45,39 @@ object SimhashGeoProbe {
         val mask = (1L << 16) - 1
         val docs = spark.range(n).select(
           (($"id" + 1000000000L).as("doc_id") +:
-            (0 until 4).map(c => org.apache.spark.sql.functions
-              .abs(org.apache.spark.sql.functions.xxhash64($"id",
-                org.apache.spark.sql.functions.lit(c)))
-              .bitwiseAND(org.apache.spark.sql.functions.lit(mask))
-              .as(s"sh$c"))): _*)
-        val skew = spark.range(64L * 64).select(
-          ($"id".as("doc_id") +:
-            (0 until 4).map(c => org.apache.spark.sql.functions
-              .abs(org.apache.spark.sql.functions.xxhash64($"id" % 64,
-                org.apache.spark.sql.functions.lit(100 + c)))
-              .bitwiseAND(org.apache.spark.sql.functions.lit(mask))
-              .as(s"sh$c"))): _*)
-        (docs.unionByName(skew).localCheckpoint(), s"synthetic-n$n", r)
+            (0 until 4).map(c => abs(xxhash64($"id", lit(c)))
+              .bitwiseAND(lit(mask)).as(s"sh$c"))): _*)
+        (docs.unionByName(skewBlock).localCheckpoint(), s"synthetic-n$n", r)
+      } else if (args.headOption.contains("--zipf")) {
+        val n = args(1).toLong
+        val r = args.lift(2).map(_.toInt).getOrElse(3)
+        val docs = spark.range(n).select(
+          (($"id" + 1000000000L).as("doc_id") +:
+            (0 until 4).map { c =>
+              val pick = abs(xxhash64($"id", lit(c), lit(1)))
+              val u = (abs(xxhash64($"id", lit(c), lit(2))) % 1000000L)
+                .cast("double") / lit(1e6)
+              val headVal = floor(exp(u * lit(math.log(4096.0)))).cast("long")
+              val unifVal = abs(xxhash64($"id", lit(c), lit(3)))
+                .bitwiseAND(lit((1L << 16) - 1))
+              when(pick % 5 === 0, headVal).otherwise(unifVal).as(s"sh$c")
+            }): _*)
+        (docs.unionByName(skewBlock).localCheckpoint(), s"zipf-n$n", r)
       } else {
         val d = args(0)
         val r = args.lift(1).map(_.toInt).getOrElse(3)
         (graft.text.TextOps.simhashChunks(
           LlmQueries.docTids(spark, d)).localCheckpoint(), d, r)
       }
+    // skew diagnostic: per-chunk self-match probability Σ p² (the band16
+    // candidate rate per unordered pair is ~4× this; uniform = 2^-16)
+    val selfp = (0 until 4).map { c =>
+      sh.groupBy(col(s"sh$c")).count()
+        .agg(sum(col("count") * (col("count") - 1)).cast("double") /
+          lit(sh.count().toDouble) / lit(sh.count().toDouble))
+        .head().getDouble(0)
+    }
+    println(f"[geoprobe] per-chunk self-match p2: ${selfp.map(p => f"$p%.2e").mkString(" ")}")
     val n = sh.count()
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
