@@ -12,6 +12,7 @@ package graft.llm
   */
 object D9Probe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--stages")) { stages(args(1)); return }
     val dir = args(0)
     val rounds = args.lift(1).map(_.toInt).getOrElse(3)
     val spark = graft.core.GraftSession.local()
@@ -20,25 +21,49 @@ object D9Probe {
       val t0 = System.nanoTime(); val n = f
       ((System.nanoTime() - t0) / 1e9, n)
     }
+    val arms = Seq("naive", "positional", "indexed")
     // candidate volume per arm (the mechanism, measured once)
-    val candNaive = LlmQueries.d9Pairs(docs, positional = false).count()
-    val candPos = LlmQueries.d9Pairs(docs, positional = true).count()
-    // warm both full pipelines, then interleave
-    LlmQueries.d9From(docs, positional = false).count()
-    LlmQueries.d9From(docs, positional = true).count()
-    var (tn, tp) = (Double.MaxValue, Double.MaxValue)
-    var (on, op) = (0L, 0L)
+    val cand = arms.map(a => a -> LlmQueries.d9Pairs(docs, a).count()).toMap
+    arms.foreach(a => LlmQueries.d9From(docs, a).count()) // warm pipelines
+    val best = collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(Double.MaxValue)
+    var outs = Map.empty[String, Long]
     (1 to rounds).foreach { r =>
-      val (a, oa) = time(LlmQueries.d9From(docs, positional = false).count())
-      val (b, ob) = time(LlmQueries.d9From(docs, positional = true).count())
-      on = oa; op = ob
-      tn = math.min(tn, a); tp = math.min(tp, b)
-      println(f"[d9probe] round $r: naive $a%.3fs positional $b%.3fs")
+      outs = arms.map { a =>
+        val (t, n) = time(LlmQueries.d9From(docs, a).count())
+        best(a) = math.min(best(a), t)
+        print(f"[d9probe-r$r] $a $t%.3fs  ")
+        a -> n
+      }.toMap
+      println()
     }
-    require(on == op, s"arms diverge: naive=$on positional=$op")
-    println(f"[d9probe] RESULT dir=$dir out_pairs=$on " +
-      f"cand_naive=$candNaive cand_positional=$candPos " +
-      f"naive_best=$tn%.3fs positional_best=$tp%.3fs")
+    require(outs.values.toSet.size == 1, s"arms diverge: $outs")
+    println(f"[d9probe] RESULT dir=$dir out_pairs=${outs.head._2} " +
+      arms.map(a => f"cand_$a=${cand(a)} best_$a=${best(a)}%.3fs").mkString(" "))
+    spark.stop()
+  }
+
+  /** Wall split of the full d9: docs build (tokenize → df join → sorted
+    * collect → checkpoint) vs the pair+verify stages the A/B times — at
+    * sf1 the build is most of the query, so slope work must aim there. */
+  private def stages(dir: String): Unit = {
+    val spark = graft.core.GraftSession.local()
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[d9stages] $label: ${(System.nanoTime() - t0) / 1e9}%.3fs"); r
+    }
+    (1 to 3).foreach { round =>
+      println(s"[d9stages] --- round $round ---")
+      val docs = time("docs build (df agg+join) + checkpoint") {
+        LlmQueries.d9DocsShape(spark, dir, dfByWindow = false).localCheckpoint()
+      }
+      time("docs build (df window) + checkpoint") {
+        LlmQueries.d9DocsShape(spark, dir, dfByWindow = true).localCheckpoint()
+      }
+      time("pairs + verify") {
+        LlmQueries.d9From(docs, "indexed").count()
+      }
+    }
     spark.stop()
   }
 }

@@ -472,6 +472,44 @@ object LlmQueries extends graft.core.QueryModule {
     simhashPairs(s, dir).orderBy($"da", $"db")
   }
 
+  // D6C: the OUTPUT-BOUNDED variant of d6 (r8 verdict directive 7) — per
+  // doc, its 5 nearest near-dup partners by (hamming asc, partner asc).
+  // d6's exact pair stream is output-bound at scale (2.56M rows at sf1,
+  // growing with true duplication): when the role is dedup-CANDIDATE
+  // generation, a per-doc cap keeps every downstream stage bounded at
+  // any corpus size. The cap is a MERGEABLE bottom-k aggregate
+  // (Aggregators.BottomKPairs: ≤k (hamming, partner) pairs per doc ride
+  // the shuffle) — never a rank window, which would sort every doc's
+  // full candidate list in one task. The exact d6 stays the default; the
+  // oracle enumerates ALL pairs naively and ranks with ROW_NUMBER, so a
+  // hash match proves the banded generator + mergeable cap lose nothing.
+  private val D6cK = 5
+  def d6c(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = simhashPairs(s, dir)
+    val sym = pairs.select($"da".as("doc_id"), $"db".as("partner"), $"hamming")
+      .unionByName(
+        pairs.select($"db".as("doc_id"), $"da".as("partner"), $"hamming"))
+    val bk = udaf(new graft.functions.Aggregators.BottomKPairs(D6cK))
+    sym.groupBy($"doc_id")
+      .agg(bk($"hamming".cast("double"), $"partner").as("top"))
+      .select($"doc_id", explode($"top").as("p"))
+      .select($"doc_id", $"p._2".as("partner"), $"p._1".cast("long").as("hamming"))
+      .orderBy($"doc_id", $"partner")
+  }
+
+  val d6cSql: String =
+    s"""$duckTokCtes,
+       |$chunkPairCtesNaive,
+       |sym AS (SELECT da AS doc_id, db AS partner, hamming FROM pairs
+       |        UNION ALL SELECT db, da, hamming FROM pairs),
+       |rk AS (SELECT doc_id, partner, hamming,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                            ORDER BY hamming, partner) AS rn
+       |       FROM sym)
+       |SELECT doc_id, partner, hamming FROM rk WHERE rn <= $D6cK
+       |ORDER BY doc_id, partner""".stripMargin
+
   // C1: dedup CLUSTERING — the transitive closure of the simhash near-dup
   // pairs via distributed connected components (min-label propagation,
   // graft.operators.ConnectedComponents), then one row per duplicate group:
@@ -2601,23 +2639,72 @@ object LlmQueries extends graft.core.QueryModule {
   // the corpus, so it joins by shuffle (never broadcast); the verify step
   // is an exact Jaccard on the carried sorted arrays.
   private val D9Tau = 0.5
-  private[llm] def d9Docs(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc canonical-ordered shingle arrays + prefixes. Shingles are
+    * xxhash64'd ONCE at the boundary (r9): every downstream stage — the
+    * df aggregation, the df join-back, the per-doc sorted collect, the
+    * prefix equijoin keys, and the verify intersect — carries 8-byte
+    * longs where the r8 shape shuffled ~25-byte shingle STRINGS through
+    * the three build exchanges and re-hashed per exploded prefix row
+    * (measured via D9Probe --stages: the build was 3.5 s of d9's 5.9 s
+    * sf1 total, pairs+verify 2.4 s). The canonical order becomes
+    * (df asc, hash asc) — any global total order preserves PPJoin
+    * completeness (the naive-generator oracle seals it). A cross-shingle
+    * hash collision perturbs one df count / one |∩| with probability
+    * ~2⁻⁶⁴ per shingle pair — the same accepted class as the r8 verify
+    * hashing (the gate-SF oracle match is the empirical seal). */
+  private[llm] def d9Docs(s: SparkSession, dir: String): DataFrame =
+    d9DocsShape(s, dir, dfByWindow = true)
+
+  private[llm] def d9DocsShape(s: SparkSession, dir: String,
+      dfByWindow: Boolean): DataFrame = {
     import s.implicits._
+    // lang folds into the hash key (docs only ever pair within a
+    // language): the candidate equijoin keys on ONE long and no lang
+    // column rides any shuffle. Cross-lang key equality needs a 64-bit
+    // collision — the accepted 2^-64 class above.
     val sh = docShingles(s, dir)
-    val dfTab = sh.groupBy($"sh").agg(count(lit(1)).as("dfc"))
-    sh.join(dfTab, "sh")
-      .groupBy($"doc_id", $"lang")
-      .agg(sort_array(collect_list(struct($"dfc", $"sh"))).as("arr"))
+      .select($"doc_id", xxhash64($"lang", $"sh").as("shh"))
+    val withDf =
+      if (dfByWindow) {
+        // ADOPTED (r9, D9Probe --stages interleaved at sf1): df via
+        // window count, 1.09 s vs 2.60 s for the agg + join-back — the
+        // join shape exchanged the shingle table TWICE on shh (the df
+        // agg's compressed exchange and the join probe's full one;
+        // different projections, so ReuseExchange can't dedupe) while
+        // the window pays ONE full exchange plus a per-partition sort.
+        // (The PageRank degree table measured the OPPOSITE — there the
+        // agg output is node-sized and feeds a co-partitioned join;
+        // here the join-back re-shuffles the full shingle stream.)
+        // No funnel risk: df groups are shingle-sized, never hot.
+        import org.apache.spark.sql.expressions.Window
+        sh.withColumn("dfc", count(lit(1)).over(Window.partitionBy($"shh")))
+      } else {
+        val dfTab = sh.groupBy($"shh").agg(count(lit(1)).as("dfc"))
+        sh.join(dfTab, "shh")
+      }
+    withDf
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"dfc", $"shh"))).as("arr"))
       .withColumn("ns", size($"arr"))
       .withColumn("plen",
         ($"ns" - ceil($"ns".cast("double") * lit(D9Tau)) + 1).cast("int"))
       .withColumn("prefix", slice($"arr", lit(1), $"plen"))
+      // PPJoin's short INDEX prefix (Xiao et al. 2008 §3.4 / Bayardo
+      // §3.1): when the pair's SMALLER set is the indexed side, overlap
+      // α ≥ ⌈2τ/(1+τ)·|y|⌉, so its first shared element sits within the
+      // first |y| − ⌈2τ/(1+τ)·|y|⌉ + 1 positions — ~|y|/3 at τ=0.5 where
+      // the symmetric Jaccard prefix is ~|y|/2. Exact, given the
+      // size-order predicate in the indexed join arm.
+      .withColumn("ilen",
+        ($"ns" - ceil($"ns".cast("double") * lit(2 * D9Tau / (1 + D9Tau)))
+          + 1).cast("int"))
+      .withColumn("iprefix", slice($"arr", lit(1), $"ilen"))
   }
   /** Candidate pair generation for d9, both A/B arms of the r8 probe.
-    * `positional = true` adds two EXACT cuts on top of the length filter:
-    *  - join keys are xxhash64 of the prefix shingle (8-byte shuffle keys
-    *    instead of strings; a key collision only ADDS a candidate that the
-    *    exact verify then drops, so completeness is untouched);
+    * Both arms join on the 8-byte hashed shingle keys the d9Docs arrays
+    * carry (r9 — the r8 positional arm hashed per exploded row, the naive
+    * arm joined on strings). `positional = true` adds one EXACT cut on
+    * top of the length filter:
     *  - PPJoin's POSITIONAL filter (Xiao et al. 2008 §3.2): for a match on
     *    prefix positions (pa, pb) (0-based in the canonical sort), the
     *    overlap is bounded by min(na−pa, nb−pb) — everything before the
@@ -2627,38 +2714,59 @@ object LlmQueries extends graft.core.QueryModule {
     *    bound < α = ⌈τ·(na+nb)/(1+τ)⌉ are pruned BEFORE the distinct
     *    shuffle — the fan-out term the sf1 decade measured as slope 0.68.
     */
-  private[llm] def d9Pairs(docs: DataFrame, positional: Boolean): DataFrame = {
+  private[llm] def d9Pairs(docs: DataFrame, shape: String): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    if (!positional) {
-      val cand = docs.select($"doc_id", $"lang", $"ns", explode($"prefix").as("pe"))
-        .select($"doc_id", $"lang", $"ns", $"pe.sh".as("sh"))
-      cand.select($"doc_id".as("da"), $"lang", $"sh", $"ns".as("na"))
-        .join(cand.select($"doc_id".as("db"), $"lang", $"sh", $"ns".as("nb")),
-          Seq("lang", "sh"))
-        .filter($"da" < $"db" &&
-          $"nb".cast("double") >= $"na".cast("double") * D9Tau &&
-          $"nb".cast("double") <= $"na".cast("double") / D9Tau)
-        .select($"da", $"db").distinct()
-    } else {
-      val cand = docs.select($"doc_id", $"lang", $"ns",
-          posexplode($"prefix").as(Seq("pos", "pe")))
-        .select($"doc_id", $"lang", $"ns", $"pos",
-          xxhash64($"pe.sh").as("shh"))
-      val alpha = ceil(($"na" + $"nb").cast("double") * lit(D9Tau / (1 + D9Tau)))
-      cand.select($"doc_id".as("da"), $"lang", $"shh", $"ns".as("na"), $"pos".as("pa"))
-        .join(cand.select($"doc_id".as("db"), $"lang", $"shh", $"ns".as("nb"),
-          $"pos".as("pb")), Seq("lang", "shh"))
-        .filter($"da" < $"db" &&
-          $"nb".cast("double") >= $"na".cast("double") * D9Tau &&
-          $"nb".cast("double") <= $"na".cast("double") / D9Tau &&
-          least($"na" - $"pa", $"nb" - $"pb").cast("double") >= alpha)
-        .select($"da", $"db").distinct()
+    val alpha = ceil(($"na" + $"nb").cast("double") * lit(D9Tau / (1 + D9Tau)))
+    shape match {
+      case "naive" =>
+        val cand = docs.select($"doc_id", $"ns", explode($"prefix").as("pe"))
+          .select($"doc_id", $"ns", $"pe.shh".as("shh"))
+        cand.select($"doc_id".as("da"), $"shh", $"ns".as("na"))
+          .join(cand.select($"doc_id".as("db"), $"shh", $"ns".as("nb")), Seq("shh"))
+          .filter($"da" < $"db" &&
+            $"nb".cast("double") >= $"na".cast("double") * D9Tau &&
+            $"nb".cast("double") <= $"na".cast("double") / D9Tau)
+          .select($"da", $"db").distinct()
+      case "positional" =>
+        val cand = docs.select($"doc_id", $"ns",
+            posexplode($"prefix").as(Seq("pos", "pe")))
+          .select($"doc_id", $"ns", $"pos", $"pe.shh".as("shh"))
+        cand.select($"doc_id".as("da"), $"shh", $"ns".as("na"), $"pos".as("pa"))
+          .join(cand.select($"doc_id".as("db"), $"shh", $"ns".as("nb"),
+            $"pos".as("pb")), Seq("shh"))
+          .filter($"da" < $"db" &&
+            $"nb".cast("double") >= $"na".cast("double") * D9Tau &&
+            $"nb".cast("double") <= $"na".cast("double") / D9Tau &&
+            least($"na" - $"pa", $"nb" - $"pb").cast("double") >= alpha)
+          .select($"da", $"db").distinct()
+      case "indexed" =>
+        // Asymmetric probe×index join: the pair's LARGER set (ties: larger
+        // id) probes with its full Jaccard prefix; the smaller set is
+        // indexed by its short index prefix (~|y|/3 vs ~|y|/2 at τ=0.5 —
+        // see d9Docs.iprefix). Complete for J ≥ τ by the PPJoin index-
+        // prefix theorem: the pair's first shared element in canonical
+        // order lies inside BOTH prefixes. Also kills the symmetric
+        // arm's direction double-count (each pair matched from one side
+        // only), so the pre-distinct stream is strictly smaller.
+        val probe = docs.select($"doc_id".as("da"), $"ns".as("na"),
+            posexplode($"prefix").as(Seq("pa", "pe")))
+          .select($"da", $"na", $"pa", $"pe.shh".as("shh"))
+        val index = docs.select($"doc_id".as("db"), $"ns".as("nb"),
+            posexplode($"iprefix").as(Seq("pb", "pe")))
+          .select($"db", $"nb", $"pb", $"pe.shh".as("shh"))
+        probe.join(index, Seq("shh"))
+          .filter(($"nb" < $"na" || ($"nb" === $"na" && $"db" < $"da")) &&
+            $"nb".cast("double") >= $"na".cast("double") * D9Tau &&
+            least($"na" - $"pa", $"nb" - $"pb").cast("double") >= alpha)
+          .select(least($"da", $"db").as("da"), greatest($"da", $"db").as("db"))
+          .distinct()
+      case other => sys.error(s"unknown d9 candidate shape: $other")
     }
   }
 
   def d9(s: SparkSession, dir: String): DataFrame =
-    d9From(d9Docs(s, dir).localCheckpoint(), positional = true)
+    d9From(d9Docs(s, dir).localCheckpoint(), shape = "indexed")
 
   /** Full d9 pipeline from a checkpointed d9Docs frame — the probe entry
     * (both candidate arms share the verify stage, so an A/B on this
@@ -2668,21 +2776,23 @@ object LlmQueries extends graft.core.QueryModule {
     * leave the join. Still complete — it's a necessary condition of the
     * threshold, not a heuristic. Positional arm adopted from the r8
     * interleaved probe (see d9Pairs doc). */
-  private[llm] def d9From(docs: DataFrame, positional: Boolean): DataFrame = {
+  private[llm] def d9From(docs: DataFrame, shape: String): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val pairs = d9Pairs(docs, positional)
-    // verification intersects 64-bit shingle HASHES, not strings — ~1/3
-    // the shuffle bytes and a primitive-array intersect. A cross-doc
-    // xxhash64 collision could perturb one |∩| with probability ~2^-64
-    // per shingle pair (PPJoin-style systems accept this; the oracle
-    // match at the gate SF is the empirical seal). The hash arrays are
-    // SORTED once per doc so the per-PAIR count is an allocation-free
-    // two-pointer merge (SortedIntersectCount, the tc1 hot-path device) —
+    val pairs = d9Pairs(docs, shape)
+    // verification intersects the 64-bit shingle hashes the arrays
+    // already carry (r9: hashed once in d9Docs — no per-row re-hash
+    // here) — ~1/3 the shuffle bytes of strings and a primitive-array
+    // intersect. A cross-doc xxhash64 collision could perturb one |∩|
+    // with probability ~2^-64 per shingle pair (PPJoin-style systems
+    // accept this; the oracle match at the gate SF is the empirical
+    // seal). The hash arrays are SORTED once per doc so the per-PAIR
+    // count is an allocation-free two-pointer merge
+    // (SortedIntersectCount, the tc1 hot-path device) —
     // size(array_intersect(...)) hash-built and materialized the
     // intersection array per candidate pair just to take its length.
     val side = docs.select($"doc_id",
-      sort_array(expr("transform(arr.sh, x -> xxhash64(x))")).as("shs"), $"ns")
+      sort_array($"arr.shh").as("shs"), $"ns")
     val interCnt = {
       import org.apache.spark.sql.GraftSqlBridge
       GraftSqlBridge.column(graft.functions.SortedIntersectCount(
@@ -2735,6 +2845,7 @@ object LlmQueries extends graft.core.QueryModule {
     "d2_minhash_lsh" -> d2,
     "d3_simhash" -> d3,
     "d6_simhash_hamming" -> d6,
+    "d6c_simhash_capped" -> d6c,
     "d6b_simhash128_scale" -> d6b,
     "c1_dedup_clusters" -> c1,
     "c2_dedup_droplist" -> c2,
@@ -2792,6 +2903,7 @@ object LlmQueries extends graft.core.QueryModule {
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,
     "d6_simhash_hamming" -> d6Sql,
+    "d6c_simhash_capped" -> d6cSql,
     "d6b_simhash128_scale" -> d6bSql,
     "c1_dedup_clusters" -> c1Sql,
     "c2_dedup_droplist" -> c2Sql,
