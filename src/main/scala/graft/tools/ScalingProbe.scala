@@ -128,7 +128,10 @@ object ScalingProbe {
         // bounded-round frontier expansion and cf1's capped-profile
         // self-join join tc1/kc1/d9 so every graph-shaped operator has a
         // decade on record
-        "bfs1_reachability_levels", "cf1_item_similarity")
+        "bfs1_reachability_levels", "cf1_item_similarity",
+        // r9: lp1 joins the graph family (its prepartitioned-edge probe
+        // is a decade decision); d6c is the new output-bounded dedup cap
+        "lp1_label_propagation", "d6c_simhash_capped")
       val decade = steep.map { name =>
         val fn = graft.SparkEntry.queries(name)
         def best(d: String): Double = {
