@@ -53,12 +53,15 @@ def capped_sql(c, sql):
     """Execute one statement on connection/cursor `c` under the wall cap,
     materializing the result (DataFrame for row-returning statements,
     None for DDL) or returning CAPPED. The timer interrupts `c` itself —
-    callers pass a per-query/per-group cursor, so a timer that fires in
-    the window after the statement returns can only hit a cursor that
-    runs nothing else afterwards (the old shared-connection protocol
-    could spuriously interrupt the NEXT query). InterruptException
-    without our own timer having fired, and every other exception,
-    re-raise: a real oracle error must never be misfiled as a cap."""
+    never the shared view connection — so it can't poison another
+    query's cursor. Cursors that run FURTHER statements (the iterative-
+    oracle group cursor) are protected from the fire-after-finish race
+    by the absorption step below: if the timer fired but this statement
+    completed, the pending interrupt is soaked up by a sacrificial
+    SELECT before anything else runs on the cursor. An interrupt-shaped
+    failure only counts as CAPPED when OUR timer fired (any exception
+    class — duckdb bindings have surfaced interrupts as generic errors
+    across versions); a real oracle error with no timer fired re-raises."""
     def go():
         rel = c.sql(sql)              # DDL executes here, returns None
         return rel.df() if rel is not None else None
@@ -68,13 +71,28 @@ def capped_sql(c, sql):
     timer = threading.Timer(cap, lambda: (fired.append(1), c.interrupt()))
     timer.start()
     try:
-        return go()
+        out = go()
     except duckdb.InterruptException:
+        if fired:
+            return CAPPED
+        raise
+    except Exception:
         if fired:
             return CAPPED
         raise
     finally:
         timer.cancel()
+    if fired:
+        # statement finished but the timer had already fired: the
+        # interrupt may still be pending on this cursor — absorb it so
+        # it can't hit the cursor's NEXT statement. The statement itself
+        # ran over the cap, so it still reports CAPPED.
+        try:
+            c.sql("SELECT 1").df()
+        except Exception:
+            pass
+        return CAPPED
+    return out
 
 def run_oracle(sql):
     """DuckDB result df on a fresh cursor, or None if the wall cap fired."""
@@ -238,26 +256,29 @@ if os.path.exists(qlist):
             mark(name, "pass_rows_only", "no oracle")
 
 capped = sorted(n for n, r in report.items() if r["status"] == "capped")
+# A cap may only EXCLUDE queries explicitly allowlisted via --allow-cap
+# (a count-only ceiling let any oracle-slow query silently drop out of
+# the gate, where a Spark-side wrong answer could never red it). A cap
+# outside the allowlist is a gate FAILURE, not an exclusion. The count
+# ceiling stays as belt-and-braces against an over-wide allowlist.
+disallowed = sorted(set(capped) - allow_cap)
+excluded = sorted(set(capped) & allow_cap)
 if json_out:
     summary = {
         "sf_dir": sfdir,
         "n_queries": total,
         "passed": total - fails - len(capped),
-        "failed": fails,
-        "capped_excluded": capped,
+        "failed": fails + len(disallowed),
+        "capped_excluded": excluded,
+        "capped_disallowed": disallowed,
         "cap_sec": cap,
         "queries": report,
     }
     with open(json_out, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
     print(f"wrote {json_out}")
-if capped:
-    print(f"capped (excluded): {len(capped)}: {', '.join(capped)}")
-# A cap may only exclude queries EXPLICITLY allowlisted via --allow-cap
-# (the count-only ceiling let any oracle-slow query silently drop out of
-# the gate, where a Spark-side wrong answer could never red it). The
-# ceiling stays as belt-and-braces against an over-wide allowlist.
-disallowed = sorted(set(capped) - allow_cap)
+if excluded:
+    print(f"capped (allowlisted, excluded): {len(excluded)}: {', '.join(excluded)}")
 if disallowed:
     print(f"CAPPED OUTSIDE ALLOWLIST (gate failure): {', '.join(disallowed)}")
 cap_ceiling = max(5, int(0.03 * total))
@@ -266,5 +287,6 @@ if over_capped:
     print(f"TOO MANY CAPPED: {len(capped)} > ceiling {cap_ceiling} — "
           "run is too excluded to count as a pass")
 print(f"\n{total-fails-len(capped)}/{total-len(capped)} passed"
-      + (f" ({len(capped)} capped)" if capped else ""))
+      + (f" ({len(capped)} capped: {len(excluded)} excluded, "
+         f"{len(disallowed)} FAILED)" if capped else ""))
 sys.exit(1 if fails or over_capped or disallowed else 0)

@@ -55,10 +55,13 @@ object D9Probe {
     (1 to 3).foreach { round =>
       println(s"[d9stages] --- round $round ---")
       val docs = time("docs build (df agg+join) + checkpoint") {
-        LlmQueries.d9DocsShape(spark, dir, dfByWindow = false).localCheckpoint()
+        LlmQueries.d9DocsShape(spark, dir, "aggjoin").localCheckpoint()
       }
       time("docs build (df window) + checkpoint") {
-        LlmQueries.d9DocsShape(spark, dir, dfByWindow = true).localCheckpoint()
+        LlmQueries.d9DocsShape(spark, dir, "window").localCheckpoint()
+      }
+      time("docs build (df copartition) + checkpoint") {
+        LlmQueries.d9DocsShape(spark, dir, "copartition").localCheckpoint()
       }
       time("pairs + verify") {
         LlmQueries.d9From(docs, "indexed").count()

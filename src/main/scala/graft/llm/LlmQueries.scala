@@ -345,8 +345,8 @@ object LlmQueries extends graft.core.QueryModule {
     * `--synthetic` = uniform chunks + a 129k true-pair skew block (the
     * BandProbe corpus); `--zipf` = the r9 SKEWED re-test the r8 dial
     * comment demanded — 20% of docs draw each chunk from a Zipf(1) head
-    * of 4,096 popular values (per-chunk self-match Σp² ≈ 5.7e-4, ~37×
-    * uniform — the short-doc/boilerplate regime):
+    * over ranks 1..4095 (measured per-chunk self-match Σp² ≈ 5.7e-4,
+    * ~37× uniform — the short-doc/boilerplate regime):
     *
     *   docs       band16    combo        docs        band16    combo
     *   50k real   1.29 s    4.34 s       200k zipf   0.42 s    5.11 s
@@ -2653,10 +2653,10 @@ object LlmQueries extends graft.core.QueryModule {
     * ~2⁻⁶⁴ per shingle pair — the same accepted class as the r8 verify
     * hashing (the gate-SF oracle match is the empirical seal). */
   private[llm] def d9Docs(s: SparkSession, dir: String): DataFrame =
-    d9DocsShape(s, dir, dfByWindow = true)
+    d9DocsShape(s, dir, dfShape = "copartition")
 
   private[llm] def d9DocsShape(s: SparkSession, dir: String,
-      dfByWindow: Boolean): DataFrame = {
+      dfShape: String): DataFrame = {
     import s.implicits._
     // lang folds into the hash key (docs only ever pair within a
     // language): the candidate equijoin keys on ONE long and no lang
@@ -2664,24 +2664,43 @@ object LlmQueries extends graft.core.QueryModule {
     // collision — the accepted 2^-64 class above.
     val sh = docShingles(s, dir)
       .select($"doc_id", xxhash64($"lang", $"sh").as("shh"))
-    val withDf =
-      if (dfByWindow) {
-        // ADOPTED (r9, D9Probe --stages interleaved at sf1): df via
-        // window count, 1.09 s vs 2.60 s for the agg + join-back — the
-        // join shape exchanged the shingle table TWICE on shh (the df
-        // agg's compressed exchange and the join probe's full one;
-        // different projections, so ReuseExchange can't dedupe) while
-        // the window pays ONE full exchange plus a per-partition sort.
-        // (The PageRank degree table measured the OPPOSITE — there the
-        // agg output is node-sized and feeds a co-partitioned join;
-        // here the join-back re-shuffles the full shingle stream.)
-        // No funnel risk: df groups are shingle-sized, never hot.
+    val withDf = dfShape match {
+      case "copartition" =>
+        // ADOPTED (r9, D9Probe --stages interleaved at sf1): ONE
+        // explicit repartition(shh) exchange feeds BOTH the df
+        // aggregation and the join-back — each is co-partitioned on
+        // shh, so neither adds its own exchange. The shuffle_hash hint
+        // keeps the join sort-free; its build side per partition is the
+        // partition's DISTINCT shingles — a hot boilerplate shingle is
+        // ONE build entry however many docs carry it, and AQE's
+        // skew-join splitting applies to shuffled-hash joins, so a hot
+        // key's probe stream can be split across tasks. Measured
+        // 2.31 s vs 3.3–3.7 s for the r8 agg+join shape (two
+        // non-dedupable full exchanges of the shingle stream) and vs
+        // 1.45–1.91 s for the window arm — the window is ~25% faster
+        // HERE (no hot shingles in the fixture) but buffers each shh
+        // group inside one WindowExec task with no skew relief: on the
+        // boilerplate-heavy corpora d9 exists for, that is the
+        // rank-window funnel this repo bans, so the ~0.6 s local cost
+        // buys the shape that survives skew (the code-review r9
+        // finding on the briefly-adopted window arm).
+        val part = sh.repartition($"shh")
+        val dfTab = part.groupBy($"shh").agg(count(lit(1)).as("dfc"))
+        part.join(dfTab.hint("shuffle_hash"), "shh")
+      case "window" =>
+        // probe arm: df via window count — same single exchange, but
+        // WindowExec sorts the partition and buffers each shh group,
+        // so one hot shingle funnels its whole group into one task
         import org.apache.spark.sql.expressions.Window
         sh.withColumn("dfc", count(lit(1)).over(Window.partitionBy($"shh")))
-      } else {
+      case "aggjoin" =>
+        // probe arm (the r8 shape): the df agg's compressed exchange
+        // and the join probe's full one can't be deduped (different
+        // projections) — two exchanges of the shingle stream
         val dfTab = sh.groupBy($"shh").agg(count(lit(1)).as("dfc"))
         sh.join(dfTab, "shh")
-      }
+      case other => sys.error(s"unknown d9 df shape: $other")
+    }
     withDf
       .groupBy($"doc_id")
       .agg(sort_array(collect_list(struct($"dfc", $"shh"))).as("arr"))

@@ -22,11 +22,12 @@ import org.apache.spark.sql.SparkSession
   * The zipf mode is the SKEWED-corpus re-test the r8 dial comment demanded
   * (short docs / boilerplate templates concentrate chunk values, which
   * pulls the band16 knee earlier): each chunk value draws, independently
-  * per chunk, from a 20%-weight Zipf(1) head over 4,096 popular values
-  * (inverse-CDF rank = ⌊exp(u·ln 4096)⌋, so the hottest value carries
-  * ~2.4% of ALL docs) with the remaining 80% uniform over the 2¹⁶ space.
-  * Per-chunk self-match probability Σp² ≈ 4.4e-4 vs 1.5e-5 uniform — a
-  * ~30× candidate inflation for the 1-chunk band16 keys, while the
+  * per chunk, from a 20%-weight Zipf(1) head over ranks 1..4095
+  * (inverse-CDF rank = ⌊exp(u·ln 4096)⌋, P(rank r) ∝ 1/r, so the hottest
+  * value carries 20%·ln2/ln4096 ≈ 1.7% of ALL docs) with the remaining
+  * 80% uniform over the 2¹⁶ space. Per-chunk self-match probability Σp²
+  * MEASURES at ≈ 5.7e-4 (the probe prints it per run) vs 1.5e-5 uniform —
+  * a ~37× candidate inflation for the 1-chunk band16 keys, while the
   * 3-block combo keys square-ish it away. Same 64×64 true-pair block.
   */
 object SimhashGeoProbe {
@@ -71,10 +72,11 @@ object SimhashGeoProbe {
       }
     // skew diagnostic: per-chunk self-match probability Σ p² (the band16
     // candidate rate per unordered pair is ~4× this; uniform = 2^-16)
+    val nDocs = sh.count().toDouble
     val selfp = (0 until 4).map { c =>
       sh.groupBy(col(s"sh$c")).count()
         .agg(sum(col("count") * (col("count") - 1)).cast("double") /
-          lit(sh.count().toDouble) / lit(sh.count().toDouble))
+          lit(nDocs) / lit(nDocs))
         .head().getDouble(0)
     }
     println(f"[geoprobe] per-chunk self-match p2: ${selfp.map(p => f"$p%.2e").mkString(" ")}")
