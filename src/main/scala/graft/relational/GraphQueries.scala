@@ -168,13 +168,7 @@ object GraphQueries extends graft.core.QueryModule {
   private[graft] def kc1Guard(s: SparkSession, dir: String,
       localNodes: Long, localEdges: Long): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ps = Tables.lineitem(s, dir)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("sup")).distinct()
-    val w = Window.partitionBy($"p").orderBy($"sup")
-    val e = ps.withColumn("v", lead($"sup", 1).over(w))
-      .filter($"v".isNotNull)
-      .select($"sup".as("u"), $"v").distinct()
+    val e = coSupplyEdges(s, dir)
     val d0 = e.select($"u".as("x")).unionAll(e.select($"v".as("x")))
       .groupBy($"x").agg(count(lit(1)).as("dg"))
       .agg(sum($"dg").cast("long").as("s"), count(lit(1)).as("c")).head()
@@ -221,16 +215,32 @@ object GraphQueries extends graft.core.QueryModule {
     * sparse cuts. Output is the full (node, label) map — the table a
     * canonical-document/supplier-grouping step joins on.
     */
-  def lp1(s: SparkSession, dir: String): DataFrame = {
+  /** The co-supply adjacency chain edge set kc1/lp1 share (tc1 builds the
+    * same edges via its own single-shuffle groupBy+zip form): per part,
+    * consecutive suppliers by id are linked. ONE exchange feeds both the
+    * (p, sup) dedup AND the per-part window (r9, the cf1 device): hash
+    * partitioning on p alone satisfies the distinct's (p, sup) clustering
+    * and IS the window's required partitioning, where the distinct-induced
+    * shape paid a second full exchange between them — measured interleaved
+    * one-JVM A/B (Lp1Probe `cosupply` mode, sf1, best-of-5): construction
+    * 1.62 → 1.09 s, the one-exchange arm winning every round. The final
+    * (u, v) dedup exchange is unavoidable (different key). */
+  private def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val ps = Tables.lineitem(s, dir)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("sup")).distinct()
+      .select($"l_partkey".as("p"), $"l_suppkey".as("sup"))
+      .repartition($"p")
+      .distinct()
     val w = Window.partitionBy($"p").orderBy($"sup")
-    val e = ps.withColumn("v", lead($"sup", 1).over(w))
+    ps.withColumn("v", lead($"sup", 1).over(w))
       .filter($"v".isNotNull)
       .select($"sup".as("u"), $"v").distinct()
-    graft.operators.LabelPropagation.run(e, rounds = 3)
+  }
+
+  def lp1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.LabelPropagation.run(coSupplyEdges(s, dir), rounds = 3)
       .orderBy($"node")
   }
 

@@ -54,6 +54,30 @@ object Lp1Probe {
         .select($"sup".as("u"), $"v").distinct()
     }
 
+    // r9 follow-up: the shared co-supply edge CONSTRUCTION — one
+    // repartition(p) exchange feeding both the (p,sup) dedup and the
+    // per-part window (the cf1 device) vs the r8 two-exchange shape
+    if (which == "cosupply") ab("cosupply", Seq(
+      "two-exchange" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val ps = Tables.lineitem(spark, dir)
+          .select($"l_partkey".as("p"), $"l_suppkey".as("sup")).distinct()
+        val w = Window.partitionBy($"p").orderBy($"sup")
+        Seq(ps.withColumn("v", lead($"sup", 1).over(w))
+          .filter($"v".isNotNull)
+          .select($"sup".as("u"), $"v").distinct().count().toString)
+      }),
+      "one-exchange" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val ps = Tables.lineitem(spark, dir)
+          .select($"l_partkey".as("p"), $"l_suppkey".as("sup"))
+          .repartition($"p").distinct()
+        val w = Window.partitionBy($"p").orderBy($"sup")
+        Seq(ps.withColumn("v", lead($"sup", 1).over(w))
+          .filter($"v".isNotNull)
+          .select($"sup".as("u"), $"v").distinct().count().toString)
+      })))
+
     if (which == "lp1" || which == "both") ab("lp1", Seq(
       "shuffle-per-round" -> (() => graft.operators.LabelPropagation
         .run(edges, rounds = 3, prePartition = false)
