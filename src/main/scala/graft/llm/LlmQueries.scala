@@ -869,29 +869,78 @@ object LlmQueries extends graft.core.QueryModule {
        |  FROM b a, q WHERE a.bk = q.qbk) t
        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
-  // S3: IVF-style ANN — partition vectors into cells around fixed centroids
-  // (deterministic seeds: vec_id 1..4), search ONLY the query's cell. The
-  // scale path for billion-vector ANN: the assignment pass is a broadcast
-  // cross join against k centroids + one per-vector argmax, and the probe
-  // touches 1/k of the data.
-  /** IVF cell assignment shared by s3 (probe) and s4 (update): nearest of
-    * the 4 fixed centroids by cosine, deterministic cid tiebreak. Memoized
-    * — one assignment pass serves both pipeline stages, and any change to
-    * the assignment semantics changes both together. */
-  private def ivfCells(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "ivfCells") {
+  // S3: IVF-style ANN — partition vectors into cells around corpus-sized
+  // centroids (deterministic seeds: vec_id 1..k), search ONLY the query's
+  // cell. The scale path for billion-vector ANN: the assignment pass is a
+  // broadcast cross join against k centroids + one per-vector argmax, and
+  // the probe touches ~1/k of the data.
+  /** Target IVF cell POPULATION. The centroid count is
+    * k = max(4, ceil(n / ivfCellTarget)) — k grows ∝ corpus so the
+    * per-cell population (and therefore sem1/knn1's within-cell pair work,
+    * which is quadratic in it) stays CONSTANT at any scale: pair volume is
+    * n²/k = n·ivfCellTarget, linear in n. The r9 shape pinned k = 4, which
+    * made sem1/knn1 the two steepest decade slopes in the inventory (0.81 /
+    * 0.93 — quadratic within-cell work with a cell count that never grows).
+    * Probed interleaved one-JVM A/B at sf0.1/sf1 (graft.llm.IvfProbe,
+    * results in SCALING.md). 256 keeps the gate SF (sf0.01, n=500) at the
+    * k=4 floor — assignment quality there is seed-limited either way — and
+    * puts sf1 (n=20k) at k=79 / ~253 rows per cell, comfortably under
+    * BoundedSelfJoin's 4096 chunk cap. Past n ≈ 10⁸ the n·k assignment
+    * itself needs a coarse quantizer over the centroids (hierarchical IVF);
+    * the centroid codebook is k·64 floats — broadcast-sized through the
+    * 10⁹-vector regime like any production IVF codebook. */
+  private[llm] val ivfCellTarget: Long = 256L
+  private[llm] def ivfK(n: Long): Long =
+    math.max(4L, math.ceil(n.toDouble / ivfCellTarget).toLong)
+
+  /** Centroid frame (cid, ce, cn2) at the corpus-sized k — memoized: the
+    * count that sizes k and the centroid scan both run once per (session,
+    * dir) and serve s3/s4/s5/sem1/knn1 together. */
+  private def ivfCents(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "ivfCents") {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
-      val cents = e.filter($"vec_id".between(1, 4))
-        .select($"vec_id".cast("long").as("cid"), $"embedding".as("ce"),
-          VectorOps.dotNative($"embedding", $"embedding").as("cn2"))
-      val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-      e.crossJoin(broadcast(cents))
-        .withColumn("ccos", VectorOps.dotNative($"embedding", $"ce") /
-          (sqrt(VectorOps.dotNative($"embedding", $"embedding")) * sqrt($"cn2")))
-        .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-        .select($"vec_id", $"cid".as("cell"))
+      ivfCentsAt(s, e, ivfK(e.count()))
     }
+  private[llm] def ivfCentsAt(s: SparkSession, e: DataFrame, k: Long): DataFrame = {
+    import s.implicits._
+    e.filter($"vec_id".between(1, k))
+      .select($"vec_id".cast("long").as("cid"), $"embedding".as("ce"),
+        VectorOps.dotNative($"embedding", $"embedding").as("cn2"))
+  }
+
+  /** IVF cell assignment shared by s3/s5 (probe) and s4 (update): nearest
+    * of the k corpus-sized centroids by cosine, deterministic cid tiebreak.
+    * Memoized — one assignment pass serves every pipeline stage, and any
+    * change to the assignment semantics changes all of them together.
+    * Argmax is a map-side-combining max_by over struct(ccos, -cid) — the
+    * crossJoin output is clustered by vec_id, so the partial aggregate
+    * collapses k rows to 1 BEFORE the exchange (the r9 row_number window
+    * shuffled all n·k rows with the 64-dim embedding riding each one). */
+  private def ivfCells(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "ivfCells") {
+      ivfCellsAt(s, Tables.embeddings(s, dir), ivfCents(s, dir))
+    }
+  private[llm] def ivfCellsAt(s: SparkSession, e: DataFrame,
+      cents: DataFrame): DataFrame = {
+    import s.implicits._
+    e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid",
+        (VectorOps.dotNative($"embedding", $"ce") /
+          (sqrt(VectorOps.dotNative($"embedding", $"embedding")) * sqrt($"cn2")))
+          .as("ccos"))
+      .groupBy($"vec_id")
+      .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cell"))
+      .select($"vec_id", $"cell")
+  }
+
+  /** Shared oracle CTE prefix: corpus-sized k and the centroid frame —
+    * the SQL twin of [[ivfK]]/[[ivfCentsAt]]. */
+  private val ivfCentsCte: String =
+    s"""kv AS (SELECT GREATEST(4, CAST(CEIL(COUNT(*) / ${ivfCellTarget}.0) AS BIGINT)) AS k
+       |       FROM embeddings),
+       |c AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce
+       |      FROM embeddings, kv WHERE vec_id BETWEEN 1 AND k)""".stripMargin
 
   def s3(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -912,8 +961,7 @@ object LlmQueries extends graft.core.QueryModule {
   val s3Sql: String = {
     val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
     val qCos = VectorOps.cosineSqlDuck("e.embedding", "q.qe", 64)
-    s"""WITH c AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce
-       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+    s"""WITH $ivfCentsCte,
        |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
        |        FROM embeddings e CROSS JOIN c),
        |cells AS (SELECT vec_id, cid AS cell FROM (
@@ -979,9 +1027,7 @@ object LlmQueries extends graft.core.QueryModule {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
     val cells = ivfCells(s, dir)
-    val cents = e.filter($"vec_id".between(1, 4))
-      .select($"vec_id".cast("long").as("cid"), $"embedding".as("ce"),
-        VectorOps.dotNative($"embedding", $"embedding").as("cn2"))
+    val cents = ivfCents(s, dir)
     val q = e.filter($"vec_id" === 0)
       .select($"embedding".as("qe"), VectorOps.dotNative($"embedding", $"embedding").as("qn2"))
     // query-side assignment, top-2 cells (k rows through TakeOrdered — not
@@ -1005,8 +1051,7 @@ object LlmQueries extends graft.core.QueryModule {
     val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
     val qcCos = VectorOps.cosineSqlDuck("c.ce", "q.qe", 64)
     val qCos = VectorOps.cosineSqlDuck("e.embedding", "q.qe", 64)
-    s"""WITH c AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce
-       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+    s"""WITH $ivfCentsCte,
        |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
        |        FROM embeddings e CROSS JOIN c),
        |cells AS (SELECT vec_id, cid AS cell FROM (
@@ -2400,11 +2445,13 @@ object LlmQueries extends graft.core.QueryModule {
        |FROM rk WHERE rk <= 3 AND tfidf > 0 ORDER BY doc_id, rk""".stripMargin
 
   // S4: k-means centroid UPDATE step over the embedding corpus — assign
-  // every vector to its nearest fixed centroid (s3's IVF assignment), then
-  // compute the per-cell mean vector: explode dimensions → one groupBy on
-  // (cell, dim). This is the shuffle pattern of one distributed EM
-  // iteration; at 100 TB the assignment is a k-centroid broadcast and the
-  // update is a single 256-key aggregation with map-side partials.
+  // every vector to its nearest centroid (s3's corpus-sized IVF
+  // assignment), then compute the per-cell mean vector: explode dimensions
+  // → one groupBy on (cell, dim). This is the shuffle pattern of one
+  // distributed EM iteration; at 100 TB the assignment is a k-centroid
+  // broadcast and the update is a (k·64)-key aggregation with map-side
+  // partials — the group count grows with [[ivfK]] but stays orders below
+  // the row count, so the combine does the work.
   def s4(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
@@ -2424,8 +2471,7 @@ object LlmQueries extends graft.core.QueryModule {
   }
   val s4Sql: String = {
     val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
-    s"""WITH c AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce
-       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+    s"""WITH $ivfCentsCte,
        |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
        |        FROM embeddings e CROSS JOIN c),
        |cells AS (SELECT vec_id, cid AS cell FROM (
@@ -2518,16 +2564,21 @@ object LlmQueries extends graft.core.QueryModule {
   // cluster and drop every vector that has a higher-similarity lower-id
   // neighbor there. The cluster bound is what makes semantic dedup
   // tractable: pair candidates are |cell|²-sized, never corpus²-sized, and
-  // in production k grows ∝ corpus so the per-cell population stays
+  // k grows ∝ corpus ([[ivfK]]: n / [[ivfCellTarget]]) so the per-cell
+  // population — and with it this query's pair volume per row — stays
   // constant. The within-cell join rides [[graft.operators.BoundedSelfJoin]]
   // (cap 4096) — one oversized cell degrades to a capped scan instead of
-  // detonating a task. τ = 0.35 sits between this corpus's within-cell p99
-  // (~0.32) and max (~0.51) cosine, so the drop set is non-trivial.
-  def sem1(s: SparkSession, dir: String): DataFrame = {
+  // detonating a task. τ = 0.35 sits above the corpus's within-cell bulk
+  // and below its near-dup max cosine, so the drop set stays non-trivial
+  // at every SF under the corpus-sized k (750 rows at sf0.1, 14k at sf1).
+  def sem1(s: SparkSession, dir: String): DataFrame =
+    sem1Cells(s, dir, ivfCells(s, dir))
+  private[llm] def sem1Cells(s: SparkSession, dir: String,
+      cells: DataFrame): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
-    val ec = e.join(ivfCells(s, dir), "vec_id")
+    val ec = e.join(cells, "vec_id")
     graft.operators.BoundedSelfJoin.pairs(ec, "cell", "vec_id", cap = 4096)
       .select($"a.cell".as("cell"), $"a.vec_id".as("va"), $"b.vec_id".as("vb"),
         (VectorOps.dotNative($"a.embedding", $"b.embedding") /
@@ -2543,8 +2594,7 @@ object LlmQueries extends graft.core.QueryModule {
   val sem1Sql: String = {
     val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
     val pairCos = VectorOps.cosineSqlDuck("ea.embedding", "eb.embedding", 64)
-    s"""WITH c AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce
-       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+    s"""WITH $ivfCentsCte,
        |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
        |        FROM embeddings e CROSS JOIN c),
        |cells AS (SELECT vec_id, cid AS cell FROM (
@@ -2570,11 +2620,14 @@ object LlmQueries extends graft.core.QueryModule {
   // bottom-k aggregate over priority −cos ([[graft.functions.Aggregators.BottomKPairs]]
   // — ≤ 3 (cos, nb) pairs per vector on the shuffle, no rank window over
   // cell-sized groups).
-  def knn1(s: SparkSession, dir: String): DataFrame = {
+  def knn1(s: SparkSession, dir: String): DataFrame =
+    knn1Cells(s, dir, ivfCells(s, dir))
+  private[llm] def knn1Cells(s: SparkSession, dir: String,
+      cells: DataFrame): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
-    val ec = e.join(ivfCells(s, dir), "vec_id")
+    val ec = e.join(cells, "vec_id")
     val p = graft.operators.BoundedSelfJoin.pairs(ec, "cell", "vec_id", cap = 4096)
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
         (VectorOps.dotNative($"a.embedding", $"b.embedding") /
@@ -2607,8 +2660,7 @@ object LlmQueries extends graft.core.QueryModule {
   val knn1Sql: String = {
     val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
     val pairCos = VectorOps.cosineSqlDuck("ea.embedding", "eb.embedding", 64)
-    s"""WITH c AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce
-       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+    s"""WITH $ivfCentsCte,
        |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
        |        FROM embeddings e CROSS JOIN c),
        |cells AS (SELECT vec_id, cid AS cell FROM (
