@@ -47,13 +47,16 @@ object PageRank {
   /** `assumeDistinct`: caller guarantees `edges` is already duplicate-free
     * AND no pair can equal a swapped pair (e.g. disjoint id spaces on the
     * two sides, as in a bipartite graph) — skips the symmetrisation
-    * `distinct()`, which is otherwise a full edge-wide dedup shuffle. */
+    * dedup. Under the single-exchange build the dedup is exchange-FREE
+    * (it runs on the repartition(b) clustering), so callers with raw
+    * duplicated edges should prefer passing them as-is over paying their
+    * own upstream distinct exchange (measured: Lp1Probe `pr1build`). */
   def run(edges: DataFrame, iters: Int = 3, reliable: Boolean = false,
-      checkpointEvery: Int = 4, assumeDistinct: Boolean = false): DataFrame = {
+      checkpointEvery: Int = 4, assumeDistinct: Boolean = false,
+      singleExchangeBuild: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val doubled = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-    val bidir = if (assumeDistinct) doubled else doubled.distinct()
     // Edges annotated ONCE with the CONTRIBUTOR-side degree: in the
     // symmetric edge set, grouping by `a` over contributors `b` visits
     // exactly the same (receiver, contributor) multiset as grouping by `b`
@@ -61,25 +64,35 @@ object PageRank {
     // rank(b) div deg_b is computed at join time from the edge column.
     // The ranks table is therefore bare (v, rank): no deg re-attach join,
     // no node table (and broadcasting deg instead would cap the node
-    // count at broadcast size — not a 100 TB posture). deg derives from
-    // bidir INSIDE the same plan: ReuseExchange dedupes the distinct
-    // shuffle between the join's two sides, so the build phase is ONE
-    // materialized intermediate — hence the checkpoint. (A window count
-    // over b was tried instead of the join: the per-partition sort made
-    // it ~3× slower than hash join + hash agg.)
-    val deg = bidir.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
-    // Materialized pre-partitioned on the JOIN key `b`: LogicalRDD keeps
-    // the hash partitioning across the checkpoint, so the per-iteration
-    // join re-shuffles NEITHER side — symDeg is already on b, and ranks
-    // comes out of its groupBy hash-partitioned on v. Each iteration then
-    // pays exactly ONE edge-sized shuffle (the contribution agg on `a`),
-    // not three. (The previous repartition(a) optimized iteration 1's
-    // agg instead — backwards: it saved one shuffle once and paid two per
-    // iteration after.)
-    val symDeg0 = bidir
-      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
-      .select(col("a"), col("b"), col("deg_b"))
-      .repartition(col("b"))
+    // count at broadcast size — not a 100 TB posture). (A window count
+    // over b was tried instead of the degree join: the per-partition sort
+    // made it ~3× slower than hash join + hash agg.)
+    //
+    // Build geometry (r10, the lp1/kc1 single-exchange construction;
+    // measured Lp1Probe `pr1build`, SCALING.md): ONE edge-wide
+    // repartition on the per-iteration join key `b` feeds EVERYTHING —
+    // hash partitioning on b satisfies the (a, b) dedup clustering, the
+    // degree aggregation's b grouping, and the degree join-back, so all
+    // three run exchange-free on top of it and the checkpoint inherits
+    // the partitioning (LogicalRDD keeps it, so no iteration re-shuffles
+    // the edge list either). The r9 shape paid deg's a-side exchange, the
+    // join's two b-side exchanges, and a redundant repartition after a
+    // join already keyed on b.
+    val symDeg0 =
+      if (singleExchangeBuild) {
+        val part = doubled.repartition(col("b"))
+        val sym = if (assumeDistinct) part else part.distinct()
+        val degB = sym.groupBy(col("b")).agg(count(lit(1)).as("deg_b"))
+        sym.join(degB.hint("shuffle_hash"), "b")
+          .select(col("a"), col("b"), col("deg_b"))
+      } else {
+        val bidir = if (assumeDistinct) doubled else doubled.distinct()
+        val deg = bidir.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+        bidir
+          .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
+          .select(col("a"), col("b"), col("deg_b"))
+          .repartition(col("b"))
+      }
     val symDeg = if (reliable) symDeg0.checkpoint() else symDeg0.localCheckpoint()
     // map-side-combined distinct over the materialized edges; an O(1)
     // driver scalar (the old node-table distinct shuffled (v, deg) pairs)

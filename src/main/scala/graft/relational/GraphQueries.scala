@@ -21,14 +21,18 @@ object GraphQueries extends graft.core.QueryModule {
     */
   def pr1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // RAW joined rows, no upstream distinct: PageRank's single-exchange
+    // build dedups exchange-free on its repartition(b) clustering, so an
+    // (a, b) distinct here would add a whole lineitem-wide exchange
+    // barrier (and run its dedup agg twice through the symmetrisation
+    // union) for nothing — measured r10, Lp1Probe `pr1build` in
+    // SCALING.md: sf1 5.68 → 4.39 s. Bipartite ids (even customers / odd
+    // suppliers) keep a swapped pair from ever colliding with an
+    // original, so the in-build dedup is exactly the upstream one.
     val edges = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
-      .distinct()
-    // bipartite ids (even customers / odd suppliers): a swapped pair can
-    // never collide with an original, and `edges` is already distinct —
-    // the symmetrisation dedup shuffle would be pure waste
-    PageRank.run(edges, iters = 3, assumeDistinct = true)
+    PageRank.run(edges, iters = 3)
       .select($"v".as("node"), $"rank".as("microrank"))
       .orderBy($"node")
   }

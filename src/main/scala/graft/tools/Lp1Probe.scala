@@ -86,19 +86,44 @@ object Lp1Probe {
         .run(edges, rounds = 3, prePartition = true)
         .orderBy($"node").collect().map(_.toString).toSeq)))
 
+    def prEdges = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+
     if (which == "pr1" || which == "both") {
-      def pr(ckptEvery: Int) = {
-        val e = Tables.lineitem(spark, dir)
-          .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-          .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
-          .distinct()
-        graft.operators.PageRank
-          .run(e, iters = 3, checkpointEvery = ckptEvery, assumeDistinct = true)
-          .orderBy($"v").collect().map(_.toString).toSeq
-      }
+      def pr(ckptEvery: Int) = graft.operators.PageRank
+        .run(prEdges, iters = 3, checkpointEvery = ckptEvery, assumeDistinct = true)
+        .orderBy($"v").collect().map(_.toString).toSeq
       ab("pr1", Seq(
         "lazy-chain" -> (() => pr(4)),
         "ckpt-every-2" -> (() => pr(2))))
+    }
+
+    // r10: symDeg BUILD shape — r9's deg-join-then-repartition (deg's
+    // a-exchange + two join b-exchanges + a redundant repartition) vs ONE
+    // repartition(b) whose clustering co-supplies dedup, degree agg, and
+    // join-back (the lp1/kc1 construction). Fixed-point ranks ⇒ arms must
+    // be bit-identical.
+    if (which == "pr1build") {
+      def pr(single: Boolean) = graft.operators.PageRank
+        .run(prEdges, iters = 3, assumeDistinct = true,
+          singleExchangeBuild = single)
+        .orderBy($"v").collect().map(_.toString).toSeq
+      // third arm: drop the UPSTREAM (a,b) distinct too — the raw joined
+      // rows ride the single repartition(b) and dedup exchange-free on
+      // its clustering (one barrier total, no double-run dedup agg in the
+      // union's two branches)
+      def prRaw = graft.operators.PageRank
+        .run(Tables.lineitem(spark, dir)
+            .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+            .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b")),
+          iters = 3, assumeDistinct = false, singleExchangeBuild = true)
+        .orderBy($"v").collect().map(_.toString).toSeq
+      ab("pr1build", Seq(
+        "deg-join-repart" -> (() => pr(false)),
+        "one-exchange" -> (() => pr(true)),
+        "raw-one-exchange" -> (() => prRaw)))
     }
     spark.stop()
   }
