@@ -69,28 +69,41 @@ def capped_sql(c, sql):
         return go()
     fired = []
     timer = threading.Timer(cap, lambda: (fired.append(1), c.interrupt()))
+
+    def absorb_pending_interrupt():
+        # `fired` is appended BEFORE c.interrupt() runs, and
+        # timer.cancel() does not wait for a running callback — so the
+        # main thread can observe `fired` while the interrupt has not
+        # been ISSUED yet. join() the timer thread first: after it, the
+        # interrupt is guaranteed delivered (or the callback never ran at
+        # all), and the sacrificial SELECT reliably soaks it up so it
+        # can't abort the cursor's NEXT statement (the iterative-oracle
+        # group cursor runs many).
+        timer.join()
+        try:
+            c.sql("SELECT 1").df()
+        except Exception:
+            pass
+
     timer.start()
     try:
         out = go()
     except duckdb.InterruptException:
         if fired:
+            absorb_pending_interrupt()
             return CAPPED
         raise
     except Exception:
         if fired:
+            absorb_pending_interrupt()
             return CAPPED
         raise
     finally:
         timer.cancel()
     if fired:
         # statement finished but the timer had already fired: the
-        # interrupt may still be pending on this cursor — absorb it so
-        # it can't hit the cursor's NEXT statement. The statement itself
-        # ran over the cap, so it still reports CAPPED.
-        try:
-            c.sql("SELECT 1").df()
-        except Exception:
-            pass
+        # statement ran over the cap, so it still reports CAPPED.
+        absorb_pending_interrupt()
         return CAPPED
     return out
 

@@ -131,7 +131,11 @@ object ScalingProbe {
         "bfs1_reachability_levels", "cf1_item_similarity",
         // r9: lp1 joins the graph family (its prepartitioned-edge probe
         // is a decade decision); d6c is the new output-bounded dedup cap
-        "lp1_label_propagation", "d6c_simhash_capped")
+        "lp1_label_propagation", "d6c_simhash_capped",
+        // r10 (verdict directive 4): decade coverage for every query whose
+        // sf1 best exceeded 2.5 s — knn1 (the r9 #2 sf1 cost, now on the
+        // corpus-sized IVF dial) and d5's label-blocked bounded self-join
+        "knn1_knn_graph", "d5_embedding_neardup")
       val decade = steep.map { name =>
         val fn = graft.SparkEntry.queries(name)
         def best(d: String): Double = {
