@@ -30,6 +30,13 @@ object GraftSqlBridge {
     * it should say so instead of waiting for the GC to guess. No-op for
     * plans that aren't a materialized checkpoint (`LogicalRDD`).
     */
+  /** Drain the listener-bus queue (`private[spark]`): measurement tools
+    * that read per-task metrics off a SparkListener must settle events
+    * between samples or a slow bus bleeds one run's tasks into the next
+    * sample's counters. */
+  def waitForListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   def unpersistCheckpoint(df: DataFrame): Unit =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
