@@ -942,6 +942,19 @@ object LlmQueries extends graft.core.QueryModule {
        |c AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce
        |      FROM embeddings, kv WHERE vec_id BETWEEN 1 AND k)""".stripMargin
 
+  /** Full oracle CTE chain up to the per-vector cell assignment — the SQL
+    * twin of [[ivfCells]], shared by every IVF-family oracle. */
+  private val ivfCellsSqlCtes: String = {
+    val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
+    s"""$ivfCentsCte,
+       |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
+       |        FROM embeddings e CROSS JOIN c),
+       |cells AS (SELECT vec_id, cid AS cell FROM (
+       |            SELECT vec_id, cid,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
+       |            FROM asg) r WHERE rk = 1)""".stripMargin
+  }
+
   def s3(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
@@ -959,15 +972,8 @@ object LlmQueries extends graft.core.QueryModule {
       .limit(5)
   }
   val s3Sql: String = {
-    val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
     val qCos = VectorOps.cosineSqlDuck("e.embedding", "q.qe", 64)
-    s"""WITH $ivfCentsCte,
-       |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
-       |        FROM embeddings e CROSS JOIN c),
-       |cells AS (SELECT vec_id, cid AS cell FROM (
-       |            SELECT vec_id, cid,
-       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
-       |            FROM asg) r WHERE rk = 1),
+    s"""WITH $ivfCellsSqlCtes,
        |qc AS (SELECT cell AS qcell FROM cells WHERE vec_id = 0),
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
        |SELECT e.vec_id, $qCos AS cos
@@ -1018,6 +1024,55 @@ object LlmQueries extends graft.core.QueryModule {
        |    AS recall_at_10
        |FROM brute br LEFT JOIN lsh l ON br.vec_id = l.vec_id""".stripMargin
 
+  // R2: IVF recall audit — r1's harness pointed at the IVF route instead
+  // of the LSH bucket: recall@10 of "search only the query's cell" (s3's
+  // layout at the corpus-sized k) against the brute-force ground truth.
+  // The number the ivfCellTarget dial trades against: raising k cuts the
+  // probed fraction ~1/k AND narrows each cell, so single-probe recall
+  // falls on weakly-clustered data — MEASURED on this synthetic corpus:
+  // 0.4 at the old fixed k=4 vs 0.1 at the dial's k=8 (sf0.1, DuckDB
+  // cross-check). That is the production k-vs-nprobe trade, and s5's
+  // multi-probe is the standard recovery lever (probe the top-p cells,
+  // recall climbs back at p/k of the scan). This query exists so the
+  // trade is a visible, re-measurable number whenever the dial moves —
+  // never a silent regression.
+  def r2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), $"n2".as("qn2"))
+    val scored = graft.core.ScalarSub.withScalars(e.filter($"vec_id" =!= 0), q)
+      .withColumn("cos", VectorOps.dotNative($"embedding", $"qe") /
+        (sqrt($"n2") * sqrt($"qn2")))
+    val cells = ivfCells(s, dir)
+    val qcell = cells.filter($"vec_id" === 0).select($"cell".as("qcell"))
+    val brute = scored.orderBy($"cos".desc, $"vec_id").limit(10).select($"vec_id")
+    val routed = scored.join(cells, "vec_id")
+      .join(broadcast(qcell), $"cell" === $"qcell")
+      .orderBy($"cos".desc, $"vec_id").limit(10).select($"vec_id".as("rv"))
+    brute.join(routed, $"vec_id" === $"rv", "left")
+      .agg(count(lit(1)).as("n_brute"), count($"rv").as("n_hit"))
+      .select($"n_brute", $"n_hit",
+        round($"n_hit".cast("double") / $"n_brute".cast("double"), 6)
+          .as("recall_at_10"))
+  }
+  val r2Sql: String = {
+    val qCos = VectorOps.cosineSqlDuck("a.embedding", "q.qe", 64)
+    s"""WITH $ivfCellsSqlCtes,
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |sc AS (SELECT a.vec_id, $qCos AS cos
+       |       FROM embeddings a, q WHERE a.vec_id <> 0),
+       |qc AS (SELECT cell AS qcell FROM cells WHERE vec_id = 0),
+       |brute AS (SELECT vec_id FROM sc ORDER BY cos DESC, vec_id LIMIT 10),
+       |routed AS (SELECT sc.vec_id FROM sc JOIN cells ON sc.vec_id = cells.vec_id, qc
+       |           WHERE cells.cell = qc.qcell ORDER BY cos DESC, sc.vec_id LIMIT 10)
+       |SELECT COUNT(*) AS n_brute, COUNT(r.vec_id) AS n_hit,
+       |  round(CAST(COUNT(r.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS recall_at_10
+       |FROM brute b LEFT JOIN routed r ON b.vec_id = r.vec_id""".stripMargin
+  }
+
   // S5: multi-probe IVF ANN — same cell layout as s3, but the QUERY probes
   // its top-2 centroids' cells instead of one. The standard recall lever
   // when the true neighbor falls just across a cell boundary: data stays
@@ -1048,16 +1103,9 @@ object LlmQueries extends graft.core.QueryModule {
       .limit(5)
   }
   val s5Sql: String = {
-    val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
     val qcCos = VectorOps.cosineSqlDuck("c.ce", "q.qe", 64)
     val qCos = VectorOps.cosineSqlDuck("e.embedding", "q.qe", 64)
-    s"""WITH $ivfCentsCte,
-       |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
-       |        FROM embeddings e CROSS JOIN c),
-       |cells AS (SELECT vec_id, cid AS cell FROM (
-       |            SELECT vec_id, cid,
-       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
-       |            FROM asg) r WHERE rk = 1),
+    s"""WITH $ivfCellsSqlCtes,
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |qc AS (SELECT cid AS qcell FROM (
        |         SELECT c.cid, ROW_NUMBER() OVER (ORDER BY $qcCos DESC, c.cid) AS rk
@@ -1115,28 +1163,35 @@ object LlmQueries extends graft.core.QueryModule {
   // At scale the codes are 8 bytes/vector and the scan never touches
   // floats. Top-10 by ADC distance, exact L2² alongside (same unrolled
   // summation tree both engines) so the approximation error is visible.
-  def pq1(s: SparkSession, dir: String): DataFrame = {
+  /** 1-row PQ codebook frame shared by pq1 and ivfpq1: query vector qe,
+    * packed per-subspace centroids cearr (vec_ids 1..4 sliced per
+    * subspace — PQ codebook size is an INDEX-FORMAT constant, 2
+    * bits/subspace, not a corpus dial like [[ivfK]]), the 8×4 ADC table
+    * tarr[m*4 + c] = ‖query_m − centroid_c,m‖² built by ONE native
+    * expression (the unrolled column form was a ~1,600-node tree that
+    * Catalyst re-walked inside every scalar-subquery reference — on a
+    * 2,000-row table that plan-compile cost WAS the query), and ‖q‖²
+    * hoisted so the per-row l2 pays two dots, not three. */
+  private def pqCodebook(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.GraftSqlBridge
-    val e = Tables.embeddings(s, dir)
-    val cents0 = e.filter($"vec_id" <= 4).agg(
-      first(when($"vec_id" === 0, $"embedding"), ignoreNulls = true).as("qe"),
-      (1 to 4).map(c =>
-        first(when($"vec_id" === c, $"embedding"), ignoreNulls = true).as(s"ce$c")): _*)
-    // the 1-row codebook frame: packed centroids, the ADC table
-    // tarr[m*4 + c] = ‖query_m − centroid_c,m‖² built by ONE native
-    // expression (the unrolled column form was a ~1,600-node tree that
-    // Catalyst re-walked inside every scalar-subquery reference — on a
-    // 2,000-row table that plan-compile cost WAS the query), and ‖q‖²
-    // hoisted so the per-row l2 pays two dots, not three
-    val cents = cents0
+    e.filter($"vec_id" <= 4).agg(
+        first(when($"vec_id" === 0, $"embedding"), ignoreNulls = true).as("qe"),
+        (1 to 4).map(c =>
+          first(when($"vec_id" === c, $"embedding"), ignoreNulls = true).as(s"ce$c")): _*)
       .withColumn("cearr", array(col("ce1"), col("ce2"), col("ce3"), col("ce4")))
       .withColumn("tarr", GraftSqlBridge.column(graft.functions.PqAdcTable(
         GraftSqlBridge.expression(col("qe")),
         GraftSqlBridge.expression(col("cearr")), 8)))
       .withColumn("qq", VectorOps.dotNative(col("qe"), col("qe")))
       .select(col("qe"), col("cearr"), col("tarr"), col("qq"))
-    val base = graft.core.ScalarSub.withScalars(e.filter($"vec_id" =!= 0), cents)
+  }
+
+  /** ADC scoring + exact-l2 audit of `base` rows (must carry `embedding`
+    * and the [[pqCodebook]] scalars): top-10 by asymmetric PQ distance. */
+  private def pqAdcTop10(s: SparkSession, base: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
     // one native primitive loop per row: encode all 8 subspaces against
     // the packed codebook and sum the tarr lookups (see PqAdcDistance —
     // identical float→double arithmetic and tie-breaks to the SQL form)
@@ -1153,7 +1208,19 @@ object LlmQueries extends graft.core.QueryModule {
       .select($"vec_id", round($"adist", 9).as("adist"),
         round($"l2", 9).as("l2_exact"))
   }
-  val pq1Sql: String = {
+
+  def pq1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    pqAdcTop10(s, graft.core.ScalarSub.withScalars(
+      e.filter($"vec_id" =!= 0), pqCodebook(s, e)))
+  }
+  /** PQ ADC oracle text, parameterized on the candidate set: `preCtes`
+    * prepends extra CTEs (ivfpq1's cell chain) and `ddFrom` is the dd
+    * stage's FROM/WHERE (pq1 scans the corpus; ivfpq1 scans the query's
+    * cell). Everything else — the 8×4 table, the per-row argmin CASE
+    * chain, the exact-l2 audit — is byte-identical between the two. */
+  private def pqAdcSqlText(preCtes: String, ddFrom: String): String = {
     def dsqS(x: String, c: String, m: Int): String =
       (0 until 8).map { i =>
         val idx = m * 8 + i + 1
@@ -1177,7 +1244,7 @@ object LlmQueries extends graft.core.QueryModule {
     val l2 = s"(${VectorOps.dotSqlDuck("embedding", "embedding", 64)}) + " +
       s"(${VectorOps.dotSqlDuck("qe", "qe", 64)}) - " +
       s"2.0 * (${VectorOps.dotSqlDuck("embedding", "qe", 64)})"
-    s"""WITH cents AS (SELECT
+    s"""WITH ${preCtes}cents AS (SELECT
        |    (SELECT embedding FROM embeddings WHERE vec_id = 0) AS qe,
        |    (SELECT embedding FROM embeddings WHERE vec_id = 1) AS ce1,
        |    (SELECT embedding FROM embeddings WHERE vec_id = 2) AS ce2,
@@ -1186,9 +1253,9 @@ object LlmQueries extends graft.core.QueryModule {
        |ct AS (SELECT *,
        |    $tCols
        |  FROM cents),
-       |dd AS (SELECT e.vec_id, e.embedding, c.*,
+       |dd AS (SELECT e.vec_id, e.embedding, ctb.*,
        |    $dCols
-       |  FROM embeddings e CROSS JOIN ct c WHERE e.vec_id <> 0),
+       |  FROM $ddFrom),
        |cd AS (SELECT *,
        |    $codeCols
        |  FROM dd),
@@ -1196,6 +1263,35 @@ object LlmQueries extends graft.core.QueryModule {
        |SELECT vec_id, round(adist, 9) AS adist, round(l2, 9) AS l2_exact
        |FROM res ORDER BY adist, vec_id LIMIT 10""".stripMargin
   }
+  val pq1Sql: String =
+    pqAdcSqlText("", "embeddings e CROSS JOIN ct ctb WHERE e.vec_id <> 0")
+
+  // IVFPQ1: IVF-routed PQ search — the production billion-scale ANN
+  // layout (FAISS's IVFADC, Jégou et al. §IV): the coarse quantizer (s3's
+  // corpus-sized cell assignment) routes the query to ONE cell, and only
+  // that cell's vectors are ADC-scored against the 8×4 codebook. The two
+  // compressions compose multiplicatively at scale: the probe touches
+  // ~1/k of the corpus and each probed row costs 32 table lookups on
+  // 8-byte codes instead of a 64-float scan — this is the memory/compute
+  // shape that serves 10⁹ vectors from RAM. Exact l2² rides alongside so
+  // the two-stage approximation error is visible per row, and the oracle
+  // recomputes the full route+score pipeline from scratch.
+  def ivfpq1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val cells = ivfCells(s, dir)
+    val qcell = cells.filter($"vec_id" === 0).select($"cell".as("qcell"))
+    val base = e.join(cells, "vec_id")
+      .join(broadcast(qcell), $"cell" === $"qcell")
+      .filter($"vec_id" =!= 0)
+    pqAdcTop10(s, graft.core.ScalarSub.withScalars(base, pqCodebook(s, e)))
+  }
+  val ivfpq1Sql: String = pqAdcSqlText(
+    s"""$ivfCellsSqlCtes,
+       |qc AS (SELECT cell AS qcell FROM cells WHERE vec_id = 0),
+       |""".stripMargin,
+    "embeddings e JOIN cells ON e.vec_id = cells.vec_id " +
+      "JOIN qc ON cells.cell = qc.qcell CROSS JOIN ct ctb WHERE e.vec_id <> 0")
 
   // BP1: corpus-level boilerplate mining — the 3-gram shingles present in
   // the most DOCUMENTS (headers, footers, licence lines — the strings a
@@ -2470,14 +2566,7 @@ object LlmQueries extends graft.core.QueryModule {
       .orderBy($"cell", $"dim")
   }
   val s4Sql: String = {
-    val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
-    s"""WITH $ivfCentsCte,
-       |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
-       |        FROM embeddings e CROSS JOIN c),
-       |cells AS (SELECT vec_id, cid AS cell FROM (
-       |            SELECT vec_id, cid,
-       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
-       |            FROM asg) r WHERE rk = 1),
+    s"""WITH $ivfCellsSqlCtes,
        |ex AS (SELECT vec_id, cell, s.dim AS dim, s.v AS v FROM (
        |         SELECT e.vec_id, cells.cell,
        |           unnest(list_transform(e.embedding, (x, i) -> struct_pack(dim := i, v := x))) AS s
@@ -2592,15 +2681,8 @@ object LlmQueries extends graft.core.QueryModule {
       .orderBy($"cell", $"dropped_id")
   }
   val sem1Sql: String = {
-    val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
     val pairCos = VectorOps.cosineSqlDuck("ea.embedding", "eb.embedding", 64)
-    s"""WITH $ivfCentsCte,
-       |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
-       |        FROM embeddings e CROSS JOIN c),
-       |cells AS (SELECT vec_id, cid AS cell FROM (
-       |            SELECT vec_id, cid,
-       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
-       |            FROM asg) r WHERE rk = 1),
+    s"""WITH $ivfCellsSqlCtes,
        |p AS (SELECT ca.cell AS cell, ca.vec_id AS va, cb.vec_id AS vb, $pairCos AS cos
        |      FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
        |      JOIN embeddings ea ON ea.vec_id = ca.vec_id
@@ -2658,15 +2740,8 @@ object LlmQueries extends graft.core.QueryModule {
       .orderBy($"src", $"rk")
   }
   val knn1Sql: String = {
-    val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
     val pairCos = VectorOps.cosineSqlDuck("ea.embedding", "eb.embedding", 64)
-    s"""WITH $ivfCentsCte,
-       |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
-       |        FROM embeddings e CROSS JOIN c),
-       |cells AS (SELECT vec_id, cid AS cell FROM (
-       |            SELECT vec_id, cid,
-       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
-       |            FROM asg) r WHERE rk = 1),
+    s"""WITH $ivfCellsSqlCtes,
        |sym AS (SELECT ca.vec_id AS src, cb.vec_id AS nb, $pairCos AS cos
        |        FROM cells ca JOIN cells cb
        |          ON ca.cell = cb.cell AND ca.vec_id <> cb.vec_id
@@ -2927,9 +3002,11 @@ object LlmQueries extends graft.core.QueryModule {
     "s2_ann_lsh_topk" -> s2,
     "s3_ann_ivf_topk" -> s3,
     "r1_ann_recall" -> r1,
+    "r2_ivf_recall" -> r2,
     "s5_ann_ivf_multiprobe" -> s5,
     "qz1_int8_quant_ann" -> qz1,
     "pq1_product_quant" -> pq1,
+    "ivfpq1_ivf_adc_topk" -> ivfpq1,
     "emb2_matryoshka_recall" -> emb2,
     "ndcg1_lsh_ranking_quality" -> ndcg1,
     "bp1_boilerplate_ngrams" -> bp1,
@@ -2985,9 +3062,11 @@ object LlmQueries extends graft.core.QueryModule {
     "s2_ann_lsh_topk" -> s2Sql,
     "s3_ann_ivf_topk" -> s3Sql,
     "r1_ann_recall" -> r1Sql,
+    "r2_ivf_recall" -> r2Sql,
     "s5_ann_ivf_multiprobe" -> s5Sql,
     "qz1_int8_quant_ann" -> qz1Sql,
     "pq1_product_quant" -> pq1Sql,
+    "ivfpq1_ivf_adc_topk" -> ivfpq1Sql,
     "emb2_matryoshka_recall" -> emb2Sql,
     "ndcg1_lsh_ranking_quality" -> ndcg1Sql,
     "bp1_boilerplate_ngrams" -> bp1Sql,

