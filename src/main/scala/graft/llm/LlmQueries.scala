@@ -271,13 +271,17 @@ object LlmQueries extends graft.core.QueryModule {
     * bounds the join fan-out at freqCap² per value. Property-tested
     * against a brute-force longest-common-substring reference (Ds1Spec).
     */
-  def dupSpans(docs: DataFrame, minTokens: Long = 5, freqCap: Int = Ds1FreqCap): DataFrame = {
+  def dupSpans(docs: DataFrame, minTokens: Long = 5, freqCap: Int = Ds1FreqCap): DataFrame =
+    dupSpansShape(docs, minTokens, freqCap, runShape = "agg")
+
+  private[llm] def dupSpansShape(docs: DataFrame, minTokens: Long,
+      freqCap: Int, runShape: String): DataFrame = {
     // the within-doc frequency cap stays a COUNT WINDOW: the tempting
     // hash-agg shape (collect_list positions per (doc, shingle), filter,
     // re-explode) measured slower interleaved-A/B at sf0.1 (best 1.67 s
     // vs 1.33 s) — the list materialization + Generate costs more than
     // the window's sort at this group cardinality
-    val psh = docs
+    val psh0 = docs
       .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"),
@@ -285,17 +289,63 @@ object LlmQueries extends graft.core.QueryModule {
       .withColumn("cnt",
         count(lit(1)).over(Window.partitionBy(col("doc_id"), col("sh"))))
       .filter(col("cnt") <= freqCap).drop("cnt")
+    // the self-join reads psh from both sides: checkpointing would save
+    // the second tokenize+shingle+cap pass, but measured as a LOSS
+    // (Ds1Probe `aggckpt` arm) — see the probe note below
+    val psh = if (runShape.endsWith("ckpt")) psh0.localCheckpoint() else psh0
+    // SHUFFLE_HASH, not the default sort-merge: both sides are the same
+    // 2.6M-row positioned-shingle stream, and SMJ pays two full
+    // per-partition sorts on the ~25-byte string key for a join that
+    // emits ~1.25 rows per input row. Measured (Ds1Stage, sf1): SMJ
+    // 2.95 s → SHJ 1.04 s for the identical 3,268,880-row match set;
+    // hashing the shingle strings to longs on top of SHJ bought nothing
+    // further (1.06 s), so the key stays the exact string. AQE skew-split
+    // applies to SHJ (the d9 df lesson), so a hot boilerplate shingle
+    // still splits.
     val m = psh.select(col("doc_id").as("da"), col("lang"), col("spos").as("pa"), col("sh"))
-      .join(psh.select(col("doc_id").as("db"), col("lang"), col("spos").as("pb"), col("sh")),
+      .join(psh.select(col("doc_id").as("db"), col("lang"), col("spos").as("pb"), col("sh"))
+          .hint("shuffle_hash"),
         Seq("lang", "sh"))
       .filter(col("da") < col("db"))
-    val wRun = Window.partitionBy(col("da"), col("db"), col("delta")).orderBy(col("pa"))
-    m.withColumn("delta", col("pa") - col("pb"))
-      .withColumn("island", col("pa") - row_number().over(wRun))
-      .groupBy(col("da"), col("db"), col("delta"), col("island"))
-      .agg(count(lit(1)).as("run"))
-      .groupBy(col("da"), col("db"))
-      .agg((max(col("run")) + 2).as("max_dup_tokens"))
+      .withColumn("delta", (col("pa") - col("pb")).cast("long"))
+    val spans = runShape match {
+      case "window" =>
+        // r9 shape: rank window over (pair, delta) + two aggregations —
+        // three exchanges of the match stream and a per-partition sort
+        val wRun = Window.partitionBy(col("da"), col("db"), col("delta"))
+          .orderBy(col("pa"))
+        m.withColumn("island", col("pa") - row_number().over(wRun))
+          .groupBy(col("da"), col("db"), col("delta"), col("island"))
+          .agg(count(lit(1)).as("run"))
+          .groupBy(col("da"), col("db"))
+          .agg((max(col("run")) + 2).as("max_dup_tokens"))
+      case "agg" | "aggckpt" =>
+        // r10 shape (probed, Ds1Probe in SCALING.md): ONE mergeable hash
+        // aggregation per pair — matches collect as sorted (delta, pa)
+        // structs and the longest consecutive run is a codegen'd
+        // array fold (pa strictly increases within a delta: pb = pa−delta
+        // is unique per match, so run detection is `pa = prev+1` under
+        // `delta = prevDelta`). The window shape exchanged the match
+        // stream onto (da, db, delta), sorted every partition, then paid
+        // two more aggregation exchanges; this pays one exchange to
+        // (da, db) with map-side partials and sorts only within-group
+        // arrays. Group size = match rows per pair, bounded by the
+        // freqCap join fan-out — the same bound the window relied on.
+        m.groupBy(col("da"), col("db"))
+          .agg(sort_array(collect_list(struct(col("delta"),
+            col("pa").cast("long").as("pa")))).as("ms"))
+          .select(col("da"), col("db"), expr(
+            """aggregate(ms,
+              |  named_struct('best', 0L, 'cur', 0L,
+              |               'pd', -9223372036854775808L, 'pp', -2L),
+              |  (a, x) -> named_struct(
+              |    'best', greatest(a.best,
+              |      IF(x.delta = a.pd AND x.pa = a.pp + 1L, a.cur + 1L, 1L)),
+              |    'cur', IF(x.delta = a.pd AND x.pa = a.pp + 1L, a.cur + 1L, 1L),
+              |    'pd', x.delta, 'pp', x.pa),
+              |  a -> a.best) + 2L""".stripMargin).as("max_dup_tokens"))
+    }
+    spans
       .filter(col("max_dup_tokens") >= minTokens)
       .orderBy(col("da"), col("db"))
   }
