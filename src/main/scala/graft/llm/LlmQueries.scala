@@ -857,15 +857,28 @@ object LlmQueries extends graft.core.QueryModule {
   // (irreducible, semantics-mandated) quadratic across ~ (n/cap)² tasks
   // instead of serializing it in one; the pair SET is identical, so the
   // exact oracle below is unchanged.
+  //
+  // r10 (D5Probe + D5Sort decomposition, SCALING.md): cap 4096 → 512.
+  // The cap is not only the detonation guard — it is the PARALLELISM
+  // dial: this corpus has 10 fixed labels, so at sf1 a 2,180-row label
+  // fit one 4096-chunk and the 20M-pair job ran as 10 tasks on 32 cores;
+  // 512-chunks fan the same exact pair set over ~15 chunk-pair tasks per
+  // label (sf1 pair stage 1.04 → 0.59 s). The filtered pairs are then
+  // localCheckpoint'ed before the final sort because RangePartitioning
+  // SAMPLES its child — an un-materialized 20M-pair pipeline under a
+  // global orderBy executes twice (measured: 4.05 s → 0.83 s from the
+  // cap, → 0.71 s with the checkpoint; the output is ~9k rows, so the
+  // materialization is pennies).
   def d5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .withColumn("n2", VectorOps.dotNative($"embedding", $"embedding"))
-    graft.operators.BoundedSelfJoin.pairs(e, "label", "vec_id", cap = 4096)
+    graft.operators.BoundedSelfJoin.pairs(e, "label", "vec_id", cap = 512)
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
         (VectorOps.dotNative($"a.embedding", $"b.embedding") /
           (sqrt($"a.n2") * sqrt($"b.n2"))).as("cos"))
       .filter($"cos" > 0.4)
+      .localCheckpoint()
       .orderBy($"va", $"vb")
   }
   val d5Sql: String =
