@@ -93,10 +93,23 @@ object Bfs {
     * unique ids disambiguate before the call (as bfs1 does with 2k / 2k+1).
     * Same checkpoint/short-circuit discipline as [[levels]].
     */
+  /** `prePartition`: checkpoint the edge set hash-partitioned on `a`, the
+    * ODD-round probe key (LogicalRDD keeps the partitioning across the
+    * checkpoint — the lp1/pr1 device), so odd rounds probe it
+    * exchange-free; even rounds join on `b` and re-shuffle either way.
+    * The unpartitioned checkpoint's ExistingRDD stats are unknown-huge, so
+    * without this every round plans a full edge-side exchange before AQE
+    * can see the tiny frontier. `shjHint`: hint the frontier side
+    * SHUFFLE_HASH so the round join builds the (small) frontier hash table
+    * instead of sort-merging two unknown-stat sides. Both measured in
+    * BfsProbe (SCALING.md r10) before flipping any default.
+    */
   def levelsBipartite(edges: DataFrame, sources: DataFrame,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int, prePartition: Boolean = false,
+      shjHint: Boolean = false): DataFrame = {
     require(maxDepth >= 0)
-    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val e0 = edges.select(col("a"), col("b"))
+    val e = (if (prePartition) e0.repartition(col("a")) else e0).localCheckpoint()
     var visitedLeft = sources.select(col("v")).distinct()
       .withColumn("level", lit(0)).localCheckpoint()
     var visitedRight: DataFrame = null
@@ -105,13 +118,13 @@ object Bfs {
     var done = maxDepth == 0
     while (!done) {
       val fromLeft = d % 2 == 1
+      def f(key: String) = {
+        val r = frontier.withColumnRenamed("v", key)
+        if (shjHint) r.hint("shuffle_hash") else r
+      }
       val expanded =
-        if (fromLeft)
-          e.join(frontier.withColumnRenamed("v", "a"), "a")
-            .select(col("b").as("v"))
-        else
-          e.join(frontier.withColumnRenamed("v", "b"), "b")
-            .select(col("a").as("v"))
+        if (fromLeft) e.join(f("a"), "a").select(col("b").as("v"))
+        else e.join(f("b"), "b").select(col("a").as("v"))
       val sameSide = if (fromLeft) visitedRight else visitedLeft
       val fresh = expanded.distinct()
       val next = (if (sameSide == null) fresh
