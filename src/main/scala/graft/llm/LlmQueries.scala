@@ -2481,12 +2481,14 @@ object LlmQueries extends graft.core.QueryModule {
     * engines (cab·Nt·Nt / (Nb·ca·cb)) — identical operand order gives the
     * bit-identical IEEE result t8/t10 already rely on.
     */
-  def t11(s: SparkSession, dir: String): DataFrame = {
+  def t11(s: SparkSession, dir: String): DataFrame =
+    t11Shape(s, dir, arrayzip = true)
+
+  private[llm] def t11Shape(s: SparkSession, dir: String,
+      arrayzip: Boolean): DataFrame = {
     import s.implicits._
     val pt = docTokens(s, dir)
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val bg = pt.select($"tok".as("w1"), lead($"tok", 1).over(w).as("w2"))
-      .filter($"w2".isNotNull)
+    val bg = bigrams(s, dir, arrayzip).select($"w1", $"w2")
     val bc = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cab"))
     val ug = pt.groupBy($"tok").agg(count(lit(1)).as("cu"))
     val nt = pt.agg(count(lit(1)).as("nt"))
@@ -2519,12 +2521,45 @@ object LlmQueries extends graft.core.QueryModule {
        |WHERE cab >= 5
        |ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 20""".stripMargin
 
-  def t10(s: SparkSession, dir: String): DataFrame = {
+  /** Bigram stream (doc_id, w1, w2) for t10/t11. `arrayzip = true` (the
+    * r10-adopted shape, T10Probe in SCALING.md) builds consecutive pairs
+    * ARRAY-SIDE before the explode — zip_with over the token array, the
+    * tc1 edge-build device — so there is NO doc-keyed exchange and no
+    * per-doc sort at all; the window form paid Exchange(doc_id)+Sort+
+    * WindowExec once per consumer (t10 consumes the stream twice: global
+    * bigram counts AND per-doc counts — duplicated subtrees in the r9
+    * plan). The pair multiset is identical by construction: lead(tok)
+    * over (doc_id ORDER BY pos) on posexplode output ≡ zip of the same
+    * array with its own tail, and every consumer aggregates (order never
+    * observed). */
+  private[llm] def bigrams(s: SparkSession, dir: String,
+      arrayzip: Boolean): DataFrame = {
+    import s.implicits._
+    if (arrayzip)
+      Tables.documents(s, dir)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |         slice(toks, 2, size(toks) - 1),
+            |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
+        .select($"doc_id", $"bg.w1", $"bg.w2")
+    else {
+      val pt = docTokens(s, dir)
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      pt.select($"doc_id", $"tok".as("w1"), lead($"tok", 1).over(w).as("w2"))
+        .filter($"w2".isNotNull)
+    }
+  }
+
+  def t10(s: SparkSession, dir: String): DataFrame =
+    t10Shape(s, dir, arrayzip = true)
+
+  private[llm] def t10Shape(s: SparkSession, dir: String,
+      arrayzip: Boolean): DataFrame = {
     import s.implicits._
     val pt = docTokens(s, dir)
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val bg = pt.select($"doc_id", $"tok".as("w1"), lead($"tok", 1).over(w).as("w2"))
-      .filter($"w2".isNotNull)
+    val bg = bigrams(s, dir, arrayzip)
     val bc = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
     val uc = bc.groupBy($"w1").agg(sum($"cb").as("cu"))
     val vv = pt.agg(countDistinct($"tok").as("v"))

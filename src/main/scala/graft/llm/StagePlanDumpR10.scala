@@ -74,6 +74,18 @@ object StagePlanDumpR10 {
       after.queryExecution.executedPlan.toString)
     println(s"[stageplan] wrote $outDir/pr1_build_after_executed.txt")
 
+    // nv1 shingle-df geometry, both shapes (nv1Shape(copartition=false) is
+    // code-identical to the query as shipped before the r10 adoption)
+    dump("nv1_novelty_score_before", QualityQueries.nv1Shape(spark, dir, copartition = false))
+    dump("nv1_novelty_score_after", QualityQueries.nv1Shape(spark, dir, copartition = true))
+
+    // t10/t11 bigram-stream geometry, both shapes (the window arm is
+    // code-identical to the queries as shipped before the r10 adoption)
+    dump("t10_bigram_logprob_before", LlmQueries.t10Shape(spark, dir, arrayzip = false))
+    dump("t10_bigram_logprob_after", LlmQueries.t10Shape(spark, dir, arrayzip = true))
+    dump("t11_pmi_collocations_before", LlmQueries.t11Shape(spark, dir, arrayzip = false))
+    dump("t11_pmi_collocations_after", LlmQueries.t11Shape(spark, dir, arrayzip = true))
+
     // d5 pair pipeline above its localCheckpoint (LlmQueries.d5 minus the
     // materialization + sort tail)
     val emb = graft.core.Tables.embeddings(spark, dir)
