@@ -948,13 +948,44 @@ object LlmQueries extends graft.core.QueryModule {
     * results in SCALING.md). 256 keeps the gate SF (sf0.01, n=500) at the
     * k=4 floor — assignment quality there is seed-limited either way — and
     * puts sf1 (n=20k) at k=79 / ~253 rows per cell, comfortably under
-    * BoundedSelfJoin's 4096 chunk cap. Past n ≈ 10⁸ the n·k assignment
-    * itself needs a coarse quantizer over the centroids (hierarchical IVF);
-    * the centroid codebook is k·64 floats — broadcast-sized through the
-    * 10⁹-vector regime like any production IVF codebook. */
+    * BoundedSelfJoin's 4096 chunk cap. The n·k assignment itself goes
+    * through a coarse quantizer once k outgrows [[ivfTwoLevelMin]]
+    * (hierarchical IVF, [[ivfCellsAt]]) so assignment work stays
+    * O(n·√k) at any corpus size. */
   private[llm] val ivfCellTarget: Long = 256L
   private[llm] def ivfK(n: Long): Long =
     math.max(4L, math.ceil(n.toDouble / ivfCellTarget).toLong)
+
+  /** Two-level assignment threshold (r11, VERDICT r10 directive 1): above
+    * this k, [[ivfCellsAt]] routes each vector through ⌈√k⌉ coarse
+    * centroids and scores only the winning coarse cell's ~√k fine
+    * centroids: per-vector assignment work drops k → 2·√k dot products
+    * (sublinear in k — the one structural 100-TB term VERDICT r10 left
+    * open), and the only codebook that must reach every row as a scalar
+    * is the √k-row coarse one, broadcast-sized at ANY corpus (√(4·10⁶) ≈
+    * 2000 rows at the 10⁹-vector regime).
+    *
+    * The threshold IS the measured crossover (graft.llm.Ivf2Probe at sf1,
+    * interleaved noop-forced assignment stage, best-of-3): flat wins at
+    * k=79 (0.32 vs 0.47 s — the coarse route's extra stages cost more
+    * than the ~k dot products it saves while √k ≈ k/8), two-level wins
+    * from k=316 up (0.81 vs 0.51 s) and the gap is an order of magnitude
+    * by k=5056 (11.3 vs 1.0 s, flat ∝ k, two-level ≈ flat-at-√k). Below
+    * the crossover the flat n·k argmax is kept, which also keeps EVERY
+    * shipped SF bit-identical to the r10 cell layout (sf0.01 k=4,
+    * sf0.1 k=8, sf1 k=79) — the two-level geometry engages at n ≳ 65k
+    * vectors where it is strictly faster. */
+  private[llm] val ivfTwoLevelMin: Long = 256L
+  private[llm] def ivfCoarseK(k: Long): Long =
+    if (k > ivfTwoLevelMin) math.ceil(math.sqrt(k.toDouble)).toLong else 1L
+  /** Fine-codebook rows past which the fine-stage join flips from
+    * broadcast to SHUFFLE_HASH on the coarse-cell key: k·(64 floats + ids)
+    * ≈ 300 B/row stays comfortably under broadcast limits to ~4M centroids
+    * (a 10⁹-vector corpus at [[ivfCellTarget]]); past that the fine
+    * codebook is hash-partitioned by coarse cell and the vector stream
+    * shuffles once on its routed cell instead — linear, never a growing
+    * broadcast. Identical output either way ([[Ivf2Probe]] asserts it). */
+  private[llm] val ivfFineShuffleMinK: Long = 4L << 20
 
   /** Centroid frame (cid, ce, cn2) at the corpus-sized k — memoized: the
     * count that sizes k and the centroid scan both run once per (session,
@@ -984,35 +1015,134 @@ object LlmQueries extends graft.core.QueryModule {
     memoized(s, dir, "ivfCells") {
       ivfCellsAt(s, Tables.embeddings(s, dir), ivfCents(s, dir))
     }
+  /** `mode`: "auto" picks flat at or below [[ivfTwoLevelMin]] and
+    * two-level with a broadcast fine stage above it (SHUFFLE_HASH past
+    * [[ivfFineShuffleMinK]]); "flat" / "twolevel" / "twolevel-shuffle"
+    * force an arm at ANY k — probe/spec-only ([[Ivf2Probe]],
+    * ShapeEquivalenceSpec). */
   private[llm] def ivfCellsAt(s: SparkSession, e: DataFrame,
-      cents: DataFrame): DataFrame = {
+      cents: DataFrame, mode: String = "auto"): DataFrame = {
     import s.implicits._
-    e.crossJoin(broadcast(cents))
-      .select($"vec_id", $"cid",
-        (VectorOps.dotNative($"embedding", $"ce") /
-          (sqrt(VectorOps.dotNative($"embedding", $"embedding")) * sqrt($"cn2")))
-          .as("ccos"))
-      .groupBy($"vec_id")
-      .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cell"))
-      .select($"vec_id", $"cell")
+    val k = cents.count()
+    val kc = mode match {
+      case "flat" => 1L
+      case "twolevel" | "twolevel-shuffle" =>
+        math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong)
+      case _ => ivfCoarseK(k)
+    }
+    if (kc <= 1)
+      // flat n·k argmax — the cheap shape at gate-SF k (and the exact r10
+      // layout there: sf0.001/sf0.01/sf0.1 outputs are bit-unchanged)
+      e.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cid",
+          (VectorOps.dotNative($"embedding", $"ce") /
+            (sqrt(VectorOps.dotNative($"embedding", $"embedding")) * sqrt($"cn2")))
+            .as("ccos"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cell"))
+        .select($"vec_id", $"cell")
+    else {
+      // TWO-LEVEL (coarse→fine) assignment, r11: the first ⌈√k⌉ centroids
+      // double as the coarse quantizer (same deterministic-seed rule that
+      // picks the fine codebook). Each fine centroid and each vector routes
+      // to its nearest coarse centroid — (gcos desc, gcid asc) argmax, the
+      // exact tiebreak discipline of the flat form — and the fine argmax
+      // then scores ONLY the vector's coarse cell's ~√k fine centroids.
+      // Per-vector work: kc + k/kc dots instead of k; the vector-side
+      // coarse route is a pure codegen'd array fold over a √k-row scalar
+      // (no aggregation, no exchange), so the whole assignment still pays
+      // exactly one narrow (vec_id, cell) exchange, same as the flat form.
+      val coarse = cents.filter($"cid" <= kc)
+        .select($"cid".as("gcid"), $"ce".as("gce"), $"cn2".as("gcn2"))
+      // fine centroid -> coarse cell: a k·√k centroid-table-sized job
+      val fine = cents.crossJoin(broadcast(coarse))
+        .select($"cid", $"ce", $"cn2", $"gcid",
+          (VectorOps.dotNative($"ce", $"gce") /
+            (sqrt($"cn2") * sqrt($"gcn2"))).as("gcos"))
+        .groupBy($"cid")
+        .agg(first($"ce").as("fce"), first($"cn2").as("fcn2"),
+          max_by($"gcid", struct($"gcos", -$"gcid")).as("gcell"))
+      // coarse codebook as ONE array-valued scalar (gcid-ascending, so a
+      // strict > fold realizes the (gcos desc, gcid asc) argmax)
+      val carr = coarse
+        .agg(sort_array(collect_list(struct($"gcid", $"gce", $"gcn2"))).as("carr"))
+      val vr = graft.core.ScalarSub.withScalars(
+          e.select($"vec_id", $"embedding",
+            VectorOps.dotNative($"embedding", $"embedding").as("vn2")), carr)
+        .withColumn("vcell", aggregate($"carr",
+          struct(lit(Double.NegativeInfinity).as("bc"), lit(0L).as("bg")),
+          (acc, c) => {
+            val g = VectorOps.dotNative($"embedding", c("gce")) /
+              (sqrt($"vn2") * sqrt(c("gcn2")))
+            when(g > acc("bc"), struct(g.as("bc"), c("gcid").as("bg")))
+              .otherwise(acc)
+          }).getField("bg"))
+        .select($"vec_id", $"embedding", $"vn2", $"vcell")
+      val fineSide =
+        if (mode == "twolevel-shuffle" || k > ivfFineShuffleMinK)
+          fine.hint("shuffle_hash")
+        else broadcast(fine)
+      vr.join(fineSide, $"vcell" === $"gcell")
+        .select($"vec_id", $"cid",
+          (VectorOps.dotNative($"embedding", $"fce") /
+            (sqrt($"vn2") * sqrt($"fcn2"))).as("ccos"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cell"))
+        .select($"vec_id", $"cell")
+    }
   }
 
   /** Shared oracle CTE prefix: corpus-sized k and the centroid frame —
     * the SQL twin of [[ivfK]]/[[ivfCentsAt]]. */
+  // every CTE in the assignment chain is MATERIALIZED (the kc1Sql device):
+  // DuckDB inlines plain CTEs at each reference, and the r11 two-level
+  // chain references each level several times — the inlined expansion blew
+  // the planner's cardinality estimates into bad_alloc reservations even
+  // at sf0.01 (observed: knn1/sem1 OOM at <1 GB RSS on a 100 GiB limit)
   private val ivfCentsCte: String =
-    s"""kv AS (SELECT GREATEST(4, CAST(CEIL(COUNT(*) / ${ivfCellTarget}.0) AS BIGINT)) AS k
+    s"""kv AS MATERIALIZED (SELECT GREATEST(4, CAST(CEIL(COUNT(*) / ${ivfCellTarget}.0) AS BIGINT)) AS k
        |       FROM embeddings),
-       |c AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce
+       |c AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce
        |      FROM embeddings, kv WHERE vec_id BETWEEN 1 AND k)""".stripMargin
 
   /** Full oracle CTE chain up to the per-vector cell assignment — the SQL
-    * twin of [[ivfCells]], shared by every IVF-family oracle. */
+    * twin of [[ivfCells]], shared by every IVF-family oracle. Mirrors the
+    * r11 two-level routing exactly: kc = ⌈√k⌉ above [[ivfTwoLevelMin]],
+    * else 1 — and at kc = 1 the chain DEGENERATES to the flat r10 form
+    * (one coarse cell owns every fine centroid and every vector, so the
+    * fine argmax scans all k), which keeps the gate-SF outputs
+    * bit-identical to r10. All three cosines use the same unrolled
+    * left-fold arithmetic as the Spark side, and every argmax tiebreak is
+    * (cos DESC, id ASC). */
   private val ivfCellsSqlCtes: String = {
-    val asgCos = VectorOps.cosineSqlDuck("e.embedding", "c.ce", 64)
+    val asgCos = VectorOps.cosineSqlDuck("vg.embedding", "f.fce", 64)
+    // the coarse argmax folds mirror the Spark side's array fold exactly:
+    // gcid-ascending list, strict >, so ties keep the earlier (smaller)
+    // gcid — ≡ (gcos DESC, gcid ASC). A window/ROW_NUMBER formulation of
+    // the same routing was measured to spray ~10k memory mappings per
+    // query in DuckDB 1.0 at 32 threads (each extra window/materialized
+    // stage multiplies per-thread buffer allocations), which drove the
+    // whole-suite map count into the kernel's vm.max_map_count cliff and
+    // OOM-failed UNRELATED queries nondeterministically; the fold is a
+    // scalar expression — no new pipeline stage at all.
+    def foldArgmax(vec: String): String = {
+      val xCos = VectorOps.cosineSqlDuck(vec, "x.gce", 64)
+      val aCos = VectorOps.cosineSqlDuck(vec, "a.gce", 64)
+      s"list_reduce(gs, (a, x) -> CASE WHEN ($xCos) > ($aCos) THEN x ELSE a END).gcid"
+    }
     s"""$ivfCentsCte,
-       |asg AS (SELECT e.vec_id, c.cid, $asgCos AS ccos
-       |        FROM embeddings e CROSS JOIN c),
-       |cells AS (SELECT vec_id, cid AS cell FROM (
+       |g AS (SELECT cid AS gcid, ce AS gce FROM c, kv
+       |      WHERE cid <= CASE WHEN k > $ivfTwoLevelMin
+       |                        THEN CAST(CEIL(SQRT(k)) AS BIGINT) ELSE 1 END),
+       |garr AS MATERIALIZED (
+       |  SELECT list(struct_pack(gcid := gcid, gce := gce) ORDER BY gcid) AS gs FROM g),
+       |f AS MATERIALIZED (SELECT cid, ce AS fce, ${foldArgmax("c.ce")} AS gcell
+       |     FROM c, garr),
+       |vg AS (SELECT e.vec_id, e.embedding, ${foldArgmax("e.embedding")} AS gcell
+       |     FROM embeddings e, garr),
+       |asg AS (SELECT vg.vec_id, f.cid, $asgCos AS ccos
+       |        FROM vg JOIN f ON f.gcell = vg.gcell),
+       |cells AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
        |            SELECT vec_id, cid,
        |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
        |            FROM asg) r WHERE rk = 1)""".stripMargin
@@ -2280,9 +2410,24 @@ object LlmQueries extends graft.core.QueryModule {
   // divisions: bit-exact with no rounding. Bigrams come from a lead()
   // window partitioned by doc (never a global window); at 100 TB this is
   // one shuffle on doc_id shared by both aggregates.
-  def t7(s: SparkSession, dir: String): DataFrame = {
+  def t7(s: SparkSession, dir: String): DataFrame =
+    t7Shape(s, dir, copartition = false)
+
+  /** r11 (the nv1 co-partition device): `copartition = true` puts ONE
+    * explicit repartition(doc_id) under both consumers of the token
+    * stream. Every downstream requirement is then satisfied by that single
+    * exchange — the bigram window needs hashpartitioning(doc_id); the
+    * (doc_id, bg) and (doc_id, tok) groupBys accept any partitioning on a
+    * SUBSET of their keys; the per-doc re-aggregations and the final join
+    * are already doc_id-clustered — so the r10 shape's three exchanges
+    * (window's doc_id, tokStats' (doc_id, tok), tokStats' doc_id re-agg)
+    * collapse to one, shared via ReusedExchange. Pure physical change;
+    * SharedStageProbe asserts full-output identity. */
+  private[llm] def t7Shape(s: SparkSession, dir: String,
+      copartition: Boolean): DataFrame = {
     import s.implicits._
-    val pt = docTokens(s, dir)
+    val pt0 = docTokens(s, dir)
+    val pt = if (copartition) pt0.repartition($"doc_id") else pt0
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     val bg = pt.withColumn("nxt", lead($"tok", 1).over(w))
       .filter($"nxt".isNotNull)
@@ -2426,16 +2571,28 @@ object LlmQueries extends graft.core.QueryModule {
   // keep/drop. The unigram table is vocabulary-sized → broadcast; the doc
   // side is one groupBy — at 100 TB this is one shuffle on doc_id plus a
   // broadcast, no global state.
-  def t8(s: SparkSession, dir: String): DataFrame = {
+  def t8(s: SparkSession, dir: String): DataFrame =
+    t8Shape(s, dir, sharedStage = false)
+
+  /** r11 (the t9 device): `sharedStage = true` derives the corpus unigram
+    * table from the per-doc-term counts — Σ over doc_id of c ≡ COUNT(*)
+    * per tok, exact integers — so the token stream crosses ONE
+    * (doc_id, tok) exchange shared by both consumers (ReusedExchange)
+    * instead of two independent full-stream aggregations. */
+  private[llm] def t8Shape(s: SparkSession, dir: String,
+      sharedStage: Boolean): DataFrame = {
     import s.implicits._
     val pt = docTokens(s, dir)
-    val tokC = pt.groupBy($"tok").agg(count(lit(1)).as("ct"))
+    val dc = pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val tokC =
+      if (sharedStage) dc.groupBy($"tok").agg(sum($"c").as("ct"))
+      else pt.groupBy($"tok").agg(count(lit(1)).as("ct"))
     val tot = tokC.agg(sum($"ct").as("total"))
     // per-doc log-prob is a LEFT FOLD over the tok-sorted term list, not an
     // unordered double SUM — float addition is non-associative, and the
     // partial-aggregation order would otherwise differ between engines
     // (and between Spark runs). Same discipline as the dot products.
-    pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    dc
       .join(broadcast(tokC), "tok")
       .transform(graft.core.ScalarSub.withScalars(_, tot))
       .withColumn("term", $"c".cast("double") *
@@ -2482,17 +2639,27 @@ object LlmQueries extends graft.core.QueryModule {
     * bit-identical IEEE result t8/t10 already rely on.
     */
   def t11(s: SparkSession, dir: String): DataFrame =
-    t11Shape(s, dir, arrayzip = true)
+    t11Shape(s, dir, arrayzip = true, derivedNb = false)
 
+  /** r11 (ADVICE r10): `derivedNb = true` derives the total bigram count
+    * from the (w1, w2) count table BEFORE its support filter — Σ cab over
+    * all groups ≡ COUNT(*) over the stream, exact integers — instead of
+    * aggregating the bigram stream a second time. Under the arrayzip
+    * shape the stream tokenizes from parquet on every consumption, so the
+    * r10 form paid a full second tokenize+zip pass for one scalar; now
+    * both consumers hang off the one (w1, w2) aggregation exchange
+    * (ReusedExchange at runtime) and the stream is computed ONCE. */
   private[llm] def t11Shape(s: SparkSession, dir: String,
-      arrayzip: Boolean): DataFrame = {
+      arrayzip: Boolean, derivedNb: Boolean = false): DataFrame = {
     import s.implicits._
     val pt = docTokens(s, dir)
     val bg = bigrams(s, dir, arrayzip).select($"w1", $"w2")
     val bc = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cab"))
     val ug = pt.groupBy($"tok").agg(count(lit(1)).as("cu"))
     val nt = pt.agg(count(lit(1)).as("nt"))
-    val nb = bg.agg(count(lit(1)).as("nb"))
+    val nb =
+      if (derivedNb) bc.agg(coalesce(sum($"cab"), lit(0L)).as("nb"))
+      else bg.agg(count(lit(1)).as("nb"))
     bc.filter($"cab" >= 5)
       .join(broadcast(ug.select($"tok".as("w1"), $"cu".as("ca"))), "w1")
       .join(broadcast(ug.select($"tok".as("w2"), $"cu".as("cb"))), "w2")
@@ -2553,17 +2720,31 @@ object LlmQueries extends graft.core.QueryModule {
   }
 
   def t10(s: SparkSession, dir: String): DataFrame =
-    t10Shape(s, dir, arrayzip = true)
+    t10Shape(s, dir, arrayzip = true, derivedCounts = false)
 
+  /** r11 (the t9 device applied to the bigram stream, ADVICE r10): with
+    * `derivedCounts = true` the global (w1, w2) count table is the per-doc
+    * count table `dc` re-aggregated — Σ over doc_id of c ≡ COUNT(*) per
+    * (w1, w2), exact integers — so the bigram stream (which re-tokenizes
+    * from parquet per consumer under arrayzip) is consumed ONCE and both
+    * consumers share dc's (doc_id, w1, w2) exchange (ReusedExchange at
+    * runtime). The r10 arrayzip shape paid tokenize+zip twice: once for
+    * the global counts, once for the per-doc counts — the explode subtree
+    * appeared once per consumer in the r10 plan because the aggregation
+    * keys differ; deriving the coarse grain from the fine one is what
+    * makes the exchange shareable. */
   private[llm] def t10Shape(s: SparkSession, dir: String,
-      arrayzip: Boolean): DataFrame = {
+      arrayzip: Boolean, derivedCounts: Boolean = false): DataFrame = {
     import s.implicits._
     val pt = docTokens(s, dir)
     val bg = bigrams(s, dir, arrayzip)
-    val bc = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val dc = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("c"))
+    val bc =
+      if (derivedCounts) dc.groupBy($"w1", $"w2").agg(sum($"c").as("cb"))
+      else bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
     val uc = bc.groupBy($"w1").agg(sum($"cb").as("cu"))
     val vv = pt.agg(countDistinct($"tok").as("v"))
-    bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("c"))
+    dc
       .join(broadcast(bc), Seq("w1", "w2"))
       .join(broadcast(uc), Seq("w1"))
       .transform(graft.core.ScalarSub.withScalars(_, vv))
@@ -2604,17 +2785,40 @@ object LlmQueries extends graft.core.QueryModule {
   // T9: TF-IDF top terms per document — the classic relevance weighting,
   // top-3 by score with deterministic tok tiebreak. df table is
   // vocabulary-sized → broadcast; ranking is a doc-partitioned window.
-  def t9(s: SparkSession, dir: String): DataFrame = {
+  def t9(s: SparkSession, dir: String): DataFrame =
+    t9Shape(s, dir, sharedStage = false)
+
+  /** r11 (VERDICT r10 directive 3): `sharedStage = true` derives every
+    * aggregate from ONE (doc_id, tok) exchange of the token stream — the
+    * per-doc-term counts `dc` are the finest grain, so the document
+    * frequency table is `dc` re-aggregated by tok (distinct (doc_id, tok)
+    * ≡ the dc key set) and n_docs is a countDistinct over dc instead of
+    * over the full stream. The r10 shape paid the token stream through
+    * THREE independent full-stream aggregations (the (doc_id, tok)
+    * distinct, the (doc_id, tok) groupBy, and the countDistinct(doc_id)
+    * expand) — duplicated subtrees with nothing reusable; now all three
+    * consumers hang off the same exchange (ReusedExchange at runtime, the
+    * pr1/nv1-proven mechanism) and the re-aggregations run over the
+    * doc-term pairs, a fraction of the stream. Exact by construction:
+    * sum/count over the finer grain equals the coarse aggregate
+    * (T9Probe asserts full-output identity every round). */
+  private[llm] def t9Shape(s: SparkSession, dir: String,
+      sharedStage: Boolean): DataFrame = {
     import s.implicits._
     val pt = docTokens(s, dir)
-    val nDocs = pt.agg(countDistinct($"doc_id").as("n_docs"))
-    val dfT = pt.select($"doc_id", $"tok").distinct()
-      .groupBy($"tok").agg(count(lit(1)).as("dft"))
+    val dc = pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val nDocs =
+      if (sharedStage) dc.agg(countDistinct($"doc_id").as("n_docs"))
+      else pt.agg(countDistinct($"doc_id").as("n_docs"))
+    val dfT =
+      if (sharedStage) dc.groupBy($"tok").agg(count(lit(1)).as("dft"))
+      else pt.select($"doc_id", $"tok").distinct()
+        .groupBy($"tok").agg(count(lit(1)).as("dft"))
     // rank on the ROUNDED score: the raw ln-derived value can differ by an
     // ulp between engines, which would flip row_number for near-equal
     // scores — round first, deterministic tok tiebreak second
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"tok")
-    pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    dc
       .join(broadcast(dfT), "tok")
       .transform(graft.core.ScalarSub.withScalars(_, nDocs))
       .withColumn("tfidf", round(

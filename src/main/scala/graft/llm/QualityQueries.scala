@@ -173,18 +173,41 @@ object QualityQueries extends graft.core.QueryModule {
   // same way on both engines, folded in tok-sorted order (t8's discipline).
   /** Per-document (doc_id, n_tokens, lw) under the target-vs-raw model —
     * shared by [[dsir1]] and the spec's corpus-mean baseline. */
-  private[llm] def dsirScored(s: SparkSession, dir: String): DataFrame = {
+  private[llm] def dsirScored(s: SparkSession, dir: String): DataFrame =
+    dsirScoredShape(s, dir, sharedStage = false)
+
+  /** r11 (the t9 single-exchange device): `sharedStage = true` aggregates
+    * the token stream ONCE at its finest grain — (doc_id, lang, tok); lang
+    * is functionally dependent on doc_id (one row per doc in `documents`),
+    * so this IS the (doc_id, tok) grain with lang riding — and derives the
+    * raw and target unigram models by re-aggregating those counts (Σ c per
+    * tok ≡ COUNT(*) per tok, the lang = 'en' filter applied on the counted
+    * rows — exact integers). The r10 shape tokenized and shuffled the full
+    * stream THREE times (raw counts, target counts, per-doc counts:
+    * different keys, nothing reusable); now all three consumers hang off
+    * one exchange (ReusedExchange at runtime) and the re-aggregations run
+    * over doc-term pairs. Output identity asserted per round (T9Probe). */
+  private[llm] def dsirScoredShape(s: SparkSession, dir: String,
+      sharedStage: Boolean): DataFrame = {
     import s.implicits._
     val pt = TextOps.docTokens(Tables.documents(s, dir), $"doc_id", $"text",
       keep = Seq($"lang"))
-    val rawC = pt.groupBy($"tok").agg(count(lit(1)).as("cr0"))
-    val tgtC = pt.filter($"lang" === "en").groupBy($"tok").agg(count(lit(1)).as("ct0"))
+    val dcl = pt.groupBy($"doc_id", $"lang", $"tok").agg(count(lit(1)).as("c"))
+    val rawC =
+      if (sharedStage) dcl.groupBy($"tok").agg(sum($"c").as("cr0"))
+      else pt.groupBy($"tok").agg(count(lit(1)).as("cr0"))
+    val tgtC =
+      if (sharedStage) dcl.filter($"lang" === "en").groupBy($"tok").agg(sum($"c").as("ct0"))
+      else pt.filter($"lang" === "en").groupBy($"tok").agg(count(lit(1)).as("ct0"))
     // shared vocab = raw vocab (target tokens are a subset of raw's); add-1
     // smoothing keeps unseen-in-target tokens finite
     val model = rawC.join(tgtC, Seq("tok"), "left")
       .select($"tok", ($"cr0" + 1L).as("cr"), (coalesce($"ct0", lit(0L)) + 1L).as("ct"))
     val totals = model.agg(sum($"cr").as("dr"), sum($"ct").as("dt"))
-    val scored = pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val docTermCounts =
+      if (sharedStage) dcl.select($"doc_id", $"tok", $"c")
+      else pt.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val scored = docTermCounts
       .join(broadcast(model), "tok")
       .transform(graft.core.ScalarSub.withScalars(_, totals))
       .withColumn("term", $"c".cast("double") *

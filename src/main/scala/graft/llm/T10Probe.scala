@@ -35,7 +35,11 @@ object T10Probe {
         bw = math.min(bw, tw); bz = math.min(bz, tz)
         println(f"[t10probe] $q round $r window $tw%.3f s  arrayzip $tz%.3f s")
       }
-      println(f"[t10probe] RESULT $q window_best=$bw%.3f s  arrayzip_best=$bz%.3f s")
+      // ADVICE r10: the A/B is mildly asymmetric — the window arm reads the
+      // memoized docTokens checkpoint warmed in this JVM while the arrayzip
+      // arm re-tokenizes from parquet every run, UNDERSTATING the arrayzip
+      // win; flag it on the record line.
+      println(f"[t10probe] RESULT $q window_best=$bw%.3f s (warm docTokens ckpt)  arrayzip_best=$bz%.3f s (re-tokenizes per run — asymmetry favors window)")
     }
     spark.stop()
   }

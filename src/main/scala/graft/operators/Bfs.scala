@@ -92,24 +92,37 @@ object Bfs {
     * in the user–item graphs this is meant for. Callers needing globally
     * unique ids disambiguate before the call (as bfs1 does with 2k / 2k+1).
     * Same checkpoint/short-circuit discipline as [[levels]].
-    */
-  /** `prePartition`: checkpoint the edge set hash-partitioned on `a`, the
-    * ODD-round probe key (LogicalRDD keeps the partitioning across the
-    * checkpoint — the lp1/pr1 device), so odd rounds probe it
-    * exchange-free; even rounds join on `b` and re-shuffle either way.
-    * The unpartitioned checkpoint's ExistingRDD stats are unknown-huge, so
-    * without this every round plans a full edge-side exchange before AQE
-    * can see the tiny frontier. `shjHint`: hint the frontier side
-    * SHUFFLE_HASH so the round join builds the (small) frontier hash table
-    * instead of sort-merging two unknown-stat sides. Both measured in
-    * BfsProbe (SCALING.md r10) before flipping any default.
+    *
+    * @param prePartition checkpoint the edge set hash-partitioned on `a`,
+    *   the ODD-round probe key (LogicalRDD keeps the partitioning across
+    *   the checkpoint — the lp1/pr1 device), so odd rounds probe it
+    *   exchange-free; even rounds join on `b` and re-shuffle either way.
+    *   The unpartitioned checkpoint's ExistingRDD stats are unknown-huge,
+    *   so without this every round plans a full edge-side exchange before
+    *   AQE can see the tiny frontier.
+    * @param shjHint hint the frontier side SHUFFLE_HASH so the round join
+    *   builds the (small) frontier hash table instead of sort-merging two
+    *   unknown-stat sides.
+    *   Both flags measured in BfsProbe (SCALING.md r10) before flipping
+    *   any default: wash / negative, shipped shape kept.
     */
   def levelsBipartite(edges: DataFrame, sources: DataFrame,
       maxDepth: Int, prePartition: Boolean = false,
       shjHint: Boolean = false): DataFrame = {
     require(maxDepth >= 0)
     val e0 = edges.select(col("a"), col("b"))
-    val e = (if (prePartition) e0.repartition(col("a")) else e0).localCheckpoint()
+    // r11: pin the count and re-assert on the checkpoint (AQE hands
+    // localCheckpoints back as UnknownPartitioning — without the assert
+    // this flag never delivered the partitioning it promised; see
+    // GraftSqlBridge.assertHashPartitioned). Default stays false: BfsProbe
+    // measured the flag a wash/negative because AQE broadcasts the tiny
+    // frontier every round, so the edge side never shuffles anyway.
+    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val e1 = (if (prePartition) e0.repartition(p, col("a")) else e0).localCheckpoint()
+    val e =
+      if (prePartition)
+        org.apache.spark.sql.GraftSqlBridge.assertHashPartitioned(e1, Seq("a"), p)
+      else e1
     var visitedLeft = sources.select(col("v")).distinct()
       .withColumn("level", lit(0)).localCheckpoint()
     var visitedRight: DataFrame = null

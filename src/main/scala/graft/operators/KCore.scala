@@ -63,11 +63,21 @@ object KCore {
     * probes (graft.tools.KcProbe) pass alternatives EXPLICITLY; the
     * production constants are immutable (the r8 sys.props dial was read
     * on every call, so a stray property set earlier in a shared JVM
-    * silently changed production guard geometry — ADVICE r8). */
+    * silently changed production guard geometry — ADVICE r8).
+    *
+    * `inputCheckpointed` (r11): caller guarantees `edges` is ALREADY a
+    * long-typed localCheckpoint — skips the round-0 normalize+checkpoint
+    * pass (ownership transfers: the peel releases it when superseded, as
+    * with its own checkpoints). `deg0` (r11): the round-0 degree table,
+    * when the caller already aggregated it (e.g. for a data-derived k) —
+    * kc1 paid the SAME edge-wide degree aggregation twice, once for the
+    * threshold scalar and once inside round 1. */
   def peelRounds(edges: DataFrame, k: Int, rounds: Int,
       nVertices: Option[Long] = None,
       localNodes: Long = LocalFinishNodes,
-      localEdges: Long = LocalFinishEdges): DataFrame = {
+      localEdges: Long = LocalFinishEdges,
+      inputCheckpointed: Boolean = false,
+      deg0: Option[DataFrame] = None): DataFrame = {
     val spark = edges.sparkSession
     val out = Seq.newBuilder[(Long, Long, Long)]
     // ids normalized to LONG at the boundary: key columns are
@@ -75,9 +85,10 @@ object KCore {
     // across regenerations), and the local tail finish reads them as
     // primitive longs — without the cast a regenerated int32 file would
     // pass every DataFrame round and crash the first collect
-    var e = edges.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v")).localCheckpoint()
-    var deg = degrees(e)
+    var e = if (inputCheckpointed) edges
+      else edges.select(col("u").cast("long").as("u"),
+        col("v").cast("long").as("v")).localCheckpoint()
+    var deg = deg0.getOrElse(degrees(e))
     // callers that already aggregated the degree table (e.g. for a
     // data-derived k) pass the vertex count instead of paying the same
     // edge-wide degree shuffle a second time
@@ -189,7 +200,7 @@ object KCore {
     keep
   }
 
-  private def degrees(e: DataFrame): DataFrame =
+  private[graft] def degrees(e: DataFrame): DataFrame =
     e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("dg"))
 }

@@ -51,9 +51,22 @@ object LabelPropagation {
       prePartition: Boolean): DataFrame = {
     val sym0 = edges.select(col("u"), col("v"))
       .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-    val sym = (if (prePartition) sym0.repartition(col("v")).distinct()
-               else sym0.distinct())
+    // r11: the r9 comment's "LogicalRDD keeps the hash partitioning
+    // across the checkpoint" turned out to be FALSE under AQE — the
+    // checkpoint came back UnknownPartitioning and every round re-shuffled
+    // the edge list after all (the exact defect the shape was meant to
+    // kill). Pin the partition count (explicit-N repartitions are not
+    // AQE-coalesced, so the claim below is exact) and re-assert it on the
+    // checkpoint; see GraftSqlBridge.assertHashPartitioned and the pr1
+    // executed-plan dumps (plans/r11).
+    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sym1 = (if (prePartition) sym0.repartition(p, col("v")).distinct()
+                else sym0.distinct())
       .localCheckpoint() // read by every round: symmetrize+dedup ONCE
+    val sym =
+      if (prePartition)
+        org.apache.spark.sql.GraftSqlBridge.assertHashPartitioned(sym1, Seq("v"), p)
+      else sym1
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
     var prevCkpt: org.apache.spark.sql.DataFrame = null

@@ -51,9 +51,23 @@ object PageRank {
     * (it runs on the repartition(b) clustering), so callers with raw
     * duplicated edges should prefer passing them as-is over paying their
     * own upstream distinct exchange (measured: Lp1Probe `pr1build`). */
+  /** `pinnedBuildPartitions` (r11, VERDICT r10 directive 6): repartition
+    * the build on an EXPLICIT partition count (the session shuffle
+    * default) instead of the bare `repartition(col("b"))`. The bare form
+    * is AQE-coalesced, and the coalesced partitioning the checkpoint
+    * inherits is NOT one the per-iteration rank joins can line up with —
+    * the executed r10 plan re-exchanged the full edge checkpoint on `b`
+    * EVERY round (plans/r11/pr1_iteration_executed_before.txt,
+    * ShuffleQueryStages over `Scan ExistingRDD[a,b,deg_b]`). With the
+    * count pinned, the LogicalRDD advertises exact hashpartitioning(b, P)
+    * and each round only exchanges the node-sized rank table
+    * (..._after.txt: the edge side sits directly under the join). Same
+    * device as lp1's pre-partitioned checkpoint; bit-identical ranks
+    * asserted per round (Pr1Probe). */
   def run(edges: DataFrame, iters: Int = 3, reliable: Boolean = false,
       checkpointEvery: Int = 4, assumeDistinct: Boolean = false,
-      singleExchangeBuild: Boolean = true): DataFrame = {
+      singleExchangeBuild: Boolean = true,
+      pinnedBuildPartitions: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val doubled = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -80,7 +94,12 @@ object PageRank {
     // join already keyed on b.
     val symDeg0 =
       if (singleExchangeBuild) {
-        val part = doubled.repartition(col("b"))
+        val part =
+          if (pinnedBuildPartitions)
+            doubled.repartition(
+              edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+              col("b"))
+          else doubled.repartition(col("b"))
         val sym = if (assumeDistinct) part else part.distinct()
         val degB = sym.groupBy(col("b")).agg(count(lit(1)).as("deg_b"))
         sym.join(degB.hint("shuffle_hash"), "b")
@@ -93,7 +112,20 @@ object PageRank {
           .select(col("a"), col("b"), col("deg_b"))
           .repartition(col("b"))
       }
-    val symDeg = if (reliable) symDeg0.checkpoint() else symDeg0.localCheckpoint()
+    val symDeg0Ck =
+      if (reliable) symDeg0.checkpoint() else symDeg0.localCheckpoint()
+    // The SHJ's stream side preserves the build repartitioning, and the
+    // checkpoint materializes it partition-for-partition — but AQE hands
+    // the checkpoint back as UnknownPartitioning (see
+    // GraftSqlBridge.assertHashPartitioned), which is what silently
+    // re-exchanged the edge table inside every iteration join until r11.
+    // Re-assert it so the per-round joins only shuffle the rank table.
+    val symDeg =
+      if (singleExchangeBuild && pinnedBuildPartitions)
+        org.apache.spark.sql.GraftSqlBridge.assertHashPartitioned(
+          symDeg0Ck, Seq("b"),
+          edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      else symDeg0Ck
     // map-side-combined distinct over the materialized edges; an O(1)
     // driver scalar (the old node-table distinct shuffled (v, deg) pairs)
     val n = symDeg.agg(countDistinct(col("b"))).head().getLong(0)

@@ -23,7 +23,24 @@ object TriangleCount {
     * guarantee u ≠ v and no duplicate edge in either direction):
     * (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
     * clustering = 3·triangles / wedges (the global transitivity). */
-  def run(edges: DataFrame): DataFrame = {
+  /** `pinnedPartitions` (r11): checkpoint the oriented edge list and the
+    * adjacency table pre-partitioned on their probe key `src` with an
+    * EXPLICIT partition count, and re-assert that partitioning on the
+    * checkpoints (GraftSqlBridge.assertHashPartitioned — under AQE a
+    * localCheckpoint comes back UnknownPartitioning, so the r10 plan
+    * re-exchanged BOTH sides of both SHUFFLE_HASH triangle joins AND paid
+    * the adjacency groupBy's exchange). With the pin: the adjacency
+    * aggregation runs exchange-free on o's partitioning, the first
+    * triangle join is zero-exchange on both sides, and the second only
+    * re-keys the probe stream on `dst` (its build side — adj renamed to
+    * dst — stays exchange-free). Orientation semantics untouched; Tc1Probe
+    * asserts the one-row output identical. */
+  def run(edges: DataFrame, pinnedPartitions: Boolean = true): DataFrame = {
+    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    def assertPart(df: DataFrame, cols: Seq[String]): DataFrame =
+      if (pinnedPartitions)
+        org.apache.spark.sql.GraftSqlBridge.assertHashPartitioned(df, cols, p)
+      else df
     // ids normalized to LONG at the boundary (the KCore discipline): key
     // columns are Integral-class under the testdata drift contract, and
     // the adjacency lists feed SortedIntersectCount, which requires
@@ -41,10 +58,16 @@ object TriangleCount {
       .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
     val smallerU = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    val o = keyed.select(
+    val o0 = keyed.select(
       when(smallerU, col("u")).otherwise(col("v")).as("src"),
       when(smallerU, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint()
+    // one explicit src exchange here replaces the adjacency groupBy's and
+    // the first triangle join's (see scaladoc); assert is TRUE by
+    // construction: the checkpoint materializes the REPARTITION_BY_NUM
+    // output partition-for-partition (never AQE-coalesced or skew-split)
+    val o = assertPart(
+      (if (pinnedPartitions) o0.repartition(p, col("src")) else o0)
+        .localCheckpoint(), Seq("src"))
     // Count via ORIENTED ADJACENCY INTERSECTION instead of the classic
     // three-scan wedge self-join (r6 verdict directive 2): aggregate each
     // node's SORTED oriented out-neighbor list ONCE, then for every
@@ -60,9 +83,12 @@ object TriangleCount {
     // the oriented out-degree O(√|E|), so no skew funnel. Materialized:
     // BOTH probe joins read it, and without the checkpoint the grouping
     // shuffle runs once per join.
-    val adj = o.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      .localCheckpoint()
+    // exchange-free on o's asserted partitioning; the aggregation output
+    // keeps (src, p) partition-for-partition, so the assert stays true
+    val adj = assertPart(
+      o.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+        .localCheckpoint(), Seq("src"))
     // Beyond broadcast size, SHUFFLE_HASH: build on the node-keyed
     // adjacency, stream the edges — a sort buys nothing for a join that
     // ends in one global sum (the count() is free; localCheckpoint just

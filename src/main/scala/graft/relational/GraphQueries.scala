@@ -170,18 +170,48 @@ object GraphQueries extends graft.core.QueryModule {
   /** kc1 with an explicit tail-finish guard geometry — the KcProbe entry
     * (guard overrides travel as parameters, never shared-JVM sys.props). */
   private[graft] def kc1Guard(s: SparkSession, dir: String,
-      localNodes: Long, localEdges: Long): DataFrame = {
+      localNodes: Long, localEdges: Long): DataFrame =
+    kc1Shape(s, dir, localNodes, localEdges, sharedBuild = true)
+
+  /** r11 (VERDICT r10 directive 4): `sharedBuild = true` materializes the
+    * canonical co-supply edge set and its degree table ONCE. The r10 shape
+    * built coSupplyEdges TWICE (the k-derivation degree scalar consumed it,
+    * then peelRounds' round-0 checkpoint re-derived the whole
+    * lineitem-repartition → window → dedup chain) and paid the SAME
+    * edge-wide degree aggregation twice (the threshold scalar and peel
+    * round 1). Now the edge checkpoint and the checkpointed degree table
+    * feed the scalar AND the peel (ownership of the edge checkpoint
+    * transfers to the peel; the degree checkpoint is released here once
+    * the peel returns — the profile is driver-side rows by then).
+    * Kc1Probe asserts full-profile identity between the shapes. */
+  private[graft] def kc1Shape(s: SparkSession, dir: String,
+      localNodes: Long, localEdges: Long, sharedBuild: Boolean): DataFrame = {
     import s.implicits._
-    val e = coSupplyEdges(s, dir)
-    val d0 = e.select($"u".as("x")).unionAll(e.select($"v".as("x")))
-      .groupBy($"x").agg(count(lit(1)).as("dg"))
-      .agg(sum($"dg").cast("long").as("s"), count(lit(1)).as("c")).head()
-    val k = math.ceil(d0.getLong(0).toDouble / d0.getLong(1).toDouble).toLong + 1
-    // d0's count IS the vertex count — hand it over so the peel doesn't
-    // rerun the same edge-wide degree aggregation for its round-0 size
-    graft.operators.KCore.peelRounds(e, k.toInt, rounds = KcRounds,
-      nVertices = Some(d0.getLong(1)),
-      localNodes = localNodes, localEdges = localEdges)
+    if (sharedBuild) {
+      val e = coSupplyEdges(s, dir)
+        .select($"u".cast("long").as("u"), $"v".cast("long").as("v"))
+        .localCheckpoint()
+      val deg = graft.operators.KCore.degrees(e).localCheckpoint()
+      val d0 = deg.agg(sum($"dg").cast("long").as("s"), count(lit(1)).as("c")).head()
+      val k = math.ceil(d0.getLong(0).toDouble / d0.getLong(1).toDouble).toLong + 1
+      val profile = graft.operators.KCore.peelRounds(e, k.toInt, rounds = KcRounds,
+        nVertices = Some(d0.getLong(1)),
+        localNodes = localNodes, localEdges = localEdges,
+        inputCheckpointed = true, deg0 = Some(deg))
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(deg)
+      profile
+    } else {
+      val e = coSupplyEdges(s, dir)
+      val d0 = e.select($"u".as("x")).unionAll(e.select($"v".as("x")))
+        .groupBy($"x").agg(count(lit(1)).as("dg"))
+        .agg(sum($"dg").cast("long").as("s"), count(lit(1)).as("c")).head()
+      val k = math.ceil(d0.getLong(0).toDouble / d0.getLong(1).toDouble).toLong + 1
+      // d0's count IS the vertex count — hand it over so the peel doesn't
+      // rerun the same edge-wide degree aggregation for its round-0 size
+      graft.operators.KCore.peelRounds(e, k.toInt, rounds = KcRounds,
+        nVertices = Some(d0.getLong(1)),
+        localNodes = localNodes, localEdges = localEdges)
+    }
   }
 
   val kc1Sql: String = {

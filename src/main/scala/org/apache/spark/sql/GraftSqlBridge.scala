@@ -37,6 +37,36 @@ object GraftSqlBridge {
   def waitForListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Re-assert hash partitioning on a `localCheckpoint()`ed Dataset.
+    *
+    * Under AQE the checkpoint's LogicalRDD comes back with
+    * `UnknownPartitioning(0)` — `AdaptiveSparkPlanExec` never surfaces its
+    * final plan's partitioning to `Dataset.checkpoint` (measured on this
+    * engine: `repartition(4, b).localCheckpoint()` advertises Unknown) —
+    * so every downstream join/aggregation keyed on the checkpoint's own
+    * partition key re-exchanges the whole table. When the CALLER knows the
+    * checkpoint was materialized directly from `repartition(n, cols)`
+    * (checkpoint partitions correspond 1:1 to shuffle output partitions),
+    * this stamps that hashpartitioning back onto the LogicalRDD so
+    * EnsureRequirements can line other sides up with it instead.
+    *
+    * SAFETY: the claim must be TRUE — asserting a partitioning the RDD
+    * does not have silently mis-joins. Only call on a checkpoint whose
+    * immediate upstream was `repartition(n, cols)` with the same n and
+    * column list. */
+  def assertHashPartitioned(df: DataFrame, colNames: Seq[String],
+      numPartitions: Int): DataFrame =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val attrs = colNames.map(c => l.output.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"no column $c on checkpoint")))
+        val part = org.apache.spark.sql.catalyst.plans.physical
+          .HashPartitioning(attrs, numPartitions)
+        ofRows(df.sparkSession, l.copy(outputPartitioning = part)(
+          df.sparkSession.asInstanceOf[classic.SparkSession], None, None))
+      case _ => df
+    }
+
   def unpersistCheckpoint(df: DataFrame): Unit =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
