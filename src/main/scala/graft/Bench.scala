@@ -27,11 +27,14 @@ package graft
   *     samples (listener bus drained before reading); external steal
   *     deschedules task threads, so aggregate cpu+gc falls far below
   *     aggregate wall. A sample whose tasks ran ≥ [[CpuFloorMs]] of
-  *     aggregate wall with (cpu+gc)/wall < [[CpuRatioThresh]] is flagged
-  *     STOLEN and re-sampled, exactly like a hot sentinel. The threshold
-  *     sits far below the calm-host floor observed per query (this suite's
-  *     calm minima are ≈0.7+; shuffle-light queries sit ≈1.0) and above
-  *     the r10 steal signature (uniform ~1.7× inflation ⇒ ratio ≈ 0.6).
+  *     aggregate wall with (cpu+gc)/wall < [[CpuRatioThresh]] AND whose
+  *     wall time exceeds the query's best-so-far by [[CpuSlowFactor]] is
+  *     flagged STOLEN and re-sampled, exactly like a hot sentinel (the
+  *     slow-factor guard keeps legitimately I/O-bound low-ratio queries
+  *     from starving — see the threshold scaladoc). The r10 failure mode
+  *     (uniform ~1.7× inflation ⇒ ratio ≈ 0.6 on EVERY query) is caught
+  *     at run level instead: a run whose MEDIAN per-query min-ratio falls
+  *     below [[CpuRunMedianThresh]] refuses the canonical artifact.
   *
   * If a query exhausts its attempt budget without 3 clean samples (even
   * partially — a best-of-1 is not a best-of-3) it is flagged, and a run
@@ -77,15 +80,22 @@ object Bench {
 
   // ---- task cpu/wall discriminator ----------------------------------
   /** Per-SAMPLE steal threshold: flag when aggregate (cpu + gc) over a
-    * sample's tasks falls below this fraction of aggregate task wall.
-    * Calibrated on a calm-host full run (r11): per-query MIN ratios
-    * spread 0.57-0.98 for 90% of queries, with ~10% dipping lower on one
-    * sample (I/O or lock waits — legitimate), so 0.45 costs ~2% of
-    * samples a re-run and never starves a query of its 3 clean samples,
-    * while catching any ≥2× in-sample steal burst outright. Samples with
+    * sample's tasks falls below this fraction of aggregate task wall AND
+    * the sample is ≥ [[CpuSlowFactor]]× the query's fastest sample so
+    * far. The second condition is what makes the check safe: some queries
+    * are LEGITIMATELY low-ratio (q2 at sf1 reads cold parquet from /tmp —
+    * ratio ≈ 0.21 on every sample, all within 0.18-0.29 s; flagging them
+    * starved the query of clean samples and refused two otherwise-fine
+    * runs), and a steal-inflated sample is by definition SLOWER than the
+    * query's true time — a low-ratio sample that ties the best is not a
+    * measurement hazard (best-of keeps the min regardless). Calibrated on
+    * calm full runs (r11): per-query MIN ratios spread 0.57-0.98 for 90%
+    * of queries at sf0.1; the combined condition costs <1% of samples a
+    * re-run and cannot starve a uniformly-low-ratio query. Samples with
     * under [[CpuFloorMs]] of aggregate task wall are never flagged —
     * sub-floor queries are scheduler-bound and their ratio is noise. */
   private val CpuRatioThresh = 0.45
+  private val CpuSlowFactor = 1.25
   private val CpuFloorMs = 150L
   /** RUN-level uniform-steal threshold: the r10 driver-run failure mode
     * was ~1.7× inflation across 179/220 queries (per-sample ratio ≈ 0.6 —
@@ -185,7 +195,12 @@ object Bench {
           try org.apache.spark.sql.GraftSqlBridge.waitForListenerBus(spark)
           catch { case _: Throwable => () }
           val (taskWallMs, ratio) = cpuListener.read()
-          val cpuSuspect = taskWallMs >= CpuFloorMs && ratio < CpuRatioThresh
+          // suspect = low cpu share AND slower than the query's own best
+          // (computed against samples seen BEFORE this one — a new minimum
+          // is never suspect, whatever its ratio)
+          val minBefore = if (all.isEmpty) Double.MaxValue else all.min
+          val cpuSuspect = taskWallMs >= CpuFloorMs &&
+            ratio < CpuRatioThresh && t > minBefore * CpuSlowFactor
           if (taskWallMs >= CpuFloorMs &&
               (ratioMin.isNaN || ratio < ratioMin)) ratioMin = ratio
           runs += 1

@@ -59,7 +59,8 @@ object Ivf2Probe {
         bf = math.min(bf, tf); bt = math.min(bt, tt)
         println(f"[ivf2probe] assign k=$k round $r: flat $tf%.3f s  twolevel $tt%.3f s")
       }
-      println(f"[ivf2probe] RESULT assign k=$k kc=${LlmQueries.ivfCoarseK(k)} flat_best=$bf%.3f s  twolevel_best=$bt%.3f s")
+      val kcForced = math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong)
+      println(f"[ivf2probe] RESULT assign k=$k kc=$kcForced flat_best=$bf%.3f s  twolevel_best=$bt%.3f s")
     }
 
     // --- 2. broadcast vs shuffle fine stage: identical cells --------

@@ -31,12 +31,13 @@ object LabelPropagation {
     * deduped internally). Returns (node, label) after `rounds` synchronous
     * majority updates from the all-distinct initialization.
     *
-    * Shuffle geometry (r9, the [[PageRank]] symDeg lesson applied): sym is
-    * checkpointed PRE-PARTITIONED on the per-round join key `v` —
-    * LogicalRDD keeps the hash partitioning across the checkpoint, so no
-    * round re-shuffles the edge list (the r8 shape paid one edge-wide sym
-    * shuffle EVERY round: distinct()'s (u, v) partitioning doesn't satisfy
-    * the join's clustering on v). The build itself stays one shuffle:
+    * Shuffle geometry (r9, corrected r11): sym is checkpointed
+    * pre-partitioned on the per-round join key `v`. The r9 note claimed
+    * the checkpoint KEEPS that partitioning across rounds — it does not
+    * (AQE returns UnknownPartitioning; see the build comment below) —
+    * but the vote join AQE-broadcasts the node-sized labels, so the edge
+    * side escapes the per-round shuffle regardless, and the build
+    * geometry is where the adopted win lives. The build stays one shuffle:
     * hash partitioning on v alone satisfies the dedup's (u, v) clustering,
     * so distinct() runs on the repartition exchange without another. Each
     * round then pays exactly one edge-wide exchange — repartition(u) after
@@ -51,22 +52,23 @@ object LabelPropagation {
       prePartition: Boolean): DataFrame = {
     val sym0 = edges.select(col("u"), col("v"))
       .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-    // r11: the r9 comment's "LogicalRDD keeps the hash partitioning
-    // across the checkpoint" turned out to be FALSE under AQE — the
-    // checkpoint came back UnknownPartitioning and every round re-shuffled
-    // the edge list after all (the exact defect the shape was meant to
-    // kill). Pin the partition count (explicit-N repartitions are not
-    // AQE-coalesced, so the claim below is exact) and re-assert it on the
-    // checkpoint; see GraftSqlBridge.assertHashPartitioned and the pr1
-    // executed-plan dumps (plans/r11).
-    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val sym1 = (if (prePartition) sym0.repartition(p, col("v")).distinct()
-                else sym0.distinct())
+    // r11 correction to the r9 comment: "LogicalRDD keeps the hash
+    // partitioning across the checkpoint" is FALSE under AQE — the
+    // checkpoint comes back UnknownPartitioning and every round
+    // re-shuffles the edge list after all (measured; see
+    // GraftSqlBridge.assertHashPartitioned). The prePartition win that
+    // WAS measured in r9 comes from the build geometry alone (one
+    // exchange whose v-clustering co-supplies the (u, v) dedup). A
+    // pinned-count + asserted variant that makes the original per-round
+    // claim real was probed r11 (Lp1Probe) and measured a LOSS at
+    // sf0.1/local[32] (2.04 → 2.96 s) and a wash at sf1 (3.68 → 4.04 s):
+    // unlike pr1's SHUFFLE_HASH-hinted joins, lp1's vote join can
+    // AQE-broadcast the node-sized labels, so the edge side escapes the
+    // per-round shuffle anyway and the pin only adds un-coalesced task
+    // floor. The r9/r10 shape stays.
+    val sym = (if (prePartition) sym0.repartition(col("v")).distinct()
+               else sym0.distinct())
       .localCheckpoint() // read by every round: symmetrize+dedup ONCE
-    val sym =
-      if (prePartition)
-        org.apache.spark.sql.GraftSqlBridge.assertHashPartitioned(sym1, Seq("v"), p)
-      else sym1
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
     var prevCkpt: org.apache.spark.sql.DataFrame = null

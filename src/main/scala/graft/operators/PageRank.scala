@@ -51,19 +51,30 @@ object PageRank {
     * (it runs on the repartition(b) clustering), so callers with raw
     * duplicated edges should prefer passing them as-is over paying their
     * own upstream distinct exchange (measured: Lp1Probe `pr1build`). */
-  /** `pinnedBuildPartitions` (r11, VERDICT r10 directive 6): repartition
-    * the build on an EXPLICIT partition count (the session shuffle
-    * default) instead of the bare `repartition(col("b"))`. The bare form
-    * is AQE-coalesced, and the coalesced partitioning the checkpoint
-    * inherits is NOT one the per-iteration rank joins can line up with —
-    * the executed r10 plan re-exchanged the full edge checkpoint on `b`
-    * EVERY round (plans/r11/pr1_iteration_executed_before.txt,
-    * ShuffleQueryStages over `Scan ExistingRDD[a,b,deg_b]`). With the
-    * count pinned, the LogicalRDD advertises exact hashpartitioning(b, P)
-    * and each round only exchanges the node-sized rank table
-    * (..._after.txt: the edge side sits directly under the join). Same
-    * device as lp1's pre-partitioned checkpoint; bit-identical ranks
-    * asserted per round (Pr1Probe). */
+  /** Edge-row threshold for the pinned-partitioning upgrade below: the
+    * dial IS the measured crossover (graft.tools.Pr1Probe, interleaved,
+    * local[32], ranks asserted bit-identical): at sf0.1 (1.17M symmetric
+    * rows) pinning LOSES 0.609 → 0.804 s — un-coalesced 32-partition
+    * stages cost more task floor than the cheap per-round re-exchange of
+    * a small edge table — while at sf1 (11.7M rows) it WINS 2.173 →
+    * 1.654 s. 4M splits the probe points; above it the per-round exchange
+    * is the dominant term and only grows. */
+  val PinMinEdgeRows: Long = 4000000L
+
+  /** `pinnedBuildPartitions` (r11, VERDICT r10 directive 6): when the
+    * materialized edge table reaches [[PinMinEdgeRows]], re-shuffle it
+    * ONCE onto an EXPLICIT partition count and re-assert that partitioning
+    * on the checkpoint (GraftSqlBridge.assertHashPartitioned — under AQE a
+    * localCheckpoint comes back UnknownPartitioning, so the per-iteration
+    * rank joins re-exchanged the full edge checkpoint on `b` EVERY round:
+    * plans/r11/pr1_iteration_executed_before.txt, ShuffleQueryStages over
+    * `Scan ExistingRDD[a,b,deg_b]`). With the pin, each round only
+    * exchanges the node-sized rank table (..._after.txt: the edge side
+    * sits directly under the join). Below the threshold the r10 bare
+    * build is kept unchanged — the upgrade decision piggybacks on the
+    * node-count aggregation the build already pays, so the small-scale
+    * path costs nothing extra. Bit-identical ranks asserted per round
+    * (Pr1Probe) and in ShapeEquivalenceSpec. */
   def run(edges: DataFrame, iters: Int = 3, reliable: Boolean = false,
       checkpointEvery: Int = 4, assumeDistinct: Boolean = false,
       singleExchangeBuild: Boolean = true,
@@ -94,12 +105,7 @@ object PageRank {
     // join already keyed on b.
     val symDeg0 =
       if (singleExchangeBuild) {
-        val part =
-          if (pinnedBuildPartitions)
-            doubled.repartition(
-              edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-              col("b"))
-          else doubled.repartition(col("b"))
+        val part = doubled.repartition(col("b"))
         val sym = if (assumeDistinct) part else part.distinct()
         val degB = sym.groupBy(col("b")).agg(count(lit(1)).as("deg_b"))
         sym.join(degB.hint("shuffle_hash"), "b")
@@ -114,21 +120,28 @@ object PageRank {
       }
     val symDeg0Ck =
       if (reliable) symDeg0.checkpoint() else symDeg0.localCheckpoint()
-    // The SHJ's stream side preserves the build repartitioning, and the
-    // checkpoint materializes it partition-for-partition — but AQE hands
-    // the checkpoint back as UnknownPartitioning (see
-    // GraftSqlBridge.assertHashPartitioned), which is what silently
-    // re-exchanged the edge table inside every iteration join until r11.
-    // Re-assert it so the per-round joins only shuffle the rank table.
-    val symDeg =
-      if (singleExchangeBuild && pinnedBuildPartitions)
-        org.apache.spark.sql.GraftSqlBridge.assertHashPartitioned(
-          symDeg0Ck, Seq("b"),
-          edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-      else symDeg0Ck
     // map-side-combined distinct over the materialized edges; an O(1)
-    // driver scalar (the old node-table distinct shuffled (v, deg) pairs)
-    val n = symDeg.agg(countDistinct(col("b"))).head().getLong(0)
+    // driver scalar (the old node-table distinct shuffled (v, deg) pairs).
+    // The edge-row count rides the same aggregation for free — it is the
+    // pinned-partitioning dial below.
+    val statsRow = symDeg0Ck
+      .agg(countDistinct(col("b")), count(lit(1))).head()
+    val n = statsRow.getLong(0)
+    val edgeRows = statsRow.getLong(1)
+    // Past the measured crossover, pay ONE re-shuffle onto an explicit
+    // partition count and re-assert it on the checkpoint (AQE returns
+    // checkpoints as UnknownPartitioning — without the assert every
+    // iteration join re-exchanged the edge table; see scaladoc). Below
+    // it, the r10 bare coalesced checkpoint is strictly cheaper.
+    val symDeg =
+      if (singleExchangeBuild && pinnedBuildPartitions &&
+          edgeRows >= PinMinEdgeRows) {
+        val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        val rep = symDeg0Ck.repartition(p, col("b"))
+        val c = if (reliable) rep.checkpoint() else rep.localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(symDeg0Ck)
+        org.apache.spark.sql.GraftSqlBridge.assertHashPartitioned(c, Seq("b"), p)
+      } else symDeg0Ck
     val base = (15L * (Scale / n)) / 100L
     // Iteration 1 joins nothing: the uniform initial rank is a constant,
     // so the first round is a single aggregation over the edges.

@@ -23,9 +23,10 @@ object TriangleCount {
     * guarantee u ≠ v and no duplicate edge in either direction):
     * (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
     * clustering = 3·triangles / wedges (the global transitivity). */
-  /** `pinnedPartitions` (r11): checkpoint the oriented edge list and the
-    * adjacency table pre-partitioned on their probe key `src` with an
-    * EXPLICIT partition count, and re-assert that partitioning on the
+  /** `pinnedPartitions` (r11): when the oriented edge list is `big`
+    * (> 500k rows — the SAME dial that forces the triangle joins to
+    * SHUFFLE_HASH), re-shuffle it once onto an EXPLICIT partition count on
+    * the probe key `src` and re-assert that partitioning on the o and adj
     * checkpoints (GraftSqlBridge.assertHashPartitioned — under AQE a
     * localCheckpoint comes back UnknownPartitioning, so the r10 plan
     * re-exchanged BOTH sides of both SHUFFLE_HASH triangle joins AND paid
@@ -33,14 +34,16 @@ object TriangleCount {
     * aggregation runs exchange-free on o's partitioning, the first
     * triangle join is zero-exchange on both sides, and the second only
     * re-keys the probe stream on `dst` (its build side — adj renamed to
-    * dst — stays exchange-free). Orientation semantics untouched; Tc1Probe
-    * asserts the one-row output identical. */
+    * dst — stays exchange-free). Below the dial the r10 bare shape is
+    * kept: there the joins broadcast the adjacency anyway, and the pin's
+    * extra exchange + un-coalesced task floor measured a 2× LOSS at
+    * sf0.1/local[32] (Tc1Probe 0.254 → 0.457 s) against a 26% win at sf1
+    * (1.039 → 0.768 s, where big=true). The dial tying the pin to the
+    * SHJ path is exactly the condition under which the exchanges exist.
+    * Orientation semantics untouched; Tc1Probe asserts the one-row output
+    * identical. */
   def run(edges: DataFrame, pinnedPartitions: Boolean = true): DataFrame = {
     val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    def assertPart(df: DataFrame, cols: Seq[String]): DataFrame =
-      if (pinnedPartitions)
-        org.apache.spark.sql.GraftSqlBridge.assertHashPartitioned(df, cols, p)
-      else df
     // ids normalized to LONG at the boundary (the KCore discipline): key
     // columns are Integral-class under the testdata drift contract, and
     // the adjacency lists feed SortedIntersectCount, which requires
@@ -61,13 +64,20 @@ object TriangleCount {
     val o0 = keyed.select(
       when(smallerU, col("u")).otherwise(col("v")).as("src"),
       when(smallerU, col("v")).otherwise(col("u")).as("dst"))
-    // one explicit src exchange here replaces the adjacency groupBy's and
-    // the first triangle join's (see scaladoc); assert is TRUE by
-    // construction: the checkpoint materializes the REPARTITION_BY_NUM
+    val o1 = o0.localCheckpoint()
+    // the big/SHJ dial doubles as the pin dial (see scaladoc): past it,
+    // one explicit src re-shuffle replaces the adjacency groupBy's and
+    // the first triangle join's exchanges; the assert is TRUE by
+    // construction — the checkpoint materializes the REPARTITION_BY_NUM
     // output partition-for-partition (never AQE-coalesced or skew-split)
-    val o = assertPart(
-      (if (pinnedPartitions) o0.repartition(p, col("src")) else o0)
-        .localCheckpoint(), Seq("src"))
+    val big = o1.count() > 500000L
+    val pin = pinnedPartitions && big
+    val o =
+      if (pin) {
+        val c = o1.repartition(p, col("src")).localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(o1)
+        org.apache.spark.sql.GraftSqlBridge.assertHashPartitioned(c, Seq("src"), p)
+      } else o1
     // Count via ORIENTED ADJACENCY INTERSECTION instead of the classic
     // three-scan wedge self-join (r6 verdict directive 2): aggregate each
     // node's SORTED oriented out-neighbor list ONCE, then for every
@@ -83,12 +93,16 @@ object TriangleCount {
     // the oriented out-degree O(√|E|), so no skew funnel. Materialized:
     // BOTH probe joins read it, and without the checkpoint the grouping
     // shuffle runs once per join.
-    // exchange-free on o's asserted partitioning; the aggregation output
-    // keeps (src, p) partition-for-partition, so the assert stays true
-    val adj = assertPart(
-      o.groupBy(col("src"))
-        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-        .localCheckpoint(), Seq("src"))
+    // when pinned: exchange-free on o's asserted partitioning, and the
+    // aggregation output keeps (src, p) partition-for-partition, so the
+    // assert stays true
+    val adj0 = o.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint()
+    val adj =
+      if (pin)
+        org.apache.spark.sql.GraftSqlBridge.assertHashPartitioned(adj0, Seq("src"), p)
+      else adj0
     // Beyond broadcast size, SHUFFLE_HASH: build on the node-keyed
     // adjacency, stream the edges — a sort buys nothing for a join that
     // ends in one global sum (the count() is free; localCheckpoint just
@@ -96,7 +110,6 @@ object TriangleCount {
     // e backs nothing once deg/o/adj are materialized — release it (the
     // returned plan reads only those three checkpoints + the tri scalar)
     org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(e)
-    val big = o.count() > 500000L
     def buildSide(df: DataFrame): DataFrame = if (big) df.hint("shuffle_hash") else df
     val interCnt = {
       import org.apache.spark.sql.GraftSqlBridge

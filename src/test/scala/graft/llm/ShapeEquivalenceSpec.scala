@@ -116,6 +116,46 @@ class ShapeEquivalenceSpec extends SparkTestBase {
     assert(a.nonEmpty && a == b)
   }
 
+  // ---- r11 pinned checkpoint partitioning (assertHashPartitioned):
+  // physical-only — outputs must be bit-identical with the pin off
+
+  test("pr1: pinned build partitioning == coalesced (bit-identical ranks)") {
+    import spark.implicits._
+    def arm(pin: Boolean) = {
+      val edges = graft.core.Tables.lineitem(spark, sf)
+        .join(graft.core.Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      rows(graft.operators.PageRank.run(edges, iters = 3,
+          pinnedBuildPartitions = pin)
+        .orderBy($"v"))
+    }
+    val a = arm(false); val b = arm(true)
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("tc1 operator: pinned o/adj partitioning == unpinned (same stats row)") {
+    import spark.implicits._
+    val e = graft.core.Tables.lineitem(spark, sf)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+      .withColumn("v", org.apache.spark.sql.functions.lead($"s", 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy($"p").orderBy($"s")))
+      .filter($"v".isNotNull).select($"s".as("u"), $"v").distinct()
+    val a = rows(graft.operators.TriangleCount.run(e, pinnedPartitions = false))
+    val b = rows(graft.operators.TriangleCount.run(e, pinnedPartitions = true))
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("lp1 operator: pinned sym partitioning == unpinned labels") {
+    import spark.implicits._
+    val e = graft.core.Tables.lineitem(spark, sf)
+      .select($"l_partkey".as("u"), $"l_suppkey".as("v")).distinct()
+    def arm(pin: Boolean) = rows(
+      graft.operators.LabelPropagation.run(e, rounds = 3, prePartition = pin)
+        .orderBy($"node"))
+    val a = arm(false); val b = arm(true)
+    assert(a.nonEmpty && a == b)
+  }
+
   test("bfs bipartite: prePartition/shjHint arms == shipped levels") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
